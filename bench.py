@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Execution is measured with the noop sink (full plan execution, no
+driver-side row transfer) so the number reflects engine throughput,
+not toPandas serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: registry queries that form the headline set (correctness-gated ones
+#: that exercise scan+join+agg, JSON/variant, governance, dedup, ANN)
+HEADLINE = [
+    "flagship_secure_report",
+    "j1_star_join_revenue",
+    "j2_role_playing_join",
+    "u1_union_distinct",
+    "f6_variant_extract",
+    "a6_dashboard_subqueries",
+    "o5_top16",
+    "p2_date_range_filter",
+]
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from snowflake_data_pipeline_demo_spark.plans.queries import QUERIES
+    from snowflake_data_pipeline_demo_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # warm the JVM/codegen path once (tiny SF) so per-query timings
+    # reflect steady state, not first-plan compilation.
+    QUERIES["j1_star_join_revenue"].builder(spark, "/root/testdata/sf0.001").collect()
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in names:
+        t0 = time.time()
+        df = QUERIES[name].builder(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Secure view factory (SURVEY §2.10 G1-G3).
+
+Reproduces ``trips_secure_vw`` (dp_demo.sql:222-239):
+
+- 5-way join: trips x start-station x end-station x programs x security
+  — the reference writes ON-less INNER JOINs with all predicates in
+  WHERE (dp_demo.sql:230-239); Spark SQL rejects that, so the conditions
+  are explicit here (SURVEY J5).
+- row-level security: ``s.account = current_account()`` AND
+  ``p.program_name LIKE s.filter`` — the LIKE pattern comes from a
+  *column*, so it is a theta join (J6): Catalyst plans a broadcast
+  nested-loop join, fine because security is rows-scale.
+- column masking: station names pass through only for the publisher
+  account; others see ``REDACTED (<md5>)`` (G3, dp_demo.sql:226-229).
+
+"Secure" (optimization barrier, hidden definition) has no Spark
+enforcement — Catalyst may push consumer predicates into the view.
+Results are unaffected; documented non-goal (SURVEY §4).
+
+Scale notes: security/programs/stations are dims -> all three sides
+broadcast; the fact table never shuffles. The masking expression is a
+codegen'd projection, zero extra passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import iff, md5_mask
+from ..session import current_account
+
+
+def _is_publisher(security: DataFrame, account_lit: Column) -> Column:
+    """``current_account() IN (SELECT account FROM security WHERE
+    name = 'Publisher Account')`` (dp_demo.sql:226-228, P6).
+
+    security is tiny (rows-scale) so the IN-subquery is evaluated by
+    collecting the publisher set once at plan-build time — equivalent
+    to Catalyst's subquery rewrite, but keeps this factory usable from
+    the DataFrame API without a registered temp view.
+    """
+    publishers = [
+        r["account"]
+        for r in security.filter(F.col("name") == "Publisher Account")
+        .select("account").collect()
+    ]
+    return account_lit.isin(publishers) if publishers else F.lit(False)
+
+
+def secure_trips_view(
+    trips: DataFrame,
+    stations: DataFrame,
+    programs: DataFrame,
+    security: DataFrame,
+    account: str | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Build the governed view for ``account`` (defaults to the session's
+    ``engine.current_account`` conf — the G6 impersonation hook).
+
+    Output columns (dp_demo.sql:225-229 projection):
+    ``hour, program_name, acct, start_station, end_station, duration``
+    """
+    if account is None:
+        assert spark is not None, "pass account= or spark= to resolve the session account"
+        account = current_account(spark)
+    acct = F.lit(account)
+
+    is_pub = _is_publisher(security, acct)
+    mask = lambda c: iff(is_pub, c, md5_mask(c))  # noqa: E731
+
+    t = trips.alias("t")
+    ss = stations.alias("ss")
+    es = stations.alias("es")
+    p = programs.alias("p")
+    s = security.alias("s")
+
+    return (
+        t
+        .join(F.broadcast(ss), F.col("t.start_station_id") == F.col("ss.station_id"))
+        .join(F.broadcast(es), F.col("t.end_station_id") == F.col("es.station_id"))
+        .join(F.broadcast(p), F.col("t.program_id") == F.col("p.program_id"))
+        # row security: account row + LIKE theta join (dp_demo.sql:236,239)
+        .join(
+            F.broadcast(s.filter(F.col("s.account") == acct)),
+            F.expr("p.program_name LIKE s.filter"),
+        )
+        .select(
+            F.date_trunc("hour", F.col("t.starttime")).alias("hour"),
+            F.col("p.program_name").alias("program_name"),
+            F.col("s.name").alias("acct"),
+            mask(F.col("ss.station_name")).alias("start_station"),
+            mask(F.col("es.station_name")).alias("end_station"),
+            F.col("t.tripduration").alias("duration"),
+        )
+    )
+
+
+def consumer_report(view: DataFrame) -> DataFrame:
+    """The demo's consumer query (dp_demo.sql:267-270): ``GROUP BY 1,2
+    ORDER BY 3 DESC`` with a count alias (A5/O3)."""
+    return (
+        view.groupBy("program_name", "acct")
+        .agg(F.count("*").alias("num_trips"))
+        .orderBy(F.desc("num_trips"), "program_name")
+    )

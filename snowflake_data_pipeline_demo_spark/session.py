@@ -1,0 +1,83 @@
+"""SparkSession factory + session context.
+
+Reference parity:
+- warehouse create/resize (dp_setup.sql:134, dp_demo.sql:112-113) maps to
+  executor/cluster sizing -> here a config shim (`local[N]` threads).
+- ``alter session set simulated_data_sharing_consumer`` (dp_demo.sql:263)
+  maps to the ``engine.current_account`` runtime conf read by
+  :func:`current_account` (used by the secure view, SURVEY G6/F14).
+
+Scale notes: on a real cluster the same builder runs with
+``spark.sql.adaptive.enabled`` (runtime re-plan + skew-join splitting),
+shuffle partitions sized to cluster cores, and broadcast threshold left
+to Catalyst so star-join dims go broadcast automatically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+CURRENT_ACCOUNT_CONF = "engine.current_account"
+
+_DEFAULTS = {
+    # Local mode: one JVM; size shuffle partitions to cores, not 200.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # local mode = driver-only JVM; give it real memory (guide: the only
+    # memory knob that matters locally).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
+    # AQE: coalesce small shuffle partitions, split skewed ones at runtime.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamps vs the DuckDB oracle (UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for the pandas-UDF slow path and toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # testdata events.parquet stores ts as TIMESTAMP(NANOS); read as long
+    # (ns since epoch) and convert in the loader (sources/testdata.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "snowflake_data_pipeline_demo_spark",
+              master: str | None = None,
+              **extra_conf: str) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    cluster, leave it unset and let spark-submit decide.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    for k, v in {**_DEFAULTS, **extra_conf}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def set_current_account(spark: SparkSession, account: str | None) -> None:
+    """``ALTER SESSION SET simulated_data_sharing_consumer`` analog
+    (dp_demo.sql:263, 273; UNSET at 282 -> pass ``None``)."""
+    if account is None:
+        spark.conf.unset(CURRENT_ACCOUNT_CONF)
+    else:
+        spark.conf.set(CURRENT_ACCOUNT_CONF, account)
+
+
+def current_account(spark: SparkSession) -> str:
+    """Snowflake ``current_account()`` analog (dp_demo.sql:223,226,239)."""
+    return spark.conf.get(CURRENT_ACCOUNT_CONF, "")
+
+
+def current_account_col(spark: SparkSession) -> Column:
+    """The session account as a literal column — resolved at plan-build
+    time, exactly like the secure-view factory needs (SURVEY §2.10 G1)."""
+    return F.lit(current_account(spark))

@@ -1,0 +1,9 @@
+from .stage import Stage
+from .catalog import Catalog, Table, TRIPS_SCHEMA, STATIONS_SCHEMA, PROGRAMS_SCHEMA, SECURITY_SCHEMA, TRIP_DOC_SCHEMA
+from .testdata import load_tables, register_views, TESTDATA_TABLES
+
+__all__ = [
+    "Stage", "Catalog", "Table",
+    "TRIPS_SCHEMA", "STATIONS_SCHEMA", "PROGRAMS_SCHEMA", "SECURITY_SCHEMA",
+    "TRIP_DOC_SCHEMA", "load_tables", "register_views", "TESTDATA_TABLES",
+]

@@ -1,0 +1,194 @@
+"""Catalog: parquet-backed tables with declared schemas.
+
+Reference parity (SURVEY §1.1, §2.11 V6):
+- ``CREATE DATABASE/SCHEMA IF NOT EXISTS`` (dp_setup.sql:12,137-138) ->
+  warehouse subdirectories ``<root>/<db>/<schema>/<table>``
+- typed DDL tables (dp_setup.sql:140-175) -> declared StructTypes below
+- ``TRUNCATE TABLE`` (dp_demo.sql:16-19) -> :meth:`Table.truncate`
+- CTAS (dp_demo.sql:250) -> :meth:`Catalog.create_table_as`
+
+No Delta in this environment, so tables are schema-pinned parquet
+directories. That is sufficient for the reference's whole DML surface:
+its only writes are INSERT-append and *insert-only* MERGE (no
+WHEN-MATCHED-UPDATE anywhere, dp_setup.sql:211-245), both of which
+parquet append + anti-join express exactly (operators/merge.py).
+
+Scale notes:
+- appends are plain parquet file adds — no table-wide rewrite, safe for a
+  1000-executor writer.
+- ``Table.read`` is a schema'd parquet scan: Catalyst gets pushdown +
+  column pruning for free, and streaming readers (streaming/streams.py)
+  can treat the same directory as a file-source CDC log because the
+  workload is insert-only.
+- fact tables may be written day-partitioned (``partition_by``) so the
+  reference's day-prefix pruning (dp_setup.sql:57) becomes real
+  partition pruning at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# -- Declared schemas (dp_setup.sql:140-175; SURVEY §1.1) -------------------
+
+# raw.trips_raw (v VARIANT): the JSON doc is kept as its parsed struct plus
+# the original text. Landing keeps both so `SELECT $1` (raw) and typed
+# extraction are each one column read away.
+TRIP_DOC_FIELDS = [
+    ("tripduration", T.IntegerType()),
+    ("starttime", T.TimestampNTZType()),
+    ("stoptime", T.TimestampNTZType()),
+    ("start_station_id", T.IntegerType()),
+    ("start_station_name", T.StringType()),
+    ("start_station_latitude", T.DoubleType()),
+    ("start_station_longitude", T.DoubleType()),
+    ("end_station_id", T.IntegerType()),
+    ("end_station_name", T.StringType()),
+    ("end_station_latitude", T.DoubleType()),
+    ("end_station_longitude", T.DoubleType()),
+    ("bikeid", T.IntegerType()),
+    ("usertype", T.StringType()),
+    ("birth_year", T.IntegerType()),
+    ("gender", T.IntegerType()),
+    ("program_id", T.IntegerType()),
+    ("program_name", T.StringType()),
+]
+#: the 17-field wire document (dp_setup.sql:58-75)
+TRIP_DOC_SCHEMA = T.StructType([T.StructField(n, t) for n, t in TRIP_DOC_FIELDS])
+
+#: raw.trips_raw — `v` is the parsed variant struct (dp_setup.sql:140)
+TRIPS_RAW_SCHEMA = T.StructType([T.StructField("v", TRIP_DOC_SCHEMA)])
+
+#: modelled.trips (dp_setup.sql:150-160)
+TRIPS_SCHEMA = T.StructType([
+    T.StructField("tripduration", T.IntegerType()),
+    T.StructField("starttime", T.TimestampNTZType()),
+    T.StructField("stoptime", T.TimestampNTZType()),
+    T.StructField("start_station_id", T.IntegerType()),
+    T.StructField("end_station_id", T.IntegerType()),
+    T.StructField("bikeid", T.IntegerType()),
+    T.StructField("usertype", T.StringType()),
+    T.StructField("birth_year", T.IntegerType()),
+    T.StructField("gender", T.IntegerType()),
+    T.StructField("program_id", T.IntegerType()),
+])
+
+#: modelled.stations (dp_setup.sql:163-169)
+STATIONS_SCHEMA = T.StructType([
+    T.StructField("station_id", T.IntegerType()),
+    T.StructField("station_name", T.StringType()),
+    T.StructField("station_latitude", T.DoubleType()),
+    T.StructField("station_longitude", T.DoubleType()),
+    T.StructField("station_comment", T.StringType()),
+])
+
+#: modelled.programs (dp_setup.sql:172-175)
+PROGRAMS_SCHEMA = T.StructType([
+    T.StructField("program_id", T.IntegerType()),
+    T.StructField("program_name", T.StringType()),
+])
+
+#: modelled.security (inferred from usage, dp_demo.sql:226-239)
+SECURITY_SCHEMA = T.StructType([
+    T.StructField("name", T.StringType()),
+    T.StructField("account", T.StringType()),
+    T.StructField("filter", T.StringType()),
+])
+
+
+class Table:
+    """A schema-pinned parquet table directory."""
+
+    def __init__(self, spark: SparkSession, path: str, schema: T.StructType,
+                 partition_by: list[str] | None = None):
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+        self.partition_by = partition_by or []
+        self._ensure_dir()
+
+    def _ensure_dir(self) -> None:
+        jvm = self.spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = p.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
+        fs.mkdirs(p)
+
+    def _has_data(self) -> bool:
+        jvm = self.spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = p.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith(("_", ".")):
+                return True
+        return False
+
+    def read(self) -> DataFrame:
+        """Base-relation scan (S9). Empty table -> empty typed DataFrame."""
+        if not self._has_data():
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(self.path)
+
+    def append(self, df: DataFrame) -> None:
+        """INSERT-append in declared column order (positional, like SQL
+        INSERT ... SELECT, dp_setup.sql:192-203)."""
+        cols = [f.name for f in self.schema.fields]
+        w = df.select(*cols).write.mode("append")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(self.path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        cols = [f.name for f in self.schema.fields]
+        w = df.select(*cols).write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(self.path)
+
+    def truncate(self) -> None:
+        """TRUNCATE TABLE IF EXISTS (dp_demo.sql:16-19)."""
+        jvm = self.spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = p.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+        fs.mkdirs(p)
+
+    def count(self) -> int:
+        return self.read().count()
+
+
+class Catalog:
+    """db.schema.table namespace over a warehouse root directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._tables: dict[str, Table] = {}
+
+    def table_path(self, qualified: str) -> str:
+        return f"{self.root}/" + "/".join(qualified.split("."))
+
+    def create_table(self, qualified: str, schema: T.StructType,
+                     partition_by: list[str] | None = None) -> Table:
+        """CREATE TABLE IF NOT EXISTS (dp_setup.sql:140-175)."""
+        if qualified not in self._tables:
+            self._tables[qualified] = Table(
+                self.spark, self.table_path(qualified), schema, partition_by
+            )
+        return self._tables[qualified]
+
+    def create_table_as(self, qualified: str, df: DataFrame) -> Table:
+        """CTAS (dp_demo.sql:250: ``create table security as select ...``)."""
+        t = self.create_table(qualified, df.schema)
+        t.overwrite(df)
+        return t
+
+    def table(self, qualified: str) -> Table:
+        return self._tables[qualified]
+
+    def tables(self) -> list[str]:
+        """SHOW TABLES analog (dp_demo.sql:74-75)."""
+        return sorted(self._tables)

@@ -1,0 +1,47 @@
+"""Loaders for the driver-generated testdata (TESTDATA.md).
+
+These are the engine's operator-correctness inputs: TPC-H-ish star schema
+plus `events` (JSON props column — the trips_raw analog), `documents`
+(text analysis / dedup) and `embeddings` (similarity search).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long (ns
+    # since epoch) under spark.sql.legacy.parquet.nanosAsLong; convert to
+    # a proper timestamp column JVM-side (no precision below micros).
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            # integer div — double division would lose ulp precision on
+            # epoch-nanos magnitudes and skew timestamps by ±1us.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    return {n: load(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TESTDATA_TABLES) -> None:
+    """Register each parquet table as a temp view (mirrors the DuckDB
+    oracle's pre-registered views, __spark_entry__.py docstring)."""
+    for n in names:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,83 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Runs a registry query on Spark and its oracle SQL on DuckDB over the
+same parquet tables, then compares row count + column names +
+order-insensitive values (columns sorted by name, rows sorted by all
+columns). Floats compare with a tiny relative tolerance purely to give
+better failure messages — equality is the goal.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir.rstrip('/')}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
+    """Returns a list of mismatch descriptions (empty = match)."""
+    problems: list[str] = []
+    sp = spark_df.toPandas()
+    con = duckdb_conn(sf_dir)
+    du = con.execute(oracle_sql).fetchdf()
+
+    if len(sp) != len(du):
+        problems.append(f"row count: spark={len(sp)} duckdb={len(du)}")
+    if sorted(sp.columns) != sorted(du.columns):
+        problems.append(f"columns: spark={sorted(sp.columns)} duckdb={sorted(du.columns)}")
+        return problems
+
+    a, b = _normalize(sp), _normalize(du)
+    if len(a) != len(b):
+        return problems or [f"row count after normalize: {len(a)} vs {len(b)}"]
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
+            bad = 0
+            for x, y in zip(av, bv):
+                if (pd.isna(x)) != (pd.isna(y)):
+                    bad += 1
+                elif not pd.isna(x) and not math.isclose(x, y, rel_tol=1e-12, abs_tol=1e-12):
+                    bad += 1
+            exact = (av.fillna(0) == bv.fillna(0)).all()
+            if bad:
+                problems.append(f"col {c}: {bad} value mismatches (float)")
+            elif not exact:
+                problems.append(f"col {c}: floats equal at 1e-12 but NOT bit-exact (driver hash may fail)")
+        else:
+            neq = ~((av == bv) | (av.isna() & bv.isna()))
+            if neq.any():
+                i = int(neq.idxmax())
+                problems.append(
+                    f"col {c}: {int(neq.sum())} mismatches; first at row {i}: "
+                    f"spark={av[i]!r} duckdb={bv[i]!r}"
+                )
+    return problems

@@ -1,0 +1,115 @@
+"""Unit tests for the engine's library layers (stage, catalog, merge,
+scalars, variant) — the pieces the driver gate doesn't see directly."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from snowflake_data_pipeline_demo_spark.functions.scalars import (
+    iff, md5_mask, to_date_auto,
+)
+from snowflake_data_pipeline_demo_spark.functions.variant import (
+    extract_variant, object_construct_json, variant_get,
+)
+from snowflake_data_pipeline_demo_spark.operators.merge import (
+    insert_only_merge, merge_result,
+)
+from snowflake_data_pipeline_demo_spark.sources.catalog import Catalog, PROGRAMS_SCHEMA
+from snowflake_data_pipeline_demo_spark.sources.stage import Stage
+
+
+def test_stage_roundtrip(spark, tmp_path):
+    stage = Stage(spark, str(tmp_path / "stage"))
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    stage.unload_json(df, "snowpipe_demo2020-01-10")
+    files = stage.list()
+    assert files and all("snowpipe_demo2020-01-10" in f.path for f in files)
+
+    back = stage.read_json("id long, v long", "snowpipe_demo2020-01-10")
+    assert back.count() == 10
+    assert {r["v"] for r in back.collect()} == {2 * i for i in range(10)}
+
+    raw = stage.read_raw("snowpipe_demo2020-01-10")
+    assert raw.columns == ["$1", "metadata$filename"]
+    assert raw.count() == 10
+
+    # RM one file, then the prefix (S8)
+    assert stage.rm(files[0].path)
+    assert len(stage.list()) == len(files) - 1
+    stage.rm("snowpipe_demo2020-01-10")
+    assert stage.list() == []
+
+
+def test_catalog_append_truncate(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("modelled.programs", PROGRAMS_SCHEMA)
+    assert t.count() == 0  # empty table reads as empty typed df
+    df = spark.createDataFrame([(1, "A"), (2, "B")], PROGRAMS_SCHEMA)
+    t.append(df)
+    assert t.count() == 2
+    t.append(df)
+    assert t.count() == 4
+    t.truncate()
+    assert t.count() == 0
+
+
+def test_insert_only_merge_semantics(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("modelled.programs", PROGRAMS_SCHEMA)
+    t.append(spark.createDataFrame([(1, "A"), (2, "B")], PROGRAMS_SCHEMA))
+
+    src = spark.createDataFrame(
+        [(2, "B-dup"), (3, "C"), (3, "C"), (4, "D")], PROGRAMS_SCHEMA
+    )
+    inserted = insert_only_merge(t, src, ["program_id"])
+    assert inserted == 2  # 3 and 4; 2 matched, dup 3 deduped
+    assert t.count() == 4
+    # idempotent re-merge (reference stream re-delivery safety)
+    assert insert_only_merge(t, src, ["program_id"]) == 0
+    assert t.count() == 4
+    # existing rows never updated (insert-only: no WHEN MATCHED branch)
+    assert t.read().filter("program_id = 2").collect()[0]["program_name"] == "B"
+
+
+def test_merge_result_pure(spark):
+    target = spark.createDataFrame([(1, "A")], PROGRAMS_SCHEMA)
+    src = spark.createDataFrame([(1, "A"), (2, "B")], PROGRAMS_SCHEMA)
+    out = merge_result(target, src, ["program_id"]).collect()
+    assert [(r["program_id"], r["program_name"]) for r in out] == [(2, "B")]
+
+
+def test_iff_and_mask(spark):
+    df = spark.createDataFrame([(1, "x"), (10, "y")], "a int, s string")
+    out = df.select(
+        iff(F.col("a") > 5, F.lit("big"), F.lit("small")).alias("b"),
+        md5_mask("s").alias("m"),
+    ).collect()
+    assert [r["b"] for r in out] == ["small", "big"]
+    assert all(r["m"].startswith("REDACTED (") and r["m"].endswith(")") for r in out)
+
+
+def test_to_date_auto_both_formats(spark):
+    df = spark.createDataFrame([("2020-01-10",), ("01/10/2020",)], "d string")
+    out = df.select(to_date_auto("d").alias("dt")).collect()
+    assert str(out[0]["dt"]) == "2020-01-10"
+    assert str(out[1]["dt"]) == "2020-01-10"  # M/d/yyyy (dp_demo.sql:115)
+
+
+def test_variant_roundtrip_timestamp_fidelity(spark):
+    """SURVEY §7.3: timestamp_ntz must survive the JSON round trip."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("n", T.IntegerType()),
+    ])
+    df = spark.sql(
+        "SELECT timestamp_ntz'2020-01-10 12:34:56.789' AS ts, 7 AS n"
+    )
+    doc = df.select(object_construct_json({"ts": F.col("ts"), "n": F.col("n")}).alias("v"))
+    back = doc.select(extract_variant("v", schema).alias("p")).select(
+        variant_get("p", "ts"), variant_get("p", "n", "long").alias("n")
+    ).collect()[0]
+    assert str(back[0]) == "2020-01-10 12:34:56.789000"
+    assert back["n"] == 7

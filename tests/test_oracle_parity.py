@@ -1,0 +1,44 @@
+"""The local replica of the driver's t2 gate: every registry query with
+an oracle must match DuckDB at sf0.001 (driver runs sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_ORACLE
+
+
+def _registry():
+    from snowflake_data_pipeline_demo_spark.plans.queries import QUERIES
+
+    return QUERIES
+
+
+@pytest.mark.parametrize("name", list(_registry().keys()))
+def test_query_matches_oracle(spark, name):
+    from oracle_utils import compare
+
+    q = _registry()[name]
+    df = q.builder(spark, SF_ORACLE)
+    if q.oracle is None:
+        assert df.count() >= 0  # rows-only check (driver's weaker gate)
+        return
+    problems = compare(df, q.oracle, SF_ORACLE)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"program_name", "acct", "num_trips"} <= set(df.columns)
+
+
+def test_oracle_keys_subset_of_queries():
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q)
