@@ -94,7 +94,8 @@ class Stage:
         return (
             self.spark.read.schema(schema)
             .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss[.SSS]")
-            .json(f"{src}")
+            .option("recursiveFileLookup", "true")
+            .json(src)
         )
 
     def read_raw(self, prefix: str = "") -> DataFrame:

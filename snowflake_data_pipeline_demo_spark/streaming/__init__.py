@@ -1,0 +1,11 @@
+from .history import COPY_HISTORY_SCHEMA, TASK_HISTORY_SCHEMA
+from .stream_data import stream_data
+from .pipe import Pipe
+from .streams import TableStream
+from .tasks import Task, TaskRunner
+from .pipeline import CitibikePipeline
+
+__all__ = [
+    "COPY_HISTORY_SCHEMA", "TASK_HISTORY_SCHEMA", "stream_data", "Pipe",
+    "TableStream", "Task", "TaskRunner", "CitibikePipeline",
+]

@@ -1,0 +1,159 @@
+"""Scheduled tasks (SURVEY §2.9 T4/T5/T6/T9).
+
+Reference: ``CREATE TASK push_trips WAREHOUSE=task_wh SCHEDULE='1 minute'
+WHEN system$stream_has_data('new_trips') AS <DML>`` (dp_setup.sql:188-203)
+x3, plus ``CREATE TASK purge_files ... AFTER push_trips``
+(dp_setup.sql:249-252). Task state surfaces through
+``information_schema.task_history()`` (SUCCEEDED / SKIPPED / FAILED).
+
+Spark-native: a Task wraps one stream consumer:
+``stream.read() -> writeStream.trigger(processingTime).foreachBatch(fn)``.
+
+- the 1-minute schedule -> ``trigger(processingTime='60 seconds')``
+- the stream_has_data guard -> implicit: an empty micro-batch costs one
+  file-listing; we record it as SKIPPED exactly like the reference
+  (dp_demo.sql:170 shows SKIPPED rows).
+- AFTER chaining (T5) -> ``after`` callbacks run at the end of the
+  parent's foreachBatch, in-transaction-order like Snowflake's DAG.
+- resume/suspend (T6) -> start()/stop() of the streaming query.
+- every trigger appends a task_history row (T9) — via the batch
+  function itself (not a listener) so state and timestamps are exact.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources.catalog import Table
+from .streams import TableStream
+
+
+class Task:
+    """One scheduled stream-consuming task (+ optional chained children)."""
+
+    def __init__(
+        self,
+        name: str,
+        stream: TableStream,
+        body: Callable[[DataFrame, int], int],
+        task_history: Table,
+        schedule: str = "60 seconds",
+    ):
+        self.name = name
+        self.stream = stream
+        self.body = body
+        self.task_history = task_history
+        self.schedule = schedule
+        self.after: list[Callable[[], None]] = []  # T5 child hooks
+        self.query: StreamingQuery | None = None
+
+    def add_after(self, hook: Callable[[], None]) -> None:
+        """``CREATE TASK child ... AFTER this`` (dp_setup.sql:249-252)."""
+        self.after.append(hook)
+
+    # -- one trigger --------------------------------------------------------
+    def _on_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        self._fired = True
+        scheduled = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        batch = batch.cache()
+        try:
+            n = batch.count()
+            if n == 0:
+                self._record(spark, "SKIPPED", scheduled, batch_id, 0, None)
+                return
+            try:
+                processed = self.body(batch, batch_id)
+            except Exception as e:  # noqa: BLE001 - ledger then re-raise
+                self._record(spark, "FAILED", scheduled, batch_id, 0, str(e)[:500])
+                raise
+            self._record(spark, "SUCCEEDED", scheduled, batch_id, processed, None)
+            for hook in self.after:
+                hook()
+        finally:
+            batch.unpersist()
+
+    def _record(self, spark: SparkSession, state: str, scheduled, batch_id: int,
+                rows: int, error: str | None) -> None:
+        completed = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        self.task_history.append(
+            spark.createDataFrame(
+                [(self.name, state, scheduled, completed, batch_id, rows, error)],
+                self.task_history.schema,
+            )
+        )
+
+    # -- lifecycle ----------------------------------------------------------
+    def resume(self) -> StreamingQuery:
+        """ALTER TASK ... RESUME (dp_demo.sql:97-99)."""
+        self.query = (
+            self.stream.read().writeStream
+            .queryName(f"task_{self.name}")
+            .option("checkpointLocation", self.stream.checkpoint_dir)
+            .trigger(processingTime=self.schedule)
+            .foreachBatch(self._on_batch)
+            .start()
+        )
+        return self.query
+
+    def run_available(self) -> None:
+        """One synchronous drain of the stream (availableNow) — the
+        test/batch-mode equivalent of waiting a schedule tick."""
+        self._fired = False
+        scheduled = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        q = (
+            self.stream.read().writeStream
+            .queryName(f"task_{self.name}_once")
+            .option("checkpointLocation", self.stream.checkpoint_dir)
+            .trigger(availableNow=True)
+            .foreachBatch(self._on_batch)
+            .start()
+        )
+        q.awaitTermination()
+        if not self._fired:
+            # no micro-batch ran: the reference's stream_has_data guard
+            # records the tick as SKIPPED (dp_demo.sql:170)
+            self._record(self.stream.spark, "SKIPPED", scheduled, -1, 0, None)
+
+    def suspend(self) -> None:
+        """ALTER TASK ... SUSPEND (dp_demo.sql:191-193)."""
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+
+
+class TaskRunner:
+    """Registry + lifecycle for a set of tasks (SHOW TASKS analog)."""
+
+    def __init__(self) -> None:
+        self.tasks: dict[str, Task] = {}
+
+    def register(self, task: Task) -> Task:
+        self.tasks[task.name] = task
+        return task
+
+    def resume_all(self) -> None:
+        for t in self.tasks.values():
+            t.resume()
+
+    def run_available_all(self) -> None:
+        for t in self.tasks.values():
+            t.run_available()
+
+    def suspend_all(self) -> None:
+        for t in self.tasks.values():
+            t.suspend()
+
+    def show(self) -> list[dict]:
+        return [
+            {
+                "name": t.name,
+                "schedule": t.schedule,
+                "state": "started" if t.query and t.query.isActive else "suspended",
+            }
+            for t in self.tasks.values()
+        ]

@@ -1,0 +1,56 @@
+"""Continuous-mode streaming parity (T1/T4/T6): pipe + tasks running on
+real processing-time triggers; files arriving while queries are live;
+suspend/resume lifecycle."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_data_pipeline_demo_spark.plans.citibike import trip_docs
+from snowflake_data_pipeline_demo_spark.streaming.pipeline import CitibikePipeline
+from snowflake_data_pipeline_demo_spark.streaming.stream_data import stream_data
+
+
+def _wait_until(fn, timeout_s: float = 90.0, poll_s: float = 2.0) -> bool:
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if fn():
+            return True
+        time.sleep(poll_s)
+    return False
+
+
+@pytest.mark.slow
+def test_live_pipe_and_tasks(spark, tables, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("live"))
+    p = CitibikePipeline(spark, root)
+    docs = trip_docs(tables["lineitem"], tables["supplier"], tables["nation"])
+    days = [r["day"] for r in docs.select("day").distinct().orderBy("day").limit(3).collect()]
+    docs_w = docs.filter(F.col("day").isin(days)).cache()
+    expected = docs_w.count()
+
+    # resume everything on fast triggers (the 1-minute schedule scaled
+    # down; semantics identical)
+    p.pipe.resume(processing_time="1 seconds")
+    for t in p.runner.tasks.values():
+        t.schedule = "1 seconds"
+    p.runner.resume_all()
+    try:
+        # trickle-unload while queries are live (T11 cadence)
+        stream_data(docs_w, p.stage, days[0], days[-1], sleep_s=0.5)
+        assert _wait_until(lambda: p.trips.count() == expected), (
+            f"trips={p.trips.count()} expected={expected}"
+        )
+        assert _wait_until(lambda: p.pipe.status()["pendingFileCount"] == 0)
+    finally:
+        p.runner.suspend_all()
+        p.pipe.suspend()
+
+    # suspended queries are inactive (SHOW TASKS state, T6)
+    assert all(s["state"] == "suspended" for s in p.runner.show())
+    # ledger consistency after the run
+    assert p.copy_history.read().filter("error_count != 0").count() == 0
+    assert p.trips_raw.count() == expected
