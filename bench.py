@@ -28,6 +28,12 @@ HEADLINE = [
     "a6_dashboard_subqueries",
     "o5_top16",
     "p2_date_range_filter",
+    "x_dedup_minhash_lsh",
+    "x_dedup_exact",
+    "x_text_stats",
+    "x_sim_cosine_topk",
+    "x_sim_lsh_ann",
+    "x_multimodal_byte_histogram",
 ]
 
 

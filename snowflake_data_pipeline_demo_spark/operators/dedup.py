@@ -1,0 +1,265 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Design for 100 TB:
+- exact dedup is a hash-groupBy on a 32-char key — one shuffle on a
+  uniformly distributed key, partial-aggregated map-side.
+- MinHash+LSH is the scale path for near-dup: signatures are a narrow
+  per-row projection; candidate generation shuffles only (band_key ->
+  doc_id) pairs, never text; verification touches candidate pairs only.
+- the all-pairs n-gram Jaccard join exists as the small-scale oracle /
+  verifier of the LSH path, not the production path.
+
+Engine portability: hash = md5 hex strings compared lexicographically
+(a uniform total order — all MinHash needs), so the DuckDB oracle can
+reproduce signatures bit-for-bit. No JVM-only hash functions in any
+oracle-checked path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import content_fingerprint, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_clusters(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Group documents by normalized-content fingerprint: one row per
+    distinct content with the representative (min id) and cluster size."""
+    return (
+        df.select(F.col(id_col), content_fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def drop_exact_dups(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each content cluster."""
+    keep = exact_dedup_clusters(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles(c: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as space-joined strings, distinct."""
+    toks = tokens(c)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    # short docs (< k tokens): fall back to the whole token string
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def minhash_signature(c: Column | str, num_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature as array<string>: element i is
+    ``min over shingles of md5(i || ':' || shingle)``. Lexicographic min
+    over fixed-length hex is a uniform total order, so the standard
+    MinHash/Jaccard estimate holds — and both engines compute it
+    identically."""
+    sh = shingles(c, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 16,
+                       k: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        minhash_signature(text_col, num_hashes, k).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (rows = len(sig)/bands); docs sharing any
+    band bucket become a candidate pair (a < b).
+
+    Scale: the exploded frame is (doc, band, 32-char key) — the
+    band-key shuffle joins ids only; text never moves. Skewed buckets
+    (a viral duplicate) are handled by AQE skew-join splitting.
+    """
+    rows_per_band = F.size(F.col("sig")) / bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.slice(
+                                F.col("sig"),
+                                (b * rows_per_band.cast("int")) + 1,
+                                rows_per_band.cast("int"),
+                            ),
+                        )
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Estimated Jaccard = fraction of equal signature positions."""
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(eq / F.size(F.col("sig_a")), 4).alias("jaccard_est"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (the LSH verifier; all-pairs-with-overlap)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.1) -> DataFrame:
+    """Exact Jaccard over distinct word k-shingles for every pair
+    sharing >=1 shingle. The shingle self-join IS the candidate
+    generator here — production uses LSH to prune first (see module
+    docstring).
+
+    The shingle array is materialized (cache) before exploding: shingle
+    construction is a chain of CodegenFallback higher-order functions,
+    so without the boundary both join sides re-derive the arrays per
+    exploded row (measured 30x slowdown). At warehouse scale this
+    boundary is a staged shingle table.
+    """
+    base = df.select(
+        F.col(id_col), shingles(text_col, k).alias("s")
+    ).cache()
+    ex = base.select(
+        F.col(id_col), F.size("s").alias("n_sh"), F.explode("s").alias("sh")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, hex-digit top-bit construction — oracle-portable)
+# ---------------------------------------------------------------------------
+
+def simhash16(c: Column | str) -> Column:
+    """16-bit SimHash over tokens: bit j is the sign of
+    ``sum over tokens of (top-bit of md5(token) hex digit j ? +1 : -1)``
+    weighted by token multiplicity. Emitted as a 16-char '0'/'1' string.
+    Hamming-near signatures => near-duplicate shingle distributions."""
+    toks = tokens(c)
+    bits = []
+    hexdigits = "0123456789abcdef"
+
+    def folder(j: int):
+        # closure factory: a default-arg lambda would change the lambda
+        # arity PySpark passes to ArrayAggregate
+        def f(acc, t):
+            return acc + F.when(
+                F.instr(F.lit(hexdigits), F.substring(F.md5(t), j + 1, 1)) - 1 >= 8,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long"))
+        return f
+
+    for j in range(16):
+        contrib = F.aggregate(toks, F.lit(0).cast("long"), folder(j))
+        bits.append(F.when(contrib >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two bitstring signatures."""
+    pairs = F.zip_with(F.split(a, ""), F.split(b, ""), lambda x, y: (x != y).cast("int"))
+    return F.aggregate(pairs, F.lit(0), lambda acc, v: acc + v)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """All pairs with cosine similarity >= threshold (brute force —
+    the verifier; the ANN path in similarity.py scales it)."""
+    from .similarity import cosine
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same contract:
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small)
+  query set against the corpus, dot products via zip_with/aggregate
+  (JVM-side, no UDF), TakeOrdered per query. The verifier and the
+  right plan when the query set is small.
+- :func:`lsh_ann_topk` — random-hyperplane LSH: corpus and queries get
+  a P-bit signature; candidates share a bucket; exact re-rank within
+  candidates. At 100 TB the bucket join replaces the full cross
+  product — the cross-product side never materializes.
+
+Hyperplanes are pseudo-random +/-1 vectors derived from md5(plane:dim),
+so signatures are deterministic and reproducible in the DuckDB oracle
+(no RNG state, no JVM-only hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (excluding self-matches
+    on equal ids). Output: (query_id, rank, neighbor_id, cos)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cos")
+    )
+
+
+def hyperplane_signature(vec: Column, planes: int = 8, offset: int = 0) -> Column:
+    """P-bit signature: bit p = sign of <v, h_p> where h_p[d] = +1 if the
+    top bit of the first hex digit of md5(p||':'||d) is set else -1.
+    ``offset`` shifts the plane indices so independent tables (see
+    :func:`lsh_ann_topk` ``tables``) draw disjoint hyperplanes."""
+    hexdigits = "0123456789abcdef"
+    bits = []
+
+    def signer(p: int):
+        # closure factory (default-arg lambdas change PySpark lambda arity)
+        def f(v, d):
+            return v.cast("double") * F.when(
+                F.instr(
+                    F.lit(hexdigits),
+                    F.substring(
+                        F.md5(F.concat(F.lit(str(p)), F.lit(":"), d.cast("string"))),
+                        1, 1,
+                    ),
+                ) - 1 >= 8,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+        return f
+
+    for p in range(offset, offset + planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), signer(p)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_signatures(vec: Column, planes: int = 8, tables: int = 1) -> Column:
+    """Array of ``tables`` independent P-bit signatures (disjoint
+    hyperplane sets)."""
+    return F.array(
+        *[hyperplane_signature(vec, planes, offset=t * planes) for t in range(tables)]
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: exact re-rank restricted to candidates sharing
+    a bucket in at least one of ``tables`` hash tables (OR
+    amplification). Recall tunes with both knobs: fewer ``planes`` ->
+    bigger buckets; more ``tables`` -> more chances to collide. At scale
+    the (table, bucket) equi-join is a shuffle on a key that fans each
+    vector out ``tables`` times — still linear, never the cross product."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.posexplode(lsh_signatures(F.col(vec_col), planes, tables)).alias(
+            "t", "bucket"
+        ),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("qv"),
+        F.posexplode(lsh_signatures(F.col(vec_col), planes, tables)).alias(
+            "t", "bucket"
+        ),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["t", "bucket"])
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .dropDuplicates([query_id_col, "neighbor_id"])
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cos")
+    )

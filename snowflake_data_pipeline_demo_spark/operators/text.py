@@ -1,0 +1,140 @@
+"""Text analysis for large-scale training-data pipelines: tokenization,
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+These go beyond the reference's surface (BASELINE.json north star). All
+hot-path computation is built-in ``pyspark.sql.functions`` expressions —
+JVM-side, codegen'd, no Python in the data path — and every construct is
+chosen to be bit-reproducible in ANSI SQL so the DuckDB oracle can
+verify it (md5-based hashing, integer polynomial arithmetic, fixed
+stopword tables).
+
+Scale notes: everything here is a narrow per-row projection — no
+shuffle, no UDF serialization; at 100 TB it runs at parquet-scan speed
+and pairs with dedup.py's LSH for the shuffle-bearing stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword tables for the n-gram/stopword heuristic
+#: language-ID (deterministic, oracle-expressible)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+    "es": ["el", "la", "de", "y", "es", "un", "una", "que", "en", "los"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "que", "les", "des"],
+}
+
+#: modulus/base for the rolling (polynomial) hash — small enough that
+#: b*131+255 never overflows int64, so Spark ANSI mode and DuckDB agree
+ROLLING_MOD = 1_000_000_007
+ROLLING_BASE = 131
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize(c: Column | str) -> Column:
+    """Canonical text form: lowercase, whitespace collapsed, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " "))
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace/punct tokenization -> array<string> (empty tokens
+    dropped)."""
+    arr = F.split(F.lower(_col(c)), r"[^a-z0-9]+")
+    return F.filter(arr, lambda x: x != "")
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c)).cast("long")
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """A BPE-flavored proxy count: word-piece chunks of <=4 chars —
+    ceil(len(word)/4) summed over words. Deterministic and cheap; a real
+    tokenizer slots in behind the same column contract."""
+    return F.aggregate(
+        tokens(c),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+
+
+def stopword_ratio(c: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokens(c)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def stopword_hits(c: Column | str, code: str) -> Column:
+    """Number of tokens that are stopwords of language ``code``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[code]])
+    return F.size(F.filter(tokens(c), lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(c: Column | str) -> Column:
+    """Stopword-count language ID: argmax over the stopword tables with
+    an explicit alphabetical-first tiebreak (portable to ANSI SQL:
+    greatest + CASE, no struct-comparison semantics involved); 'und'
+    when no stopword matches at all."""
+    counts = {code: stopword_hits(c, code) for code in sorted(STOPWORDS)}
+    m = F.greatest(*counts.values())
+    out = F.lit("und")
+    for code in reversed(sorted(STOPWORDS)):
+        out = F.when(counts[code] == m, F.lit(code)).otherwise(out)
+    return F.when(m > 0, out).otherwise(F.lit("und"))
+
+
+def punct_ratio(c: Column | str) -> Column:
+    s = _col(c)
+    n_punct = F.length(F.regexp_replace(s, r"[^.,;:!?]", ""))
+    return F.when(F.length(s) > 0, n_punct / F.length(s)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(c: Column | str) -> Column:
+    toks = tokens(c)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence
+    + word-shape sanity + punctuation sanity. Weights are fixed so the
+    score is reproducible; rounded to 4dp for stable comparison."""
+    n_tok = F.size(tokens(c))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 5000), F.lit(1.0)).otherwise(
+        F.when(n_tok > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    sw = stopword_ratio(c, "en")
+    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.3))
+    mwl = mean_word_len(c)
+    shape_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.2))
+    pr = punct_ratio(c)
+    punct_ok = F.when(pr <= 0.1, F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        0.35 * len_ok + 0.25 * sw_ok + 0.25 * shape_ok + 0.15 * punct_ok, 4
+    )
+
+
+def content_fingerprint(c: Column | str) -> Column:
+    """md5 of the normalized text — the exact-dedup key."""
+    return F.md5(normalize(c))
+
+
+def rolling_hash(c: Column | str) -> Column:
+    """Polynomial rolling hash over the normalized character stream:
+    ``h = (h*131 + ascii(ch)) mod 1e9+7``. Identical arithmetic is
+    expressible in DuckDB's list_reduce, making the fingerprint
+    engine-portable (unlike xxhash64/crc32)."""
+    chars = F.split(normalize(c), "")
+    return F.aggregate(
+        F.filter(chars, lambda x: x != ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % ROLLING_MOD,
+    )

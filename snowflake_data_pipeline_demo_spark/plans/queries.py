@@ -673,3 +673,8 @@ def f5_object_construct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 def f13_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = testdata.load(spark, sf_dir, "customer")
     return c.select("c_custkey", F.md5("c_name").alias("name_md5"))
+
+
+# extension queries (dedup / similarity / text / multimodal) register
+# themselves into QUERIES on import — keep this at the bottom.
+from . import queries_ext  # noqa: E402,F401

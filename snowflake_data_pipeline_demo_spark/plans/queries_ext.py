@@ -1,0 +1,389 @@
+"""Training-data-pipeline extension queries (BASELINE.json north star):
+dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding
+near-dup), similarity search (brute-force + LSH ANN), text analysis,
+multimodal plumbing — each oracle-checked against DuckDB where the
+semantics are SQL-expressible.
+
+Registered into the same QUERIES dict as the reference-parity set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from ..sources import testdata
+from .queries import query
+
+#: DuckDB token expression shared by the text oracles (mirrors
+#: operators.text.tokens exactly)
+_DTOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+#: DuckDB word-3-shingle expression (mirrors operators.dedup.shingles)
+_DSHING = (
+    "CASE WHEN len(t) >= 3 THEN list_distinct([concat_ws(' ', t[CAST(i AS INT)], "
+    "t[CAST(i AS INT)+1], t[CAST(i AS INT)+2]) for i in range(1, len(t)-1)]) "
+    "ELSE [array_to_string(t, ' ')] END"
+)
+#: DuckDB left-fold dot product (mirrors operators.similarity.dot)
+def _ddot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"[CAST({a}[CAST(i AS INT)] AS DOUBLE)*CAST({b}[CAST(i AS INT)] AS DOUBLE) "
+        f"for i in range(1, len({a})+1)]), (x,y) -> x+y)"
+    )
+
+
+def _dnorm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"[CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in {a}]), (x,y) -> x+y))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_text_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+             {_DTOKS} AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(t, w -> CAST(ceil(length(w)/4.0) AS BIGINT))),
+                (a,b) -> a+b) AS BIGINT) AS bpe_tokens,
+           md5(norm) AS fingerprint,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(norm)+1),
+                              i -> CAST(ascii(substr(norm, CAST(i AS INT), 1)) AS BIGINT))),
+               (a,b) -> (a*131+b) % 1000000007) AS rhash
+    FROM base
+    """,
+    survey_ref="north-star:text-analysis",
+)
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish), content fingerprint, and
+    the portable rolling hash, per document."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_ish_token_count("text").alias("bpe_tokens"),
+        text.content_fingerprint("text").alias("fingerprint"),
+        text.rolling_hash("text").alias("rhash"),
+    )
+
+
+@query(
+    "x_text_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {_DTOKS} AS t FROM documents
+    ), m AS (
+      SELECT doc_id, text, len(t) AS n_tok,
+             CASE WHEN len(t) > 0 THEN
+               len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) / len(t)
+             ELSE 0.0 END AS sw,
+             CASE WHEN len(t) > 0 THEN
+               list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(t, w -> CAST(length(w) AS BIGINT))), (a,b) -> a+b) / len(t)
+             ELSE 0.0 END AS mwl,
+             CASE WHEN length(text) > 0 THEN
+               length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)
+             ELSE 0.0 END AS pr
+      FROM base
+    )
+    SELECT doc_id,
+           round(0.35 * (CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 1.0 WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END)
+               + 0.25 * (CASE WHEN sw >= 0.01 AND sw <= 0.6 THEN 1.0 ELSE 0.3 END)
+               + 0.25 * (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.2 END)
+               + 0.15 * (CASE WHEN pr <= 0.1 THEN 1.0 ELSE 0.5 END), 4) AS quality
+    FROM m
+    """,
+    survey_ref="north-star:text-quality",
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length/stopword/word-shape/punctuation)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return d.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+@query(
+    "x_lang_id",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_DTOKS} AS t FROM documents),
+    hits AS (
+      SELECT doc_id,
+        len(list_filter(t, x -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], x))) AS n_de,
+        len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS n_en,
+        len(list_filter(t, x -> list_contains(['el','la','de','y','es','un','una','que','en','los'], x))) AS n_es,
+        len(list_filter(t, x -> list_contains(['le','la','de','et','est','un','une','que','les','des'], x))) AS n_fr
+      FROM base
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+           WHEN n_de = greatest(n_de, n_en, n_es, n_fr) THEN 'de'
+           WHEN n_en = greatest(n_de, n_en, n_es, n_fr) THEN 'en'
+           WHEN n_es = greatest(n_de, n_en, n_es, n_fr) THEN 'es'
+           ELSE 'fr' END AS lang_pred
+    FROM hits
+    """,
+    survey_ref="north-star:lang-id",
+)
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-table language-ID heuristic."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return d.select("doc_id", text.lang_id("text").alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+    survey_ref="north-star:dedup-exact",
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = testdata.load(spark, sf_dir, "documents")
+    return dedup.exact_dedup_clusters(d)
+
+
+_MINHASH_SIG_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_DTOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_DSHING} AS s FROM toks),
+    sig AS (
+      SELECT doc_id,
+             [list_min([md5(CAST(h AS VARCHAR) || ':' || x) for x in s])
+              for h in range(0, 16)] AS sig
+      FROM sh
+    )
+"""
+
+
+@query(
+    "x_dedup_minhash_lsh",
+    oracle=_MINHASH_SIG_SQL + """
+    , banded AS (
+      SELECT doc_id, bnd,
+             md5(array_to_string(sig[CAST(bnd*4+1 AS INT):CAST(bnd*4+4 AS INT)], ',')) AS key
+      FROM sig, range(0, 4) r(bnd)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM banded a JOIN banded b2
+        ON a.bnd = b2.bnd AND a.key = b2.key AND a.doc_id < b2.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           round(len([i for i in range(1, 17)
+                      if sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]]) / 16.0, 4) AS jaccard_est
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    """,
+    survey_ref="north-star:dedup-minhash-lsh",
+)
+def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands x 4 rows) candidate pairs with the
+    signature-estimated Jaccard."""
+    d = testdata.load(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, num_hashes=16)
+    from .queries import _materialize
+
+    sigs = _materialize(sigs)
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=4)
+    return dedup.minhash_jaccard_estimate(sigs, pairs)
+
+
+@query(
+    "x_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DTOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_DSHING} AS s FROM toks),
+    ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS sh FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)), 4) AS jaccard
+    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, a.n_sh, b.n_sh
+    HAVING round(COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)), 4) >= 0.1
+    """,
+    survey_ref="north-star:dedup-ngram-jaccard",
+)
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard for pairs sharing a shingle (>= 0.1)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.1)
+
+
+@query(
+    "x_dedup_simhash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DTOKS} AS t FROM documents)
+    SELECT doc_id,
+           array_to_string([CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+             [CASE WHEN strpos('0123456789abcdef', substr(md5(tok), CAST(j AS INT)+1, 1)) - 1 >= 8
+                   THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END for tok in t]),
+             (a,b) -> a+b) >= 0 THEN '1' ELSE '0' END for j in range(0, 16)], '') AS simhash
+    FROM toks
+    """,
+    survey_ref="north-star:dedup-simhash",
+)
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = testdata.load(spark, sf_dir, "documents")
+    return d.select("doc_id", dedup.simhash16("text").alias("simhash"))
+
+
+@query(
+    "x_dedup_embedding_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_ddot('a.embedding', 'b.embedding')}
+                 / ({_dnorm('a.embedding')} * {_dnorm('b.embedding')}), 4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round({_ddot('a.embedding', 'b.embedding')}
+                / ({_dnorm('a.embedding')} * {_dnorm('b.embedding')}), 4) >= 0.5
+    """,
+    survey_ref="north-star:dedup-embedding",
+)
+def x_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force verifier)."""
+    e = testdata.load(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(e, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_ddot('cv', 'qv')} / ({_dnorm('cv')} * {_dnorm('qv')}), 4) AS cos
+      FROM c, q WHERE neighbor_id != query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+    """,
+    survey_ref="north-star:similarity-bruteforce",
+)
+def x_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the first 10 vectors as queries."""
+    e = testdata.load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(e, q, k=5)
+
+
+@query(
+    "x_sim_lsh_ann",
+    oracle=f"""
+    WITH sigd AS (
+      SELECT vec_id, embedding, t,
+        array_to_string([CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          [CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+             * (CASE WHEN strpos('0123456789abcdef',
+                 substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i-1 AS VARCHAR)), 1, 1)) - 1 >= 8
+                THEN 1.0 ELSE -1.0 END)
+           for i in range(1, len(embedding)+1)]),
+          (a,b) -> a+b) >= 0 THEN '1' ELSE '0' END
+           for p in range(CAST(t*8 AS INT), CAST(t*8+8 AS INT))], '') AS bucket
+      FROM embeddings, range(0, 2) r(t)
+    ),
+    q AS (SELECT vec_id AS query_id, t, bucket FROM sigd WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, t, bucket FROM sigd),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id
+      FROM c JOIN q USING (t, bucket) WHERE neighbor_id != query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round({_ddot('ce.embedding', 'qe.embedding')}
+                   / ({_dnorm('ce.embedding')} * {_dnorm('qe.embedding')}), 4) AS cos
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+    """,
+    survey_ref="north-star:similarity-lsh-ann",
+)
+def x_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (2 tables x 8 hyperplanes,
+    OR-amplified)."""
+    e = testdata.load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_ann_topk(e, q, k=5, planes=8, tables=2)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS byte_length,
+           md5(text) AS checksum,
+           ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime
+    FROM documents
+    """,
+    survey_ref="north-star:multimodal-metadata",
+)
+def x_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column + typed metadata struct extraction."""
+    d = testdata.load(spark, sf_dir, "documents")
+    blobs = multimodal.to_blob_table(d)
+    return blobs.select(
+        "doc_id",
+        F.col("meta.byte_length").alias("byte_length"),
+        F.col("meta.checksum").alias("checksum"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+@query(
+    "x_multimodal_byte_histogram",
+    oracle=None,  # mapInPandas path: driver records rows-only
+    survey_ref="north-star:multimodal-features",
+)
+def x_multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return multimodal.byte_histogram_features(multimodal.to_blob_table(d))
+
+
+@query(
+    "x_multimodal_frame_sample",
+    oracle=None,  # mapInPandas path: driver records rows-only
+    survey_ref="north-star:multimodal-frames",
+)
+def x_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape: blob -> (doc_id, frame_idx, frame binary)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return multimodal.frame_sample(multimodal.to_blob_table(d))
