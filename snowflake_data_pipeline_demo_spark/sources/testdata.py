@@ -22,6 +22,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries parquet TIMESTAMP(NANOS), which Spark rejects
+    # unless this legacy conf is on. It is runtime-settable, and the driver
+    # hands us an externally built session that lacks it — set it here so
+    # loads work regardless of how the session was constructed.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long (ns
     # since epoch) under spark.sql.legacy.parquet.nanosAsLong; convert to
