@@ -67,27 +67,99 @@ def shingles(c: Column | str, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(c: Column | str, num_hashes: int = 16, k: int = 3) -> Column:
-    """MinHash signature as array<string>: element i is
-    ``min over shingles of md5(i || ':' || shingle)``. Lexicographic min
-    over fixed-length hex is a uniform total order, so the standard
-    MinHash/Jaccard estimate holds — and both engines compute it
-    identically."""
-    sh = shingles(c, k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
-        ),
+def exploded_shingles(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """One row per (doc, word-k-shingle) — the scale-path shingle
+    builder, whole-stage-codegen end to end: posexplode the raw regex
+    split (no array lambdas), row-filter empties, window-lead to stitch
+    k consecutive tokens. NON-distinct — MinHash is invariant under
+    duplicate shingles, so the dedup shuffle is skipped on purpose; use
+    :func:`shingles` (array form) where set semantics matter.
+
+    The window partitions by ``id_col``, the same key the downstream
+    signature ``groupBy`` uses, so Spark reuses one shuffle for both.
+
+    Short docs (< k tokens) contribute their whole token string, like
+    :func:`shingles`; null text yields a null shingle (null sig
+    downstream).
+    """
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("_pos", "_tok"),
+    ).filter(F.col("_tok") != "")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    lead_names = [f"_l{j}" for j in range(1, k)]
+    full = (
+        t.select(
+            F.col(id_col), F.col("_tok"),
+            *[F.lead("_tok", j).over(w).alias(nm)
+              for j, nm in enumerate(lead_names, start=1)],
+        )
+        .filter(F.col(lead_names[-1]).isNotNull())
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", "_tok", *lead_names).alias("_sh"),
+        )
     )
+    short = (
+        df.filter(F.coalesce(F.size(tokens(text_col)), F.lit(0)) < k)
+        .select(
+            F.col(id_col),
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.concat_ws(" ", tokens(text_col))).alias("_sh"),
+        )
+    )
+    return full.unionByName(short)
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 16,
-                       k: int = 3) -> DataFrame:
-    return df.select(
-        F.col(id_col),
-        minhash_signature(text_col, num_hashes, k).alias("sig"),
+                       k: int = 3, hash_family: str = "md5") -> DataFrame:
+    """MinHash signatures, one row per doc: ``sig`` is an array whose
+    element i is ``min over shingles of hash(i, shingle)``.
+
+    Execution shape (the scale path): explode shingles once, hash at the
+    top level of the projection (whole-stage codegen — NOT inside an
+    array lambda, which drops the whole expression tree into the
+    interpreted CodegenFallback path; measured 90x slower), then one
+    ``groupBy(doc_id)`` whose ``min`` aggregates combine map-side. The
+    shuffle carries only (id, num_hashes mins) — text never moves.
+
+    hash_family:
+    - ``md5``: the first 60 bits of md5(i||':'||shingle) as a long — a
+      uniform total order, so the MinHash/Jaccard estimate holds, and
+      the DuckDB oracle reproduces signatures bit-for-bit (engine
+      portability). Long-typed on purpose: ``min(string)`` has an
+      immutable agg buffer so Spark falls back to SortAggregate (sorts
+      every shingle row, interpreted agg exprs); ``min(long)`` stays in
+      codegen'd HashAggregate with map-side partial combine.
+    - ``xxhash64``: seeded 64-bit longs — the production family: one
+      seeded hash, no hex round-trip. Same estimator, not
+      oracle-portable.
+    """
+    sh = exploded_shingles(df, text_col, id_col, k)
+    if hash_family == "md5":
+        def h(i: int) -> Column:
+            return F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh"))), 1, 15),
+                16, 10,
+            ).cast("long")
+    elif hash_family == "xxhash64":
+        def h(i: int) -> Column:
+            return F.xxhash64(F.lit(i), F.col("_sh"))
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family}")
+    aggs = [F.min(h(i)).alias(f"_h{i}") for i in range(num_hashes)]
+    return (
+        sh.groupBy(id_col).agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
+        )
     )
 
 
@@ -101,6 +173,8 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
     (a viral duplicate) are handled by AQE skew-join splitting.
     """
     rows_per_band = F.size(F.col("sig")) / bands
+    # sig elements are longs; band key = md5 over the comma-joined slice
+    # (decimal rendering matches DuckDB's array_to_string bit-for-bit)
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -109,13 +183,16 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
                 lambda b: F.struct(
                     b.alias("band"),
                     F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.slice(
-                                F.col("sig"),
-                                (b * rows_per_band.cast("int")) + 1,
-                                rows_per_band.cast("int"),
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"),
+                                    (b * rows_per_band.cast("int")) + 1,
+                                    rows_per_band.cast("int"),
+                                ),
+                                lambda x: x.cast("string"),
                             ),
+                            ",",
                         )
                     ).alias("key"),
                 ),
@@ -233,6 +310,37 @@ def simhash16(c: Column | str) -> Column:
         contrib = F.aggregate(toks, F.lit(0).cast("long"), folder(j))
         bits.append(F.when(contrib >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-doc 16-bit SimHash, same construction as :func:`simhash16`
+    but in the scale execution shape: explode tokens once, md5 each
+    token ONCE at the top level (codegen'd — :func:`simhash16` pays 16
+    interpreted ``aggregate`` folds that each re-hash every token), emit
+    16 +/-1 contribution columns, reduce with one ``groupBy(doc_id)``
+    whose sums combine map-side. Output: (id, ``simhash`` bitstring)."""
+    hexdigits = "0123456789abcdef"
+    ex = df.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("_tok")
+    ).withColumn("_h", F.md5(F.col("_tok")))
+    contribs = [
+        F.when(F.col("_tok").isNull(), F.lit(0).cast("long")).otherwise(
+            F.when(
+                F.instr(F.lit(hexdigits), F.substring(F.col("_h"), j + 1, 1)) - 1 >= 8,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long"))
+        ).alias(f"_c{j}")
+        for j in range(16)
+    ]
+    agg = ex.select(id_col, *contribs).groupBy(id_col).agg(
+        *[F.sum(f"_c{j}").alias(f"_s{j}") for j in range(16)]
+    )
+    bits = [
+        F.when(F.col(f"_s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(16)
+    ]
+    return agg.select(F.col(id_col), F.concat(*bits).alias("simhash"))
 
 
 def simhash_hamming(a: Column, b: Column) -> Column:

@@ -74,32 +74,35 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(vec: Column, planes: int = 8, offset: int = 0) -> Column:
-    """P-bit signature: bit p = sign of <v, h_p> where h_p[d] = +1 if the
-    top bit of the first hex digit of md5(p||':'||d) is set else -1.
-    ``offset`` shifts the plane indices so independent tables (see
-    :func:`lsh_ann_topk` ``tables``) draw disjoint hyperplanes."""
-    hexdigits = "0123456789abcdef"
+def _plane_signs(p: int, dim: int) -> list[float]:
+    """The +/-1 hyperplane h_p: element d = +1 if the top bit of the
+    first hex digit of md5(p||':'||d) is set else -1. Computed
+    driver-side with hashlib — md5 over the same ASCII bytes is
+    bit-identical to both Spark's and DuckDB's md5, so the signatures
+    stay deterministic and oracle-reproducible while the per-row plan
+    never hashes anything (the hyperplanes are planes x dims literals,
+    broadcast with the plan)."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) >= 8
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def hyperplane_signature(vec: Column, dim: int, planes: int = 8,
+                         offset: int = 0) -> Column:
+    """P-bit signature: bit p = sign of <v, h_p> (hyperplanes from
+    :func:`_plane_signs`). ``offset`` shifts the plane indices so
+    independent tables (see :func:`lsh_ann_topk` ``tables``) draw
+    disjoint hyperplanes. The dot product folds left-to-right exactly
+    like the oracle's list_reduce, so float sums agree bitwise."""
     bits = []
-
-    def signer(p: int):
-        # closure factory (default-arg lambdas change PySpark lambda arity)
-        def f(v, d):
-            return v.cast("double") * F.when(
-                F.instr(
-                    F.lit(hexdigits),
-                    F.substring(
-                        F.md5(F.concat(F.lit(str(p)), F.lit(":"), d.cast("string"))),
-                        1, 1,
-                    ),
-                ) - 1 >= 8,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-        return f
-
     for p in range(offset, offset + planes):
+        h = F.array(*[F.lit(s) for s in _plane_signs(p, dim)])
         proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), signer(p)),
+            F.zip_with(vec, h, lambda v, s: v.cast("double") * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -107,11 +110,13 @@ def hyperplane_signature(vec: Column, planes: int = 8, offset: int = 0) -> Colum
     return F.concat(*bits)
 
 
-def lsh_signatures(vec: Column, planes: int = 8, tables: int = 1) -> Column:
+def lsh_signatures(vec: Column, dim: int, planes: int = 8,
+                   tables: int = 1) -> Column:
     """Array of ``tables`` independent P-bit signatures (disjoint
     hyperplane sets)."""
     return F.array(
-        *[hyperplane_signature(vec, planes, offset=t * planes) for t in range(tables)]
+        *[hyperplane_signature(vec, dim, planes, offset=t * planes)
+          for t in range(tables)]
     )
 
 
@@ -131,17 +136,20 @@ def lsh_ann_topk(
     bigger buckets; more ``tables`` -> more chances to collide. At scale
     the (table, bucket) equi-join is a shuffle on a key that fans each
     vector out ``tables`` times — still linear, never the cross product."""
+    # one tiny driver action to learn the embedding dim (dims are fixed
+    # per table; the hyperplane literals need it at plan build)
+    dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        F.posexplode(lsh_signatures(F.col(vec_col), planes, tables)).alias(
+        F.posexplode(lsh_signatures(F.col(vec_col), dim, planes, tables)).alias(
             "t", "bucket"
         ),
     )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("qv"),
-        F.posexplode(lsh_signatures(F.col(vec_col), planes, tables)).alias(
+        F.posexplode(lsh_signatures(F.col(vec_col), dim, planes, tables)).alias(
             "t", "bucket"
         ),
     )

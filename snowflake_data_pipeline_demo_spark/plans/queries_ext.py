@@ -165,7 +165,8 @@ _MINHASH_SIG_SQL = f"""
     sh AS (SELECT doc_id, {_DSHING} AS s FROM toks),
     sig AS (
       SELECT doc_id,
-             [list_min([md5(CAST(h AS VARCHAR) || ':' || x) for x in s])
+             [list_min([CAST(concat('0x', substr(md5(CAST(h AS VARCHAR) || ':' || x), 1, 15)) AS BIGINT)
+               for x in s])
               for h in range(0, 16)] AS sig
       FROM sh
     )
@@ -200,8 +201,12 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(d, num_hashes=16)
     from .queries import _materialize
 
+    # two boundaries: sigs feed both candidate generation and the
+    # estimate joins; pairs feed the estimate twice (once per side) —
+    # without the second boundary the banded self-join re-runs inside
+    # each estimate join branch.
     sigs = _materialize(sigs)
-    pairs = dedup.lsh_candidate_pairs(sigs, bands=4)
+    pairs = _materialize(dedup.lsh_candidate_pairs(sigs, bands=4))
     return dedup.minhash_jaccard_estimate(sigs, pairs)
 
 
@@ -240,7 +245,7 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = testdata.load(spark, sf_dir, "documents")
-    return d.select("doc_id", dedup.simhash16("text").alias("simhash"))
+    return dedup.simhash_signatures(d)
 
 
 @query(
