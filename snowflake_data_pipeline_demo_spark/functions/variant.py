@@ -32,6 +32,40 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def ntz_to_epoch_micros(c: Column | str) -> Column:
+    """timestamp_ntz -> epoch-micros long, via pure calendar arithmetic
+    (datediff + field extraction): no DateTimeFormatter, no session
+    timezone — an NTZ value has no zone, so the number is the same on
+    any cluster. The scale-path wire encoding for timestamps inside
+    JSON docs: formatting/parsing 'yyyy-MM-dd HH:mm:ss.SSS' through the
+    formatter was the dominant cost of the doc round-trip.
+
+    Second precision (the pipeline's sources carry none finer); use the
+    JSON_TS_FORMAT string encoding where sub-second fidelity matters.
+    """
+    c = _col(c)
+    days = F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+    sod = (F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c)).cast("long")
+    return (days * 86400 + sod) * 1000000
+
+
+def epoch_micros_to_ntz(c: Column | str) -> Column:
+    """Inverse of :func:`ntz_to_epoch_micros` — rebuilds the
+    timestamp_ntz with make_timestamp_ntz (calendar arithmetic, no
+    formatter, no timezone)."""
+    c = _col(c).cast("long")
+    total_sec = F.floor(c / 1000000).cast("long")
+    days = F.floor(total_sec / 86400).cast("int")
+    sod = (total_sec - days.cast("long") * 86400).cast("int")
+    d = F.date_add(F.lit("1970-01-01").cast("date"), days)
+    return F.make_timestamp_ntz(
+        F.year(d), F.month(d), F.dayofmonth(d),
+        F.floor(sod / 3600).cast("int"),
+        F.floor((sod % 3600) / 60).cast("int"),
+        (sod % 60).cast("int"),
+    )
+
+
 def object_construct_json(pairs: dict[str, Column]) -> Column:
     """``object_construct(k1, v1, ...)`` serialized to a JSON text column
     (the 17-pair build at dp_setup.sql:58-75)."""

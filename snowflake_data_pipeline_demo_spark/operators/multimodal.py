@@ -64,9 +64,18 @@ def decode_image(payload_col: Column) -> Column:
 def byte_histogram_features(df: DataFrame, payload_col: str = "payload",
                             id_col: str = "doc_id",
                             bins: int = 16) -> DataFrame:
-    """Deterministic per-blob feature vector: normalized ``bins``-bucket
-    histogram over byte values — a real vectorized computation standing
-    in for embed/feature-extract, via Arrow-batched mapInPandas."""
+    """Deterministic per-blob feature extraction: normalized
+    ``bins``-bucket histogram over byte values — a real vectorized
+    computation standing in for embed/feature-extract, via
+    Arrow-batched mapInPandas.
+
+    Output is the exploded long format ``(id, bin, value)`` rather than
+    an array column: join-friendly, and array-typed outputs don't
+    survive engine-portable row comparison. The whole Arrow batch is
+    histogrammed with ONE bincount over a concatenated buffer (segment
+    ids spread each blob's bytes into its own bins x doc slot) — no
+    per-blob Python loop. ``value`` is an exact IEEE division of two
+    ints, so any engine recomputing it matches bit-for-bit."""
     import numpy as np
     import pandas as pd  # noqa: F811
 
@@ -74,18 +83,29 @@ def byte_histogram_features(df: DataFrame, payload_col: str = "payload",
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            feats = []
-            for blob in pdf[payload_col]:
-                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
-                if arr.size == 0:
-                    feats.append([0.0] * bins)
-                    continue
-                hist = np.bincount(arr // width, minlength=bins)[:bins]
-                feats.append((hist / arr.size).round(6).tolist())
-            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+            ids = pdf[id_col].to_numpy()
+            if ids.size == 0:
+                yield pd.DataFrame(
+                    {id_col: ids, "bin": ids.astype("int32"), "value": ids.astype("float64")}
+                )
+                continue
+            blobs = [bytes(b) for b in pdf[payload_col]]
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64,
+                               count=len(blobs))
+            buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            seg = np.repeat(np.arange(len(blobs)), lens)
+            flat = np.bincount(
+                seg * bins + (buf // width), minlength=len(blobs) * bins
+            ) if buf.size else np.zeros(len(blobs) * bins, dtype=np.int64)
+            vals = flat.reshape(len(blobs), bins) / np.maximum(lens, 1)[:, None]
+            yield pd.DataFrame({
+                id_col: np.repeat(ids, bins),
+                "bin": np.tile(np.arange(bins, dtype=np.int32), len(ids)),
+                "value": vals.ravel(),
+            })
 
     return df.select(id_col, payload_col).mapInPandas(
-        extract, schema=f"{id_col} long, features array<double>"
+        extract, schema=f"{id_col} long, bin int, value double"
     )
 
 

@@ -31,7 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.variant import object_construct_json, flatten_variant
+from ..functions.variant import (
+    epoch_micros_to_ntz, flatten_variant, ntz_to_epoch_micros,
+    object_construct_json,
+)
 from ..sources.catalog import TRIP_DOC_SCHEMA
 
 #: programs analog cardinality (nation table — always 25 rows, keys 0..24)
@@ -87,8 +90,9 @@ def trip_docs(lineitem: DataFrame, supplier: DataFrame,
     )
     doc = object_construct_json({
         "tripduration": F.col("t.tripduration"),
-        "starttime": F.col("t.starttime"),
-        "stoptime": F.col("t.stoptime"),
+        # timestamps travel as epoch-micros longs (catalog.TRIP_DOC_FIELDS)
+        "starttime": ntz_to_epoch_micros(F.col("t.starttime")),
+        "stoptime": ntz_to_epoch_micros(F.col("t.stoptime")),
         "start_station_id": F.col("t.start_station_id"),
         "start_station_name": F.col("ss.station_name"),
         "start_station_latitude": F.col("ss.station_latitude"),
@@ -141,8 +145,17 @@ def distinct_days(lineitem: DataFrame) -> list[str]:
 
 def extract_trips(raw: DataFrame, v_col: str = "v") -> DataFrame:
     """push_trips extraction (dp_setup.sql:192-203): parse the document
-    once, path-cast all 17 fields to typed columns."""
-    return flatten_variant(raw, v_col, TRIP_DOC_SCHEMA)
+    once, path-cast all 17 fields to typed columns. The epoch-micros
+    wire timestamps come back as timestamp_ntz here (the ::timestamp_ntz
+    cast edge of dp_setup.sql:194-195)."""
+    flat = flatten_variant(raw, v_col, TRIP_DOC_SCHEMA)
+    return flat.select(
+        *[
+            epoch_micros_to_ntz(f.name).alias(f.name)
+            if f.name in ("starttime", "stoptime") else F.col(f.name)
+            for f in TRIP_DOC_SCHEMA.fields
+        ]
+    )
 
 
 def trips_projection(extracted: DataFrame) -> DataFrame:

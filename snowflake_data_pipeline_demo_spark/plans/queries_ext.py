@@ -374,21 +374,60 @@ def x_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x_multimodal_byte_histogram",
-    oracle=None,  # mapInPandas path: driver records rows-only
+    # documents are pure ASCII (verified per SF), so byte ops on the
+    # utf-8 payload == char ops on the text: the oracle rebuilds the
+    # histogram with ascii(substr(...)). value = int/int division —
+    # IEEE-exact in both engines, no rounding needed.
+    oracle="""
+    WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+    pos AS (SELECT doc_id, text, unnest(range(1, n + 1)) AS i FROM b),
+    bytes AS (
+      SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) // 16 AS bin
+      FROM pos
+    ),
+    hist AS (SELECT doc_id, bin, COUNT(*) AS c FROM bytes GROUP BY 1, 2)
+    SELECT b.doc_id, CAST(r.bin AS INT) AS bin,
+           CASE WHEN b.n = 0 THEN 0.0
+                ELSE COALESCE(h.c, 0) / b.n END AS value
+    FROM b CROSS JOIN range(0, 16) r(bin)
+    LEFT JOIN hist h ON h.doc_id = b.doc_id AND h.bin = r.bin
+    """,
     survey_ref="north-star:multimodal-features",
 )
 def x_multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over the binary payload."""
+    """Arrow-batched feature extraction over the binary payload,
+    exploded to (doc_id, bin, value) rows."""
     d = testdata.load(spark, sf_dir, "documents")
     return multimodal.byte_histogram_features(multimodal.to_blob_table(d))
 
 
 @query(
     "x_multimodal_frame_sample",
-    oracle=None,  # mapInPandas path: driver records rows-only
+    # comparable scalar projection of the binary frames (md5 + length);
+    # frames in DuckDB are substr slices of the ASCII text = the same
+    # bytes the Spark side slices from the utf-8 payload.
+    oracle="""
+    WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+    p AS (SELECT doc_id, text, n, greatest(n // 4, 1) AS stride FROM b WHERE n > 0),
+    jx AS (SELECT doc_id, text, stride, unnest(range(0, least(4, n))) AS j FROM p),
+    f AS (
+      SELECT doc_id, CAST(j AS INT) AS frame_idx,
+             substr(text, CAST(j * stride + 1 AS INT), CAST(stride AS INT)) AS fs
+      FROM jx
+    )
+    SELECT doc_id, frame_idx, md5(fs) AS frame_md5,
+           CAST(length(fs) AS INT) AS frame_len
+    FROM f
+    """,
     survey_ref="north-star:multimodal-frames",
 )
 def x_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling shape: blob -> (doc_id, frame_idx, frame binary)."""
+    """Frame-sampling shape: blob -> (doc_id, frame_idx, frame binary),
+    projected to oracle-comparable scalars (md5, byte length)."""
     d = testdata.load(spark, sf_dir, "documents")
-    return multimodal.frame_sample(multimodal.to_blob_table(d))
+    frames = multimodal.frame_sample(multimodal.to_blob_table(d))
+    return frames.select(
+        "doc_id", "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").alias("frame_len"),
+    )

@@ -35,10 +35,14 @@ from pyspark.sql import types as T
 # raw.trips_raw (v VARIANT): the JSON doc is kept as its parsed struct plus
 # the original text. Landing keeps both so `SELECT $1` (raw) and typed
 # extraction are each one column read away.
+#: starttime/stoptime travel as epoch-micros longs inside the wire doc
+#: (format-free: the 'yyyy-MM-dd HH:mm:ss.SSS' formatter dominated the
+#: doc round-trip cost). They are decoded back to timestamp_ntz at the
+#: push_trips extraction edge (functions.variant.epoch_micros_to_ntz).
 TRIP_DOC_FIELDS = [
     ("tripduration", T.IntegerType()),
-    ("starttime", T.TimestampNTZType()),
-    ("stoptime", T.TimestampNTZType()),
+    ("starttime", T.LongType()),
+    ("stoptime", T.LongType()),
     ("start_station_id", T.IntegerType()),
     ("start_station_name", T.StringType()),
     ("start_station_latitude", T.DoubleType()),

@@ -90,6 +90,8 @@ class Pipe:
     def _source(self) -> DataFrame:
         return (
             self.spark.readStream.schema(self.doc_schema)
+            # wire timestamps are epoch-micros longs (scale path); the
+            # NTZ format remains for docs that do carry formatted times
             .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss[.SSS]")
             .option("pathGlobFilter", self.pattern)
             # day-prefix layout => files live under subdirectories

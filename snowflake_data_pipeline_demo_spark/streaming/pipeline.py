@@ -88,10 +88,14 @@ class CitibikePipeline:
     def _push_trips(self, batch: DataFrame, batch_id: int) -> int:
         """INSERT-SELECT with the 10 variant path-casts
         (dp_setup.sql:192-203)."""
+        from ..functions.variant import epoch_micros_to_ntz
+
         rows = batch.select(
             _v("tripduration", "int").alias("tripduration"),
-            _v("starttime").alias("starttime"),
-            _v("stoptime").alias("stoptime"),
+            # wire timestamps are epoch-micros longs; this is the
+            # ::timestamp_ntz cast edge (dp_setup.sql:194-195)
+            epoch_micros_to_ntz(_v("starttime")).alias("starttime"),
+            epoch_micros_to_ntz(_v("stoptime")).alias("stoptime"),
             _v("start_station_id", "int").alias("start_station_id"),
             _v("end_station_id", "int").alias("end_station_id"),
             _v("bikeid", "int").alias("bikeid"),
