@@ -44,9 +44,14 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # warm the JVM/codegen path once (tiny SF) so per-query timings
-    # reflect steady state, not first-plan compilation.
-    QUERIES["j1_star_join_revenue"].builder(spark, "/root/testdata/sf0.001").collect()
+    # warm the JVM/codegen paths once (tiny SF) so per-query timings
+    # reflect steady state, not first-plan compilation: each of these
+    # compiles a distinct family of generated code (star join/agg, json
+    # round-trip, window+hash-agg minhash, ANN buckets, mapInPandas).
+    for warm in ("j1_star_join_revenue", "flagship_secure_report",
+                 "x_dedup_minhash_lsh", "x_sim_lsh_ann",
+                 "x_multimodal_byte_histogram"):
+        QUERIES[warm].builder(spark, "/root/testdata/sf0.001").collect()
 
     names = [n for n in HEADLINE if n in QUERIES]
     timings: dict[str, float] = {}

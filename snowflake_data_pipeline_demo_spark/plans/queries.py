@@ -79,6 +79,22 @@ def _dec1() -> F.Column:
     return F.lit(1).cast("decimal(18,2)")
 
 
+def _extract_boundary(raw: DataFrame) -> DataFrame:
+    """The parsed-raw materialization boundary used by the batch slice.
+
+    Repartitions the doc text BEFORE the parse: the testdata unload
+    reads a handful of parquet splits (sf0.1 lineitem = 3), and without
+    an exchange the Jackson parse — the most CPU-expensive expression
+    in the slice — runs on that many cores. The shuffle moves skinny
+    JSON text rows; the parse then fans across every core. On a real
+    100 TB stage the input arrives as thousands of files and the
+    exchange is unnecessary — it is the small-split adaptation, kept
+    here because the parse boundary (not the scan) must set the
+    parallelism."""
+    n = raw.sparkSession.sparkContext.defaultParallelism
+    return _materialize(extract_trips(raw.repartition(n)))
+
+
 # ---------------------------------------------------------------------------
 # Flagship: the full reference slice (S5 unload -> F5 object_construct ->
 # F6 variant extraction -> J1-J3 star join -> G1-G3 secure view -> A5 report)
@@ -99,7 +115,7 @@ def _dec1() -> F.Column:
       FROM region
       UNION ALL SELECT 'Publisher Account', 'PUBLISHER', '%'
     )
-    SELECT p.program_name AS program_name, s.name AS acct,
+    SELECT p.program_name AS program_name, s.account AS acct,
            COUNT(*) AS num_trips
     FROM fact t
     JOIN programs p ON t.program_id = p.program_id
@@ -114,7 +130,7 @@ def flagship_secure_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs are built, JSON-serialized, re-extracted, then governed."""
     t = _t(spark, sf_dir, "lineitem", "supplier", "nation", "region")
     raw = trip_docs(t["lineitem"], t["supplier"], t["nation"])
-    ext = _materialize(extract_trips(raw))
+    ext = _extract_boundary(raw)
     view = secure_trips_view(
         trips_projection(ext), stations_from_raw(ext), programs_from_raw(ext),
         security_fixture(spark, t["region"]), account="ACCT_AMERICA",
@@ -141,7 +157,7 @@ def flagship_secure_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM region
       UNION ALL SELECT 'Publisher Account', 'PUBLISHER', '%'
     )
-    SELECT p.program_name AS program_name, s.name AS acct,
+    SELECT p.program_name AS program_name, s.account AS acct,
            'REDACTED (' || md5(ss.station_name) || ')' AS start_station,
            'REDACTED (' || md5(es.station_name) || ')' AS end_station,
            t.duration AS duration
@@ -158,7 +174,7 @@ def secure_view_masked_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     names MD5-masked (dp_demo.sql:226-229)."""
     t = _t(spark, sf_dir, "lineitem", "supplier", "nation", "region")
     raw = trip_docs(t["lineitem"], t["supplier"], t["nation"])
-    ext = _materialize(extract_trips(raw))
+    ext = _extract_boundary(raw)
     view = secure_trips_view(
         trips_projection(ext), stations_from_raw(ext), programs_from_raw(ext),
         security_fixture(spark, t["region"]), account="ACCT_ASIA",
@@ -453,7 +469,7 @@ def u1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake UNION = UNION DISTINCT (dp_setup.sql:235): Spark union
     is UNION ALL, so the explicit distinct() is the operator under test."""
     t = _t(spark, sf_dir, "lineitem", "supplier", "nation")
-    ext = _materialize(extract_trips(trip_docs(t["lineitem"], t["supplier"], t["nation"])))
+    ext = _extract_boundary(trip_docs(t["lineitem"], t["supplier"], t["nation"]))
     return stations_from_raw(ext).select(
         "station_id", "station_name", "station_comment"
     )
@@ -673,6 +689,124 @@ def f5_object_construct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 def f13_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = testdata.load(spark, sf_dir, "customer")
     return c.select("c_custkey", F.md5("c_name").alias("name_md5"))
+
+
+# ---------------------------------------------------------------------------
+# §2.1 Stage round-trips (S5 unload -> S6 $1 read -> S7 metadata$filename)
+# ---------------------------------------------------------------------------
+
+def _tmp_stage(spark: SparkSession, tag: str):
+    import tempfile
+
+    from ..sources.stage import Stage
+
+    return Stage(spark, tempfile.mkdtemp(prefix=f"{tag}_stage_"))
+
+
+@query(
+    "s6_stage_select",
+    oracle="""
+    SELECT l_orderkey, CAST(l_quantity AS INT) AS qty, l_returnflag AS flag
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) = DATE '1995-06-17'
+    """,
+    survey_ref="S2,S5,S6",
+)
+def s6_stage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT $1 FROM @stage`` (dp_demo.sql:122): unload one day's rows
+    as staged JSON (S5), read the files back as raw ``$1`` text (S6),
+    re-type via the declared doc schema. The oracle recomputes the same
+    rows relationally, so values must survive the stage round trip."""
+    from pyspark.sql import types as T
+
+    from ..functions.variant import extract_variant
+
+    li = testdata.load(spark, sf_dir, "lineitem")
+    day = li.filter(F.to_date("l_shipdate") == "1995-06-17").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    stage = _tmp_stage(spark, "s6")
+    stage.unload_json(day, "day1995-06-17")
+    schema = T.StructType([
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("qty", T.IntegerType()),
+        T.StructField("flag", T.StringType()),
+    ])
+    raw = stage.read_raw("day1995-06-17")
+    return raw.select(extract_variant(F.col("$1"), schema).alias("p")).select(
+        F.col("p.l_orderkey").alias("l_orderkey"),
+        F.col("p.qty").alias("qty"),
+        F.col("p.flag").alias("flag"),
+    )
+
+
+@query(
+    "s7_metadata_filename",
+    oracle="""
+    SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_files
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-06-01' AND DATE '1995-06-10'
+    GROUP BY 1
+    """,
+    survey_ref="S7,T11,A2,O2",
+)
+def s7_metadata_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``metadata$filename`` (dp_setup.sql:112): trickle-unload ten days
+    one file per day (T11/stream_data), read the stage back raw, and
+    group rows by the source-file pseudo-column. n_files=1 per day pins
+    the reference's one-file-per-day unload contract."""
+    from ..streaming.stream_data import stream_data
+
+    t = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    docs = trip_docs(t["lineitem"], t["supplier"], t["nation"])
+    stage = _tmp_stage(spark, "s7")
+    stream_data(docs, stage, "1995-06-01", "6/10/1995")
+    raw = stage.read_raw()
+    return (
+        raw.select(
+            F.regexp_extract(
+                F.col("metadata$filename"), r"snowpipe_demo(\d{4}-\d{2}-\d{2})", 1
+            ).alias("day"),
+            F.col("metadata$filename").alias("f"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("f").alias("n_files"),
+        )
+    )
+
+
+@query(
+    "f4_to_date_auto",
+    oracle="""
+    SELECT DISTINCT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS from_iso,
+           strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS from_us
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-06-01' AND DATE '1995-06-10'
+    """,
+    survey_ref="F4",
+)
+def f4_to_date_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake AUTO date parsing (dp_demo.sql:115 vs dp_setup.sql:45-47):
+    render each day as both yyyy-MM-dd and M/d/yyyy, parse both back
+    through to_date_auto, and show they agree with the original date."""
+    from ..functions.scalars import to_date_auto
+
+    li = testdata.load(spark, sf_dir, "lineitem")
+    days = (
+        li.filter(F.to_date("l_shipdate").between("1995-06-01", "1995-06-10"))
+        .select(F.to_date("l_shipdate").alias("d")).distinct()
+    )
+    return days.select(
+        F.date_format(to_date_auto(F.date_format("d", "yyyy-MM-dd")), "yyyy-MM-dd")
+        .alias("from_iso"),
+        F.date_format(to_date_auto(F.date_format("d", "M/d/yyyy")), "yyyy-MM-dd")
+        .alias("from_us"),
+    )
 
 
 # extension queries (dedup / similarity / text / multimodal) register

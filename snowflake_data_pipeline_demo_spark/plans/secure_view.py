@@ -39,6 +39,11 @@ def _is_publisher(security: DataFrame, account_lit: Column) -> Column:
     collecting the publisher set once at plan-build time — equivalent
     to Catalyst's subquery rewrite, but keeps this factory usable from
     the DataFrame API without a registered temp view.
+
+    Non-goal (deviation from the reference): the reference subquery
+    re-evaluates on every query, so later security-table changes would
+    be reflected; this factory snapshots the publisher set when the
+    view is BUILT. Rebuild the view after security changes.
     """
     publishers = [
         r["account"]
@@ -89,7 +94,9 @@ def secure_trips_view(
         .select(
             F.date_trunc("hour", F.col("t.starttime")).alias("hour"),
             F.col("p.program_name").alias("program_name"),
-            F.col("s.name").alias("acct"),
+            # dp_demo.sql:228 projects current_account() AS acct — the
+            # session account literal, not the security row's name
+            acct.alias("acct"),
             mask(F.col("ss.station_name")).alias("start_station"),
             mask(F.col("es.station_name")).alias("end_station"),
             F.col("t.tripduration").alias("duration"),

@@ -196,3 +196,17 @@ class Catalog:
     def tables(self) -> list[str]:
         """SHOW TABLES analog (dp_demo.sql:74-75)."""
         return sorted(self._tables)
+
+    def describe(self, qualified: str) -> list[dict]:
+        """``DESCRIBE TABLE`` (dp_demo.sql:80-83): one row per column
+        with its declared type, like Snowflake's name/type/kind shape."""
+        t = self._tables[qualified]
+        return [
+            {
+                "name": f.name,
+                "type": f.dataType.simpleString(),
+                "kind": "COLUMN",
+                "null?": "Y" if f.nullable else "N",
+            }
+            for f in t.schema.fields
+        ]

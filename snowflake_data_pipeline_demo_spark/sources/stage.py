@@ -103,7 +103,10 @@ class Stage:
         source-file pseudo-column (dp_demo.sql:120-122)."""
         src = f"{self.url}/{prefix}" if prefix else self.url
         return (
-            self.spark.read.text(src)
+            self.spark.read
+            # stages lay files out under day-prefix subdirectories
+            .option("recursiveFileLookup", "true")
+            .text(src)
             .select(
                 F.col("value").alias("$1"),
                 F.col("_metadata.file_path").alias("metadata$filename"),

@@ -20,8 +20,13 @@ At-least-once caveat (no Delta in this build): if the process dies
 between the raw append and checkpoint commit, the batch replays and can
 duplicate rows. The reference gets exactly-once from Snowpipe load
 history; with Delta the same comes from txn-id'd foreachBatch writes.
-Documented engine limitation; purge safety (T10) is unaffected because
-purge only trusts committed copy_history rows.
+Documented engine limitation. Purge safety (T10): copy_history rows are
+appended INSIDE foreachBatch and are durable before the checkpoint
+commit, so a ledger row alone does not prove its batch committed —
+purge additionally requires ``batch_id <= last_committed_batch()`` (the
+checkpoint commits/ frontier); without that check, a crash in the
+append-to-commit window would let purge delete a staged file whose
+batch replays on restart.
 """
 
 from __future__ import annotations
@@ -130,6 +135,24 @@ class Pipe:
         if self.query is not None:
             self.query.stop()
             self.query = None
+
+    def describe(self) -> dict:
+        """``DESCRIBE PIPE`` (dp_demo.sql:61 shape): name, the COPY
+        definition analog (stage -> table), and its state."""
+        return {
+            "name": self.name,
+            "definition": f"COPY INTO {self.raw_table.path} FROM {self.stage.url}",
+            "pattern": self.pattern,
+            "execution_state": "RUNNING" if self.query and self.query.isActive else "PAUSED",
+            "checkpoint": self.checkpoint_dir,
+        }
+
+    def last_committed_batch(self) -> int | None:
+        """The pipe checkpoint's transactional frontier (see module
+        docstring: ledger rows beyond it are from uncommitted batches)."""
+        from .streams import last_committed_batch
+
+        return last_committed_batch(self.checkpoint_dir)
 
     # -- T7: system$pipe_status() -------------------------------------------
     def status(self) -> dict:

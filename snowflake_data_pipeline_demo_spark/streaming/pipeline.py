@@ -136,12 +136,23 @@ class CitibikePipeline:
     def purge_files(self, lookback_hours: int = 10) -> int:
         """Delete staged files that copy_history shows loaded with
         error_count=0 (idempotent; rm errors swallowed like the SP's
-        try/catch). Restart-safe: only committed ledger rows are
-        trusted, so an uncommitted (replayable) batch's files survive."""
+        try/catch). Restart-safe: a ledger row is only trusted when its
+        batch_id is at or below the pipe checkpoint's commits/ frontier
+        — ledger appends happen inside foreachBatch BEFORE the commit,
+        so a crash in between leaves a 'loaded' row for a batch that
+        will replay; purging its file would make the replay read a
+        deleted file (data loss with ignoreMissingFiles)."""
+        frontier = self.pipe.last_committed_batch()
+        if frontier is None:
+            return 0
         cutoff = F.current_timestamp() - F.expr(f"INTERVAL {lookback_hours} HOURS")
         loaded = (
             self.copy_history.read()
-            .filter((F.col("error_count") == 0) & (F.col("last_load_time") >= cutoff))
+            .filter(
+                (F.col("error_count") == 0)
+                & (F.col("last_load_time") >= cutoff)
+                & (F.col("batch_id") <= frontier)
+            )
             .select("file_name").distinct().collect()
         )
         staged = {f.path for f in self.stage.list()}

@@ -37,6 +37,8 @@ def stream_data(
     prefix: str = "snowpipe_demo",
     sleep_s: float = 0.0,
     on_file: Callable[[str], None] | None = None,
+    order_field: str | None = "starttime",
+    files_per_day: int = 1,
 ) -> int:
     """Unload ``docs`` (a DataFrame with a JSON text column and a day
     column) one day-prefix at a time, reference cadence optional.
@@ -45,6 +47,15 @@ def stream_data(
     (Snowflake AUTO parsing — dp_demo.sql:115 passes '01/10/2020').
     Returns the number of day-partitions written (the SP returns a
     float file count, dp_setup.sql:38).
+
+    ``order_field`` reproduces the unload subquery's ``ORDER BY
+    starttime`` (S5/O2, dp_setup.sql:81): file contents are
+    time-clustered via ``sortWithinPartitions`` on the doc's field (the
+    honest Spark equivalent for file layout — a global sort would add a
+    range-shuffle for no downstream benefit). ``files_per_day``
+    defaults to 1, the reference's one-file-per-day cadence
+    (dp_setup.sql:57); raise it (or pass 0 to skip the coalesce) when a
+    day-partition is big enough to want parallel writers.
     """
     lo = to_date_auto(F.lit(start_date))
     hi = to_date_auto(F.lit(stop_date))
@@ -56,6 +67,14 @@ def stream_data(
     ]
     for d in days:
         day_df = in_range.filter(F.col(day_col) == d).select(doc_col)
+        if files_per_day:
+            day_df = day_df.coalesce(files_per_day)
+        if order_field:
+            # the doc col is JSON text; the sort key is extracted from it
+            # (epoch-micros long in the wire format, so a numeric sort)
+            day_df = day_df.sortWithinPartitions(
+                F.get_json_object(F.col(doc_col), f"$.{order_field}").cast("long")
+            )
         # JSON-lines, one prefix per day (dp_setup.sql:57). The doc col is
         # already JSON text, so write as text to keep bytes verbatim.
         target = f"{stage.url}/{prefix}{d}"

@@ -20,10 +20,27 @@ to consumer name so it cannot happen.
 
 from __future__ import annotations
 
+import json
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import Table
+
+
+def last_committed_batch(checkpoint_dir: str) -> int | None:
+    """Highest batch id present in a streaming checkpoint's ``commits/``
+    log — the transactional consumption frontier. Offsets under
+    ``sources/0`` are written at micro-batch START, so a batch that is
+    in flight (or failed and will retry) appears there but NOT in
+    commits; anything trusting the offset log alone over-counts."""
+    commits = os.path.join(checkpoint_dir, "commits")
+    if not os.path.isdir(commits):
+        return None
+    ids = [int(fn) for fn in os.listdir(commits) if fn.isdigit()]
+    return max(ids) if ids else None
 
 
 class TableStream:
@@ -49,22 +66,25 @@ class TableStream:
 
     def backlog_count(self) -> int:
         """``select count(*) from stream`` (dp_demo.sql:154-158): rows
-        not yet consumed = table rows minus rows in files the checkpoint
-        has committed. Computed by replaying the file-source log."""
-        import json
-        import os
-        import re
+        not yet consumed = table rows minus rows in files of COMMITTED
+        batches. Only offset-log entries whose batch id appears in the
+        checkpoint's commits/ log count as consumed — offsets are
+        written at batch start, so an in-flight or failed-and-retrying
+        batch must still show as backlog (T3 consumed-by-DML)."""
 
         def norm(p: str) -> str:
             # file:///x, file:/x, /x -> /x
             return re.sub(r"^file:/+", "/", p)
 
+        frontier = last_committed_batch(self.checkpoint_dir)
         seen: set[str] = set()
         src = os.path.join(self.checkpoint_dir, "sources", "0")
-        if os.path.isdir(src):
+        if frontier is not None and os.path.isdir(src):
             for fn in sorted(os.listdir(src)):
                 p = os.path.join(src, fn)
                 if not os.path.isfile(p) or fn.startswith("."):
+                    continue
+                if fn.isdigit() and int(fn) > frontier:
                     continue
                 with open(p) as fh:
                     for line in fh:

@@ -157,3 +157,15 @@ class TaskRunner:
             }
             for t in self.tasks.values()
         ]
+
+    def describe(self, name: str) -> dict:
+        """``DESCRIBE TASK`` (dp_demo.sql:88-91 shape): schedule, state,
+        the AFTER chain, and the stream the task consumes."""
+        t = self.tasks[name]
+        return {
+            "name": t.name,
+            "schedule": t.schedule,
+            "state": "started" if t.query and t.query.isActive else "suspended",
+            "stream": t.stream.name,
+            "after_hooks": len(t.after),
+        }

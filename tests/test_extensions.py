@@ -125,10 +125,13 @@ def test_multimodal_batch_shapes(spark, docs):
     blobs = multimodal.to_blob_table(docs.limit(20))
     feats = multimodal.byte_histogram_features(blobs)
     rows = feats.collect()
-    assert len(rows) == 20
+    assert len(rows) == 20 * 16  # exploded (doc_id, bin, value) rows
+    by_doc: dict = {}
     for r in rows:
-        assert len(r["features"]) == 16
-        assert abs(sum(r["features"]) - 1.0) < 1e-3  # normalized histogram
+        by_doc.setdefault(r["doc_id"], []).append(r["value"])
+    for vals in by_doc.values():
+        assert len(vals) == 16
+        assert abs(sum(vals) - 1.0) < 1e-3  # normalized histogram
     frames = multimodal.frame_sample(blobs, n_frames=4)
     per_doc = frames.groupBy("doc_id").count().collect()
     assert all(r["count"] == 4 for r in per_doc)

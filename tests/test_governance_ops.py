@@ -1,0 +1,139 @@
+"""Shares, DESC introspection, purge restart-safety, and unload file
+ordering (SURVEY S11/G4/V5, O2, §7.3 purge-under-restart)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_data_pipeline_demo_spark.plans.citibike import (
+    security_fixture, trip_docs,
+)
+from snowflake_data_pipeline_demo_spark.sources.shares import ShareRegistry
+from snowflake_data_pipeline_demo_spark.streaming.pipeline import CitibikePipeline
+from snowflake_data_pipeline_demo_spark.streaming.stream_data import stream_data
+
+
+# ---------------------------------------------------------------------------
+# S11/G4/V5: outbound shares
+# ---------------------------------------------------------------------------
+
+def test_share_grant_open_and_introspection(spark, tables):
+    reg = ShareRegistry()
+    share = reg.create_share("trips_share")
+    security = security_fixture(spark, tables["region"])
+
+    def masked_counts(account: str):
+        # stand-in governed view factory: per-account row filter
+        return security.filter(F.col("account") == account).select("name")
+
+    share.grant("modelled.trips_secure_vw", masked_counts)
+    share.add_accounts("ACCT_ASIA", "ACCT_AMERICA")
+
+    # consumer mount: authorized account sees its governed rows
+    assert share.open("modelled.trips_secure_vw", "ACCT_ASIA").count() == 1
+    with pytest.raises(PermissionError):
+        share.open("modelled.trips_secure_vw", "ACCT_UNKNOWN")
+    with pytest.raises(KeyError):
+        share.open("not.granted", "ACCT_ASIA")
+
+    shows = reg.show()
+    assert [s["name"] for s in shows] == ["trips_share"]
+    assert shows[0]["to"] == ["ACCT_ASIA", "ACCT_AMERICA"]
+    desc = reg.describe("trips_share")
+    assert desc == [{"kind": "VIEW", "name": "modelled.trips_secure_vw",
+                     "share": "trips_share"}]
+    # CREATE SHARE IF NOT EXISTS: same object back
+    assert reg.create_share("trips_share") is share
+
+
+def test_describe_table_task_pipe(spark, tables, tmp_path):
+    p = CitibikePipeline(spark, str(tmp_path))
+    cols = p.catalog.describe("modelled.trips")
+    assert cols[0] == {"name": "tripduration", "type": "int",
+                      "kind": "COLUMN", "null?": "Y"}
+    assert [c["name"] for c in cols][1:3] == ["starttime", "stoptime"]
+
+    d = p.runner.describe("push_trips")
+    assert d["stream"] == "new_trips"
+    assert d["state"] == "suspended"
+    assert d["after_hooks"] == 1  # purge chains AFTER push_trips
+
+    pd = p.pipe.describe()
+    assert pd["name"] == "trips_pipe"
+    assert "COPY INTO" in pd["definition"]
+    assert pd["execution_state"] == "PAUSED"
+
+
+# ---------------------------------------------------------------------------
+# §7.3: purge must not trust ledger rows from uncommitted batches
+# ---------------------------------------------------------------------------
+
+def test_purge_skips_uncommitted_ledger_rows(spark, tables, tmp_path):
+    p = CitibikePipeline(spark, str(tmp_path))
+    docs = trip_docs(tables["lineitem"], tables["supplier"], tables["nation"])
+    days = [r["day"] for r in
+            docs.select("day").distinct().orderBy("day").limit(2).collect()]
+    stream_data(docs.filter(F.col("day").isin(days)), p.stage, days[0], days[-1])
+
+    # no commits yet -> purge trusts nothing
+    assert p.purge_files() == 0
+
+    p.pipe.run_available()
+    frontier = p.pipe.last_committed_batch()
+    assert frontier is not None
+
+    staged = [f.path for f in p.stage.list()]
+    victim = staged[0]
+    # simulate the crash window: a ledger row appended inside
+    # foreachBatch whose batch never committed (batch_id > frontier)
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    p.copy_history.append(spark.createDataFrame(
+        [(victim, p.stage.url, p.trips_raw.path, 1, 0, now, frontier + 1)],
+        p.copy_history.schema,
+    ))
+    # tamper the committed row for the same file out of the way: rebuild
+    # the ledger with ONLY the uncommitted row for the victim file
+    keep = p.copy_history.read().filter(
+        ~((F.col("file_name") == victim) & (F.col("batch_id") <= frontier))
+    ).collect()
+    p.copy_history.truncate()
+    if keep:
+        p.copy_history.append(spark.createDataFrame(keep, p.copy_history.schema))
+
+    purged = p.purge_files()
+    remaining = {f.path for f in p.stage.list()}
+    assert victim in remaining, "purge deleted a file from an uncommitted batch"
+    # the other (committed) files were purged
+    assert purged == len(staged) - 1
+    assert remaining == {victim}
+
+
+# ---------------------------------------------------------------------------
+# O2: unload files are time-clustered, one file per day
+# ---------------------------------------------------------------------------
+
+def test_stream_data_files_sorted_by_starttime(spark, tables, tmp_path):
+    from snowflake_data_pipeline_demo_spark.sources.stage import Stage
+
+    docs = trip_docs(tables["lineitem"], tables["supplier"], tables["nation"])
+    days = [r["day"] for r in
+            docs.select("day").distinct().orderBy("day").limit(2).collect()]
+    stage = Stage(spark, str(tmp_path / "stage"))
+    n = stream_data(docs.filter(F.col("day").isin(days)), stage,
+                    days[0], days[-1])
+    assert n == 2
+    files = stage.list()
+    # one data file per day prefix (dp_setup.sql:57 cadence)
+    assert len(files) == 2
+    for f in files:
+        path = f.path.removeprefix("file:")
+        starts = []
+        with open(path) as fh:
+            for line in fh:
+                starts.append(json.loads(line)["starttime"])
+        assert starts == sorted(starts), f"{path} not time-clustered"
+        assert len(starts) > 0
