@@ -44,14 +44,17 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # warm the JVM/codegen paths once (tiny SF) so per-query timings
-    # reflect steady state, not first-plan compilation: each of these
-    # compiles a distinct family of generated code (star join/agg, json
+    # warm the JVM/codegen paths once so per-query timings reflect
+    # steady state, not first-plan compilation: each of these compiles
+    # a distinct family of generated code (star join/agg, json
     # round-trip, window+hash-agg minhash, ANN buckets, mapInPandas).
+    # sf0.01, not sf0.001: AQE picks size-dependent physical plans, and
+    # the tiny SF compiles broadcast shapes the sf0.1 run never reuses
+    # (measured: sf0.001-warmed minhash first run 20s, sf0.01-warmed 5s).
     for warm in ("j1_star_join_revenue", "flagship_secure_report",
                  "x_dedup_minhash_lsh", "x_sim_lsh_ann",
                  "x_multimodal_byte_histogram"):
-        QUERIES[warm].builder(spark, "/root/testdata/sf0.001").collect()
+        QUERIES[warm].builder(spark, "/root/testdata/sf0.01").collect()
 
     names = [n for n in HEADLINE if n in QUERIES]
     timings: dict[str, float] = {}

@@ -95,6 +95,22 @@ def _extract_boundary(raw: DataFrame) -> DataFrame:
     return _materialize(extract_trips(raw.repartition(n)))
 
 
+def _dim_tables(ext: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """stations/programs as materialized dims (cached, like the real
+    pipeline's MERGE'd ``modelled.stations``/``programs`` tables,
+    dp_setup.sql:211-245).
+
+    Without this, every broadcast of the station dim re-runs the
+    union+distinct over the full parsed fact (stations is broadcast
+    TWICE — start/end roles): measured 26.6s vs 4.2s for the secure
+    report at sf0.1. Post-aggregation the dims are dim-scale (930/25
+    rows), so the cache is a few KB regardless of fact size."""
+    return (
+        stations_from_raw(ext).cache(),
+        programs_from_raw(ext).cache(),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship: the full reference slice (S5 unload -> F5 object_construct ->
 # F6 variant extraction -> J1-J3 star join -> G1-G3 secure view -> A5 report)
@@ -131,8 +147,9 @@ def flagship_secure_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "lineitem", "supplier", "nation", "region")
     raw = trip_docs(t["lineitem"], t["supplier"], t["nation"])
     ext = _extract_boundary(raw)
+    st, pr = _dim_tables(ext)
     view = secure_trips_view(
-        trips_projection(ext), stations_from_raw(ext), programs_from_raw(ext),
+        trips_projection(ext), st, pr,
         security_fixture(spark, t["region"]), account="ACCT_AMERICA",
     )
     return consumer_report(view)
@@ -175,8 +192,9 @@ def secure_view_masked_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "lineitem", "supplier", "nation", "region")
     raw = trip_docs(t["lineitem"], t["supplier"], t["nation"])
     ext = _extract_boundary(raw)
+    st, pr = _dim_tables(ext)
     view = secure_trips_view(
-        trips_projection(ext), stations_from_raw(ext), programs_from_raw(ext),
+        trips_projection(ext), st, pr,
         security_fixture(spark, t["region"]), account="ACCT_ASIA",
     )
     return view.drop("hour")

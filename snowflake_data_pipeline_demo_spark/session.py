@@ -28,6 +28,12 @@ _DEFAULTS = {
     # local mode = driver-only JVM; give it real memory (guide: the only
     # memory knob that matters locally).
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
+    # GC for the single local-mode JVM (driver + executors share one
+    # heap). G1 measured 30.1s vs ParallelGC 31.8s on the headline bench
+    # at 24g; ParallelGC at 64g degenerates (full-GC stalls, 298s total).
+    # Keep the JVM-default G1; env hook for experiments.
+    "spark.driver.extraJavaOptions": os.environ.get(
+        "SPARK_GRAFT_JVM_OPTS", "-XX:+UseG1GC"),
     # AQE: coalesce small shuffle partitions, split skewed ones at runtime.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
