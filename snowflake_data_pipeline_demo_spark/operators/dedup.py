@@ -371,3 +371,79 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+def components_from_pairs(ids: DataFrame, pairs: DataFrame,
+                          id_col: str = "doc_id",
+                          max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected near-duplicate pair
+    graph: every node ends up labeled with the minimum id reachable
+    from it. Output: (id, component_id) — ``component_id == id`` marks
+    the kept representative, everything else is a near-dup to drop.
+
+    Implementation: iterative min-label propagation — each round every
+    node takes ``min(own label, min neighbor label)``; converges in
+    graph-diameter rounds (dup clusters are near-cliques, so diameter
+    is tiny). Each round is one shuffle join on the edge list; labels
+    are (id, long) pairs, a few bytes/node regardless of document size,
+    and the loop re-caches only that label table. At 100 TB-scale graph
+    diameters, swap the loop body for the alternating large-star/
+    small-star rounds (Kiveris et al.) — same join primitive, O(log n)
+    rounds; the propagation below is the diameter-bounded special case.
+    """
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).cache()
+    labels = ids.select(
+        F.col(id_col).alias("nid"), F.col(id_col).cast("long").alias("comp")
+    ).cache()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["nid"])
+            .groupBy("src").agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["nid"] == nbr_min["src"], "left")
+            .select(
+                "nid",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.nid") == F.col("o.nid"))
+            .filter(F.col("n.comp") < F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("nid").alias(id_col), F.col("comp").alias("component_id")
+    )
+
+
+def neardup_components(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate clusters: edges = word-3-gram Jaccard >= threshold
+    (the deterministic verifier pair-generator; production swaps in
+    :func:`lsh_candidate_pairs` — same (id_a, id_b) contract), then
+    connected components. Output: (id, component_id, is_kept)."""
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold=threshold)
+    comp = components_from_pairs(df.select(id_col), pairs, id_col)
+    return comp.select(
+        id_col, "component_id",
+        (F.col(id_col) == F.col("component_id")).alias("is_kept"),
+    )

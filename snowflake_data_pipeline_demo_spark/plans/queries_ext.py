@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, multimodal, sampling, similarity, text
 from ..sources import testdata
 from .queries import query
 
@@ -430,4 +430,135 @@ def x_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "frame_idx",
         F.md5("frame").alias("frame_md5"),
         F.length("frame").alias("frame_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering, IVF similarity, deterministic splits (round 2)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_dedup_components",
+    # reachability via recursive CTE == the label-propagation fixpoint
+    oracle=f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_DTOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_DSHING} AS s FROM toks),
+    ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS sh FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, a.n_sh, b.n_sh
+      HAVING round(COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)), 4) >= 0.5
+    ),
+    ed AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(nid, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.nid, ed.dst FROM reach JOIN ed ON ed.src = reach.r
+    )
+    SELECT nid AS doc_id, MIN(r) AS component_id, (nid = MIN(r)) AS is_kept
+    FROM reach GROUP BY nid
+    """,
+    survey_ref="north-star:dedup-components",
+)
+def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters (connected components over the >=0.5
+    Jaccard pair graph); component representative = min doc_id."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return dedup.neardup_components(d, threshold=0.5)
+
+
+@query(
+    "x_sim_ivf_ann",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    ac AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round({_ddot('e.embedding', 'c.centv')}
+                 / ({_dnorm('e.embedding')} * {_dnorm('c.centv')}), 4) DESC,
+               c.centroid_id) AS rn
+      FROM embeddings e, cent c
+    ),
+    a1 AS (SELECT vec_id, embedding, centroid_id FROM ac WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 10),
+    qp AS (
+      SELECT q.query_id, q.qv, c.centroid_id,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round({_ddot('q.qv', 'c.centv')}
+                 / ({_dnorm('q.qv')} * {_dnorm('c.centv')}), 4) DESC,
+               c.centroid_id) AS rn
+      FROM q, cent c
+    ),
+    qp2 AS (SELECT query_id, qv, centroid_id FROM qp WHERE rn <= 2),
+    scored AS (
+      SELECT qp2.query_id, a1.vec_id AS neighbor_id,
+             round({_ddot('a1.embedding', 'qp2.qv')}
+               / ({_dnorm('a1.embedding')} * {_dnorm('qp2.qv')}), 4) AS cos
+      FROM qp2 JOIN a1 USING (centroid_id)
+      WHERE a1.vec_id != qp2.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+    """,
+    survey_ref="north-star:similarity-ivf",
+)
+def x_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: nlist=8 deterministic centroids (first 8
+    vectors; production: k-means), nprobe=2 probed lists per query."""
+    e = testdata.load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(e, q, cent, k=5, nprobe=2)
+
+
+@query(
+    "x_sample_hash_split",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 100 AS b,
+             len({_DTOKS}) AS n_tok
+      FROM documents
+    )
+    SELECT CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM s GROUP BY 1
+    """,
+    survey_ref="north-star:sampling-split",
+)
+def x_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by id hash, with
+    per-split document and token totals."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            sampling.split_label("doc_id").alias("split"),
+            text.token_count("text").alias("n_tok"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
     )

@@ -140,3 +140,64 @@ def test_multimodal_batch_shapes(spark, docs):
 def test_decode_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(F.lit(b"x"))
+
+
+def test_components_merge_transitive_neardups(spark):
+    """A~B and B~C near-dups (A never directly paired with C) must land
+    in one component labeled min(id); the isolated doc keeps itself."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight")
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " again"),
+            (3, base + " again and again"),
+            (10, "completely unrelated text about database engines and "
+                 "distributed query processing at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    comp = {
+        r["doc_id"]: (r["component_id"], r["is_kept"])
+        for r in dedup.neardup_components(df, threshold=0.3).collect()
+    }
+    assert comp[1] == (1, True)
+    assert comp[2] == (2, False) or comp[2] == (1, False)
+    assert comp[2][0] == 1 and comp[3][0] == 1
+    assert comp[10] == (10, True)
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    """IVF with nprobe=2 of nlist=8 should recover most exact top-5
+    neighbors (embeddings are clustered; probing 1/4 of the lists)."""
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, q, k=5)
+    approx = similarity.ivf_topk(emb, q, cent, k=5, nprobe=2)
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+    assert hits / exact.count() >= 0.5
+
+
+def test_hash_split_deterministic_and_disjoint(spark, docs):
+    from snowflake_data_pipeline_demo_spark.operators import sampling
+
+    labeled = docs.select(
+        "doc_id", sampling.split_label("doc_id").alias("split")
+    )
+    counts = {r["split"]: r["n"] for r in
+              labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()  # exhaustive, disjoint by construction
+    assert 0.6 < counts.get("train", 0) / total < 0.95  # ~80%
+    # stable across recomputation (no rand() anywhere)
+    again = {r["split"]: r["n"] for r in
+             labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts == again
+    # fraction sampling keeps a stable subset
+    s1 = sampling.deterministic_sample(docs, 0.5).select("doc_id").collect()
+    s2 = sampling.deterministic_sample(docs, 0.5).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in s1) == sorted(r["doc_id"] for r in s2)
