@@ -137,3 +137,51 @@ def test_stream_data_files_sorted_by_starttime(spark, tables, tmp_path):
                 starts.append(json.loads(line)["starttime"])
         assert starts == sorted(starts), f"{path} not time-clustered"
         assert len(starts) > 0
+
+
+def test_pipe_replay_after_crash_between_append_and_commit(
+    spark, tables, tmp_path
+):
+    """Pins the documented at-least-once window (pipe.py module
+    docstring): kill between the foreachBatch appends and the
+    checkpoint commit => on restart the batch REPLAYS (duplicate raw
+    rows, duplicate ledger rows — never lost rows), and the frontier
+    advances so purge trusts the file only after the re-commit."""
+    import os
+
+    p = CitibikePipeline(spark, str(tmp_path))
+    docs = trip_docs(tables["lineitem"], tables["supplier"], tables["nation"])
+    days = [r["day"] for r in
+            docs.select("day").distinct().orderBy("day").limit(1).collect()]
+    stream_data(docs.filter(F.col("day").isin(days)), p.stage, days[0], days[-1])
+
+    p.pipe.run_available()
+    n_rows = p.trips_raw.count()
+    assert n_rows > 0
+    frontier = p.pipe.last_committed_batch()
+
+    # simulate the crash window: the foreachBatch writes (raw + ledger)
+    # are durable but the commit marker never landed (remove the crc
+    # sidecar too — a real crash leaves neither, and a stale crc makes
+    # the re-commit rename fail)
+    commits = os.path.join(p.pipe.checkpoint_dir, "commits")
+    os.remove(os.path.join(commits, str(frontier)))
+    crc = os.path.join(commits, f".{frontier}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert p.pipe.last_committed_batch() != frontier
+
+    # before restart, purge must not trust the orphaned ledger rows
+    staged = {f.path for f in p.stage.list()}
+    assert p.purge_files() == 0
+    assert {f.path for f in p.stage.list()} == staged
+
+    # restart: the uncommitted batch replays => duplicates, no loss
+    p.pipe.run_available()
+    assert p.trips_raw.count() == 2 * n_rows
+    ch = p.copy_history.read().groupBy("file_name").count()
+    assert ch.filter("count != 2").count() == 0
+    # re-commit restores the frontier; purge now trusts the files
+    assert p.pipe.last_committed_batch() == frontier
+    assert p.purge_files() == len(staged)
+    assert p.stage.list() == []
