@@ -105,6 +105,24 @@ def parse_json_path(json_str: Column | str, path: str,
     return c.cast(cast_to) if cast_to else c
 
 
+def parse_json_variant(json_str: Column | str) -> Column:
+    """Spark 4 ``VariantType`` parse — the closest engine analog of
+    Snowflake's VARIANT (SURVEY §1.3): a binary-encoded semi-structured
+    value with schema-free path access via :func:`variant_get_native`.
+    Use when the doc shape is NOT declared; when it is, the
+    ``extract_variant`` struct path stays preferred (Catalyst prunes
+    struct field reads into the scan)."""
+    return F.parse_json(_col(json_str))
+
+
+def variant_get_native(v: Column | str, path: str,
+                       cast_to: str = "string") -> Column:
+    """``v:path::type`` on a true VariantType column (F6/F7 on Spark 4,
+    dp_setup.sql:193-202 / dp_demo.sql:132). ``path`` is dotted,
+    without the leading ``$``."""
+    return F.variant_get(_col(v), "$." + path, cast_to)
+
+
 def flatten_variant(df: DataFrame, v: str, schema: T.StructType,
                     casts: dict[str, str] | None = None) -> DataFrame:
     """Extract every field of a JSON text column to top-level typed columns

@@ -657,6 +657,34 @@ def f6_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f7_variant_native",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(props->>'$.k' AS INT)) AS INT) AS max_k
+    FROM events GROUP BY 1
+    """,
+    survey_ref="F7,F15 (Spark 4 VariantType path)",
+)
+def f7_variant_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_json into a true VariantType value + variant_get path-cast
+    (the schema-free VARIANT representation SURVEY §1.3 maps to on
+    Spark 4), aggregated per event type."""
+    from ..functions.variant import parse_json_variant, variant_get_native
+    e = testdata.load(spark, sf_dir, "events")
+    k = variant_get_native(parse_json_variant("props"), "k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
     "f5_object_construct_roundtrip",
     oracle="""
     SELECT l_orderkey, l_linenumber,

@@ -562,3 +562,34 @@ def x_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "x_sessionize",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    )
+    SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM s GROUP BY 1
+    """,
+    survey_ref="north-star:sessionization",
+)
+def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gaps-and-islands sessionization (30-min gap) over the
+    events table — batch form of the streaming session_window rollup."""
+    from ..operators.sessions import session_stats
+
+    e = testdata.load(spark, sf_dir, "events")
+    return session_stats(e, gap_minutes=30)

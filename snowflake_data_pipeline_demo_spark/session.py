@@ -83,6 +83,24 @@ def current_account(spark: SparkSession) -> str:
     return spark.conf.get(CURRENT_ACCOUNT_CONF, "")
 
 
+CURRENT_ROLE_CONF = "engine.current_role"
+
+
+def use_role(spark: SparkSession, role: str) -> None:
+    """``USE ROLE accountadmin`` shim (dp_demo.sql:8, SURVEY G5). Spark
+    has no RBAC, so the role is session context only — recorded for
+    introspection (``current_role``) and for governance hooks to read;
+    it never gates anything, exactly like the documented G4 no-op
+    grants."""
+    spark.conf.set(CURRENT_ROLE_CONF, role.upper())
+
+
+def current_role(spark: SparkSession) -> str:
+    """Snowflake ``current_role()`` analog; defaults to ACCOUNTADMIN
+    (the role the reference demo runs under)."""
+    return spark.conf.get(CURRENT_ROLE_CONF, "ACCOUNTADMIN")
+
+
 def current_account_col(spark: SparkSession) -> Column:
     """The session account as a literal column — resolved at plan-build
     time, exactly like the secure-view factory needs (SURVEY §2.10 G1)."""

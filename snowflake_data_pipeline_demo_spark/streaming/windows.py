@@ -1,0 +1,60 @@
+"""Event-time windowed aggregation (tumbling + session windows).
+
+The reference has no event-time logic — its tasks are processing-time
+scheduled (SURVEY §2.9 T12) — but a pipeline ingesting events
+continuously needs late-data-safe rollups, so the engine exposes
+Structured Streaming's windowing as first-class operators.
+
+Both functions work on streaming AND batch DataFrames: ``window``/
+``session_window`` are ordinary grouping expressions, and
+``withWatermark`` is a no-op in batch — so the same rollup definition
+serves the live stream and its backfill (the batch gaps-and-islands
+equivalent lives in operators/sessions.py).
+
+Scale notes: a watermarked streaming session/tumbling agg keeps state
+only for open windows newer than the watermark — state size is bounded
+by (keys x open windows), not history. The groupBy shuffles on
+(key, window), map-side partial-aggregated like any hash agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, ts_col: str = "ts",
+                    window: str = "1 hour", watermark: str = "2 hours",
+                    keys: tuple[str, ...] = ("event_type",)) -> DataFrame:
+    """Tumbling event-time window counts, late data dropped beyond
+    ``watermark``. Output: (window_start, window_end, *keys, n_events)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def session_counts(events: DataFrame, ts_col: str = "ts",
+                   gap: str = "30 minutes", watermark: str = "2 hours",
+                   user_col: str = "user_id") -> DataFrame:
+    """Per-user session windows (a session closes ``gap`` after its
+    last event). Output: (user_id, session_start, session_end,
+    n_events)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), user_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -113,3 +113,12 @@ def test_variant_roundtrip_timestamp_fidelity(spark):
     ).collect()[0]
     assert str(back[0]) == "2020-01-10 12:34:56.789000"
     assert back["n"] == 7
+
+
+def test_use_role_session_context(spark):
+    from snowflake_data_pipeline_demo_spark.session import current_role, use_role
+
+    assert current_role(spark) == "ACCOUNTADMIN"  # demo default
+    use_role(spark, "sysadmin")
+    assert current_role(spark) == "SYSADMIN"
+    use_role(spark, "accountadmin")
