@@ -593,3 +593,52 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = testdata.load(spark, sf_dir, "events")
     return session_stats(e, gap_minutes=30)
+
+
+@query(
+    "x_vocab_topk",
+    oracle=f"""
+    WITH t AS (SELECT unnest({_DTOKS}) AS token FROM documents),
+    c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY 1)
+    SELECT token, n FROM c ORDER BY n DESC, token LIMIT 50
+    """,
+    survey_ref="north-star:vocabulary",
+)
+def x_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency. Explode +
+    hash-agg (map-side partial on the token key) + TakeOrdered — the
+    only full-data shuffle carries (token, partial count) pairs."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@query(
+    "x_profile_lengths",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(AVG(n_chars) AS DOUBLE) AS mean_chars,
+           CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS median_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+    survey_ref="north-star:corpus-profile",
+)
+def x_profile_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: doc counts and exact length stats
+    (exact interpolated median via percentile — one hash-agg shuffle
+    on the low-cardinality lang key)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.avg("n_chars").alias("mean_chars"),
+        F.percentile("n_chars", 0.5).alias("median_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
