@@ -130,25 +130,33 @@ def ivf_assign(
     """IVF index build: assign every corpus vector to its nearest
     centroid by cosine (ties -> lowest centroid id).
 
-    The centroid set is nlist rows — broadcast with the plan, so the
-    assignment is a narrow map over the corpus followed by a map-side
-    combinable ``max_by`` agg: one shuffle on ``id_col``, linear at any
-    corpus size. Output: (id, vec, centroid_id)."""
-    cent = centroids.select(
-        F.col(centroid_id_col), F.col(vec_col).alias("centv")
-    )
-    scored = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(cent))
-        .select(
-            id_col, vec_col, centroid_id_col,
-            F.round(cosine(F.col(vec_col), F.col("centv")), 4).alias("ccos"),
+    The centroid set is nlist rows (a k-means result or seed sample),
+    so it is collected driver-side and inlined as plan literals: the
+    whole assignment is then ONE narrow projection — argmax over an
+    array of (cos, centroid) structs — with no join and **no shuffle**
+    of the corpus. At 100 TB that matters: the alternative
+    (cross-join + groupBy(id).max_by) shuffles every corpus row once
+    for no reason. Output: (id, vec, centroid_id)."""
+    cent_rows = centroids.select(
+        F.col(centroid_id_col), F.col(vec_col)
+    ).collect()  # nlist rows — dim-scale, like the star-join dims
+    scored = F.array(*[
+        F.struct(
+            F.round(
+                cosine(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in r[vec_col]]),
+                ), 4,
+            ).alias("ccos"),
+            # struct max takes the larger ncid on cos ties = smaller id
+            F.lit(-int(r[centroid_id_col])).cast("long").alias("ncid"),
         )
-    )
-    return scored.groupBy(id_col).agg(
-        F.expr(f"max_by({centroid_id_col}, struct(ccos, -{centroid_id_col}))")
-        .alias(centroid_id_col),
-        F.first(vec_col).alias(vec_col),
+        for r in cent_rows
+    ])
+    best = F.array_max(scored)
+    return corpus.select(
+        F.col(id_col), F.col(vec_col),
+        (-best["ncid"]).alias(centroid_id_col),
     )
 
 
