@@ -33,6 +33,10 @@ HEADLINE = [
     "x_text_stats",
     "x_sim_cosine_topk",
     "x_sim_lsh_ann",
+    "x_sim_ivf_ann",
+    "x_sessionize",
+    "x_vocab_topk",
+    "f7_variant_native",
     "x_multimodal_byte_histogram",
 ]
 
