@@ -642,3 +642,108 @@ def x_profile_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("n_chars", 0.5).alias("median_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@query(
+    "x_window_rollup",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    survey_ref="north-star:event-time-rollup",
+)
+def x_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time rollup — the batch face of the
+    streaming windows (streaming/windows.py); same definition runs
+    watermarked on a stream."""
+    from ..streaming.windows import tumbling_counts
+
+    e = testdata.load(spark, sf_dir, "events")
+    out = tumbling_counts(e, window="1 hour", watermark="0 seconds")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events",
+    )
+
+
+@query(
+    "x_text_redact",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_fp,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_hits
+    FROM documents
+    """,
+    survey_ref="north-star:text-redaction",
+)
+def x_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern scrubbing (the PII-redaction shape): digit runs ->
+    '<NUM>' placeholder; narrow per-row projection, JVM regex."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace("text", "[0-9]+", "<NUM>")).alias("redacted_fp"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).cast("long")
+        .alias("n_hits"),
+    )
+
+
+@query(
+    "x_sample_stratified",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_sampled
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               AS BIGINT) % 10000 < 2000
+    GROUP BY 1
+    """,
+    survey_ref="north-star:sampling-stratified",
+)
+def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language 20% sample via the deterministic id-hash filter —
+    stable under retries, no shuffle until the tiny per-lang count."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return (
+        sampling.deterministic_sample(d, 0.2)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
+@query(
+    "x_embed_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS am
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id,
+             CASE WHEN am = 0 THEN 0.0 ELSE 127.0 / am END AS scale,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)
+                     * (CASE WHEN am = 0 THEN 0.0 ELSE 127.0 / am END))
+                    AS INT)) AS qv
+      FROM s
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           md5(array_to_string(qv, ',')) AS checksum
+    FROM q
+    """,
+    survey_ref="north-star:embedding-quantization",
+)
+def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization, projected to oracle-comparable
+    scalars (rounded scale + quantized-vector checksum)."""
+    e = testdata.load(spark, sf_dir, "embeddings")
+    qz = similarity.quantize_int8(F.col("embedding"))
+    return e.select("vec_id", qz.alias("z")).select(
+        "vec_id",
+        F.round(F.col("z.scale"), 6).alias("scale"),
+        F.md5(F.array_join(
+            F.transform(F.col("z.q"), lambda x: x.cast("string")), ","
+        )).alias("checksum"),
+    )

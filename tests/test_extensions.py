@@ -201,3 +201,17 @@ def test_hash_split_deterministic_and_disjoint(spark, docs):
     s1 = sampling.deterministic_sample(docs, 0.5).select("doc_id").collect()
     s2 = sampling.deterministic_sample(docs, 0.5).select("doc_id").collect()
     assert sorted(r["doc_id"] for r in s1) == sorted(r["doc_id"] for r in s2)
+
+
+def test_quantize_int8_roundtrip_and_zero_guard(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = df.select(
+        "vec_id", similarity.quantize_int8(F.col("embedding")).alias("z")
+    ).collect()
+    z = {r["vec_id"]: r["z"] for r in out}
+    assert z[1]["q"] == [64, -127, 32]  # scale 127/1.0, round(0.5*127)=64
+    assert z[1]["scale"] == 127.0
+    assert z[2]["q"] == [0, 0, 0] and z[2]["scale"] == 0.0  # no div-by-0
