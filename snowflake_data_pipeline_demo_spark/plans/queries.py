@@ -82,17 +82,11 @@ def _dec1() -> F.Column:
 def _extract_boundary(raw: DataFrame) -> DataFrame:
     """The parsed-raw materialization boundary used by the batch slice.
 
-    Repartitions the doc text BEFORE the parse: the testdata unload
-    reads a handful of parquet splits (sf0.1 lineitem = 3), and without
-    an exchange the Jackson parse — the most CPU-expensive expression
-    in the slice — runs on that many cores. The shuffle moves skinny
-    JSON text rows; the parse then fans across every core. On a real
-    100 TB stage the input arrives as thousands of files and the
-    exchange is unnecessary — it is the small-split adaptation, kept
-    here because the parse boundary (not the scan) must set the
-    parallelism."""
-    n = raw.sparkSession.sparkContext.defaultParallelism
-    return _materialize(extract_trips(raw.repartition(n)))
+    Parallelism note: the doc build and the Jackson parse — the two
+    most CPU-expensive expressions in the slice — inherit the 32-way
+    partitioning that ``testdata.load`` establishes right after the
+    single-row-group scan, so no extra exchange is needed here."""
+    return _materialize(extract_trips(raw))
 
 
 def _dim_tables(ext: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -25,9 +25,12 @@ CURRENT_ACCOUNT_CONF = "engine.current_account"
 _DEFAULTS = {
     # Local mode: one JVM; size shuffle partitions to cores, not 200.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-    # local mode = driver-only JVM; give it real memory (guide: the only
-    # memory knob that matters locally).
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
+    # local mode = driver-only JVM. Right-SIZED, not maximal: with a
+    # 64g heap G1's collection phases produced erratic multi-second
+    # stalls landing on arbitrary queries (headline bench 30-76s across
+    # runs); at 16g the same bench holds 28-30s with no outliers and
+    # flagship drops ~40%. The working set is far below 16g.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     # GC for the single local-mode JVM (driver + executors share one
     # heap). G1 measured 30.1s vs ParallelGC 31.8s on the headline bench
     # at 24g; ParallelGC at 64g degenerates (full-GC stalls, 298s total).

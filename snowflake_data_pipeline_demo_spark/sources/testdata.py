@@ -20,8 +20,24 @@ TESTDATA_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: fact-scale threshold for the scan-parallelism adaptation below;
+#: dim tables (region/nation/supplier/...) stay un-shuffled — their
+#: plan is broadcast, not partitioned compute.
+_REPARTITION_MIN_BYTES = 512 * 1024
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.
+
+    Fact-scale tables are repartitioned to ``defaultParallelism`` right
+    after the scan: every testdata parquet file is a SINGLE row group,
+    so the scan is one task no matter how split configs are set, and
+    all narrow per-row compute (shingling, signatures, text stats,
+    histograms) would otherwise run on one core of 32. A real 100 TB
+    stage arrives as thousands of files whose natural split count
+    saturates the cluster — this exchange is purely the small-file
+    local adaptation, and it moves each row once, before any
+    compute-heavy projection."""
     # events.parquet carries parquet TIMESTAMP(NANOS), which Spark rejects
     # unless this legacy conf is on. It is runtime-settable, and the driver
     # hands us an externally built session that lacks it — set it here so
@@ -36,6 +52,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer div — double division would lose ulp precision on
             # epoch-nanos magnitudes and skew timestamps by ±1us.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    try:
+        fact_scale = os.path.getsize(path) >= _REPARTITION_MIN_BYTES
+    except OSError:
+        fact_scale = False
+    if fact_scale:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

@@ -1,0 +1,101 @@
+"""applyInPandasWithState sessionizer: sessions close on successor
+arrival within a batch, survive across micro-batches via state, and
+agree with the batch gaps-and-islands answer for every closed session."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_data_pipeline_demo_spark.streaming.stateful import (
+    stateful_sessionize,
+)
+
+
+@pytest.fixture()
+def event_rows():
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+
+    def e(i, user, minutes):
+        return (i, user, t0 + dt.timedelta(minutes=minutes))
+
+    # user 1: sessions A={0,10}, B={55,60}, open C={200}
+    # user 2: session D={0,30,60} closed by E={180}, E open
+    return [
+        e(1, 1, 0), e(2, 1, 10), e(3, 1, 55), e(4, 1, 60), e(5, 1, 200),
+        e(6, 2, 0), e(7, 2, 30), e(8, 2, 60), e(9, 2, 180),
+    ]
+
+
+def _run_stream(spark, src_dir, schema):
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        stateful_sessionize(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("stateful_sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        "select user_id, session_start, session_end, n_events "
+        "from stateful_sess order by user_id, session_start"
+    ).collect()
+
+
+def test_stateful_sessionize_closes_on_successor(spark, event_rows, tmp_path):
+    events = spark.createDataFrame(
+        event_rows, "event_id long, user_id long, ts timestamp"
+    )
+    src = str(tmp_path / "ev1")
+    events.write.mode("overwrite").parquet(src)
+
+    rows = _run_stream(spark, src, events.schema)
+    got = [(r["user_id"], r["session_start"].minute + 60 * (r["session_start"].hour - 9),
+            r["n_events"]) for r in rows]
+    # closed sessions only — the final open session per user stays in
+    # state (u1's {200}, u2's {180})
+    assert got == [(1, 0, 2), (1, 55, 2), (2, 0, 3)]
+
+
+def test_stateful_sessionize_state_survives_batches(spark, event_rows, tmp_path):
+    """The same events split across TWO availableNow runs (state
+    persisted in the checkpoint) close the same sessions as one run —
+    including a session whose events span the two waves."""
+    schema = "event_id long, user_id long, ts timestamp"
+    wave1 = spark.createDataFrame(
+        [r for r in event_rows if r[0] <= 3], schema
+    )  # u1@{0,10,55}: session A closes in wave1, B open
+    wave2 = spark.createDataFrame([r for r in event_rows if r[0] > 3], schema)
+    src = str(tmp_path / "ev2")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(df):
+        df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(wave1.schema).parquet(src)
+        q = (
+            stateful_sessionize(stream, gap_minutes=30)
+            .writeStream.format("memory")
+            .queryName("stateful_sess2")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(wave1)
+    run(wave2)
+    rows = spark.sql(
+        "select user_id, session_start, n_events from stateful_sess2 "
+        "order by user_id, session_start"
+    ).collect()
+    got = [(r["user_id"], r["session_start"].minute + 60 * (r["session_start"].hour - 9),
+            r["n_events"]) for r in rows]
+    # session B {55,60} spans the waves: 55 arrives in wave1, 60 in
+    # wave2, closed by 200 in wave2 with BOTH events counted
+    assert (1, 55, 2) in got
+    assert (1, 0, 2) in got and (2, 0, 3) in got
