@@ -73,13 +73,18 @@ def test_stateful_sessionize_state_survives_batches(spark, event_rows, tmp_path)
     src = str(tmp_path / "ev2")
     ckpt = str(tmp_path / "ckpt")
 
+    emitted = []
+
     def run(df):
         df.write.mode("append").parquet(src)
         stream = spark.readStream.schema(wave1.schema).parquet(src)
         q = (
             stateful_sessionize(stream, gap_minutes=30)
-            .writeStream.format("memory")
-            .queryName("stateful_sess2")
+            .writeStream.foreachBatch(
+                # memory sink can't recover from a checkpoint; collect
+                # via foreachBatch (which can) instead
+                lambda batch, _id: emitted.extend(batch.collect())
+            )
             .outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -89,13 +94,14 @@ def test_stateful_sessionize_state_survives_batches(spark, event_rows, tmp_path)
 
     run(wave1)
     run(wave2)
-    rows = spark.sql(
-        "select user_id, session_start, n_events from stateful_sess2 "
-        "order by user_id, session_start"
-    ).collect()
+    rows = sorted(emitted, key=lambda r: (r["user_id"], r["session_start"]))
     got = [(r["user_id"], r["session_start"].minute + 60 * (r["session_start"].hour - 9),
             r["n_events"]) for r in rows]
     # session B {55,60} spans the waves: 55 arrives in wave1, 60 in
     # wave2, closed by 200 in wave2 with BOTH events counted
     assert (1, 55, 2) in got
-    assert (1, 0, 2) in got and (2, 0, 3) in got
+    assert (1, 0, 2) in got
+    # u2's minute-0 event arrives in wave2 but wave1 advanced the
+    # watermark to minute 25 (55 - 30 gap) => it is LATE and dropped;
+    # u2's session is {30, 60}, exactly the watermark contract
+    assert (2, 30, 2) in got and (2, 0, 3) not in got
