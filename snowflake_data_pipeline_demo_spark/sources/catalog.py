@@ -133,7 +133,38 @@ class Table:
         """Base-relation scan (S9). Empty table -> empty typed DataFrame."""
         if not self._has_data():
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(self.path)
+        r = self.spark.read.schema(self.schema)
+        if not self.partition_by:
+            # idempotent batch-keyed writes (overwrite_subdir) nest one
+            # level down; recursive lookup reads root + subdir files.
+            # Partitioned tables keep partition discovery instead.
+            r = r.option("recursiveFileLookup", "true")
+        return r.parquet(self.path)
+
+    def overwrite_subdir(self, df: DataFrame, subdir: str) -> None:
+        """Idempotent write unit: (re)write ``{path}/{subdir}`` whole.
+        A replayed streaming micro-batch that re-runs this converges to
+        the same bytes instead of appending duplicates — the
+        plain-parquet equivalent of Delta's txn-id'd foreachBatch
+        write. Requires a non-partitioned table (see :meth:`read`)."""
+        if self.partition_by:
+            raise ValueError("overwrite_subdir requires a non-partitioned table")
+        cols = [f.name for f in self.schema.fields]
+        df.select(*cols).write.mode("overwrite").parquet(
+            f"{self.path.rstrip('/')}/{subdir}"
+        )
+
+    def subdir_committed(self, subdir: str) -> bool:
+        """True if a prior :meth:`overwrite_subdir` for ``subdir`` ran to
+        job commit (its ``_SUCCESS`` marker exists) — lets a replayed
+        batch skip the rewrite entirely, leaving file listings unchanged
+        for downstream file-source streams."""
+        jvm = self.spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{self.path.rstrip('/')}/{subdir}/_SUCCESS"
+        )
+        fs = p.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
+        return fs.exists(p)
 
     def append(self, df: DataFrame) -> None:
         """INSERT-append in declared column order (positional, like SQL

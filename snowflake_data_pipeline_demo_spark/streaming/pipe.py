@@ -16,17 +16,20 @@ at ingest (schema'd JSON scan, vectorized, JVM-side) is the plan that
 survives 100 TB — re-parsing text per downstream query/consumer would
 multiply the parse cost by the number of consumers.
 
-At-least-once caveat (no Delta in this build): if the process dies
-between the raw append and checkpoint commit, the batch replays and can
-duplicate rows. The reference gets exactly-once from Snowpipe load
-history; with Delta the same comes from txn-id'd foreachBatch writes.
-Documented engine limitation. Purge safety (T10): copy_history rows are
-appended INSIDE foreachBatch and are durable before the checkpoint
-commit, so a ledger row alone does not prove its batch committed —
-purge additionally requires ``batch_id <= last_committed_batch()`` (the
-checkpoint commits/ frontier); without that check, a crash in the
-append-to-commit window would let purge delete a staged file whose
-batch replays on restart.
+Exactly-once rows (the Snowpipe load-history contract) without Delta:
+each micro-batch writes the raw rows to an idempotent, batch-id-keyed
+subdir (``batch_<id>/``, catalog.Table.overwrite_subdir) — the
+plain-parquet equivalent of Delta's txn-id'd foreachBatch write. On
+replay after a crash in the write-to-commit window, a batch whose
+``_SUCCESS`` marker already exists is SKIPPED (no new files, so
+downstream file-source streams see nothing new either); a half-written
+batch is overwritten and converges. The ledger write is likewise
+batch-keyed, so replays update-in-place instead of duplicating.
+
+Purge safety (T10) still requires the commit frontier: ledger rows are
+durable before the checkpoint commit, and the staged source files MUST
+survive until the commit lands (replay re-reads them) — so purge only
+trusts ``batch_id <= last_committed_batch()`` (checkpoint commits/).
 """
 
 from __future__ import annotations
@@ -67,14 +70,19 @@ class Pipe:
 
     # -- the COPY INTO body -------------------------------------------------
     def _ingest_batch(self, batch: DataFrame, batch_id: int) -> None:
+        sub = f"batch_{batch_id}"
         batch = batch.cache()  # one compute, two writes (raw + ledger)
         try:
-            rows = batch.drop("metadata$filename")
-            self.raw_table.append(
-                rows.select(
-                    F.struct(*[F.col(f.name) for f in self.doc_schema.fields]).alias("v"),
+            if not self.raw_table.subdir_committed(sub):
+                rows = batch.drop("metadata$filename")
+                self.raw_table.overwrite_subdir(
+                    rows.select(
+                        F.struct(
+                            *[F.col(f.name) for f in self.doc_schema.fields]
+                        ).alias("v"),
+                    ),
+                    sub,
                 )
-            )
             ledger = (
                 batch.groupBy(F.col("metadata$filename").alias("file_name"))
                 .agg(F.count("*").alias("row_count"))
@@ -88,7 +96,7 @@ class Pipe:
                     F.lit(batch_id).cast("long").alias("batch_id"),
                 )
             )
-            self.copy_history.append(ledger)
+            self.copy_history.overwrite_subdir(ledger, sub)
         finally:
             batch.unpersist()
 

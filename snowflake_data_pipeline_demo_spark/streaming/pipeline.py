@@ -104,7 +104,10 @@ class CitibikePipeline:
             _v("gender", "int").alias("gender"),
             _v("program_id", "int").alias("program_id"),
         )
-        self.trips.append(rows)
+        # batch-keyed idempotent write: a replay after a crash in the
+        # write-to-commit window converges instead of duplicating (the
+        # merge consumers are naturally idempotent; this INSERT is not)
+        self.trips.overwrite_subdir(rows, f"batch_{batch_id}")
         return batch.count()
 
     def _push_programs(self, batch: DataFrame, batch_id: int) -> int:

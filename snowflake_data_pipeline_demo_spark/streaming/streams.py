@@ -60,6 +60,9 @@ class TableStream:
         metadata$action='INSERT' (column provided for parity)."""
         return (
             self.spark.readStream.schema(self.table.schema)
+            # raw-table rows land in idempotent batch_N subdirs
+            # (catalog.Table.overwrite_subdir) — discover them too
+            .option("recursiveFileLookup", "true")
             .parquet(self.table.path)
             .withColumn("metadata$action", F.lit("INSERT"))
         )

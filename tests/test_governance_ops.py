@@ -142,11 +142,12 @@ def test_stream_data_files_sorted_by_starttime(spark, tables, tmp_path):
 def test_pipe_replay_after_crash_between_append_and_commit(
     spark, tables, tmp_path
 ):
-    """Pins the documented at-least-once window (pipe.py module
-    docstring): kill between the foreachBatch appends and the
-    checkpoint commit => on restart the batch REPLAYS (duplicate raw
-    rows, duplicate ledger rows — never lost rows), and the frontier
-    advances so purge trusts the file only after the re-commit."""
+    """Pins the exactly-once contract through the crash window (pipe.py
+    module docstring): kill between the foreachBatch writes and the
+    checkpoint commit => on restart the batch replays but the
+    batch-keyed idempotent writes CONVERGE — no duplicate raw rows, one
+    ledger row per file — and purge trusts the files only after the
+    re-commit."""
     import os
 
     p = CitibikePipeline(spark, str(tmp_path))
@@ -176,11 +177,12 @@ def test_pipe_replay_after_crash_between_append_and_commit(
     assert p.purge_files() == 0
     assert {f.path for f in p.stage.list()} == staged
 
-    # restart: the uncommitted batch replays => duplicates, no loss
+    # restart: the uncommitted batch replays; idempotent batch-keyed
+    # writes converge => NO duplicates, no loss
     p.pipe.run_available()
-    assert p.trips_raw.count() == 2 * n_rows
+    assert p.trips_raw.count() == n_rows
     ch = p.copy_history.read().groupBy("file_name").count()
-    assert ch.filter("count != 2").count() == 0
+    assert ch.filter("count != 1").count() == 0
     # re-commit restores the frontier; purge now trusts the files
     assert p.pipe.last_committed_batch() == frontier
     assert p.purge_files() == len(staged)
