@@ -215,3 +215,43 @@ def test_quantize_int8_roundtrip_and_zero_guard(spark):
     assert z[1]["q"] == [64, -127, 32]  # scale 127/1.0, round(0.5*127)=64
     assert z[1]["scale"] == 127.0
     assert z[2]["q"] == [0, 0, 0] and z[2]["scale"] == 0.0  # no div-by-0
+
+
+def test_salted_join_matches_plain_join(spark):
+    from snowflake_data_pipeline_demo_spark.operators import skew
+
+    # hot key: 90% of fact rows share key 1
+    fact = spark.createDataFrame(
+        [(i, 1 if i % 10 else 2, f"r{i}") for i in range(1000)],
+        "row_id long, k long, payload string",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (3, "unmatched")], "k long, label string"
+    )
+    plain = fact.join(dim, ["k"]).select("row_id", "label")
+    salted = skew.salted_join(fact, dim, ["k"], "row_id", buckets=8) \
+        .select("row_id", "label")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_groupby_agg_matches_plain(spark):
+    from snowflake_data_pipeline_demo_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [(i, 1 if i % 10 else 2, i * 1.5) for i in range(1000)],
+        "row_id long, k long, v double",
+    )
+    plain = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in df.groupBy("k").agg(
+            F.count("v").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx")
+        ).collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in skew.salted_groupby_agg(
+            df, ["k"], "row_id",
+            {"n": "count(v)", "s": "sum(v)", "mx": "max(v)"}, buckets=8,
+        ).collect()
+    }
+    assert plain == salted
