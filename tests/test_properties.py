@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) for the engine's core invariants:
+the epoch-micros wire encoding round-trips any second-precision NTZ
+timestamp, insert-only merge is a set union with target-wins, and AUTO
+date parsing agrees across both accepted formats."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_TS = st.datetimes(
+    min_value=dt.datetime(1900, 1, 1),
+    max_value=dt.datetime(2199, 12, 31, 23, 59, 59),
+).map(lambda d: d.replace(microsecond=0))
+
+_SLOW = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(st.lists(_TS, min_size=1, max_size=20))
+@_SLOW
+def test_epoch_micros_roundtrip(spark, tss):
+    """encode(decode(ts)) == ts for any second-precision timestamp in
+    [1900, 2200) — the VARIANT wire-format fidelity contract
+    (SURVEY §7.3) without a formatter in the loop."""
+    from snowflake_data_pipeline_demo_spark.functions.variant import (
+        epoch_micros_to_ntz, ntz_to_epoch_micros,
+    )
+
+    df = spark.createDataFrame([(t,) for t in tss], "ts timestamp_ntz")
+    out = df.select(
+        "ts", epoch_micros_to_ntz(ntz_to_epoch_micros("ts")).alias("rt")
+    ).collect()
+    assert all(r["ts"] == r["rt"] for r in out)
+
+
+@given(
+    st.sets(st.integers(0, 50), max_size=12),
+    st.sets(st.integers(0, 50), max_size=12),
+)
+@_SLOW
+def test_insert_only_merge_is_target_wins_union(spark, target_keys, source_keys):
+    """merge_result (the rows-to-append) == source \\ target on keys, so
+    target ∪ result is a union where existing target rows keep their
+    payload (no WHEN MATCHED branch anywhere in the reference)."""
+    from snowflake_data_pipeline_demo_spark.operators.merge import merge_result
+
+    schema = "k long, payload string"
+    target = spark.createDataFrame([(k, f"t{k}") for k in target_keys], schema)
+    source = spark.createDataFrame([(k, f"s{k}") for k in source_keys], schema)
+    appended = {r["k"]: r["payload"]
+                for r in merge_result(target, source, ["k"]).collect()}
+    assert set(appended) == source_keys - target_keys
+    assert all(appended[k] == f"s{k}" for k in appended)
+    merged = {k: f"t{k}" for k in target_keys} | appended
+    assert set(merged) == target_keys | source_keys
+    assert all(merged[k] == f"t{k}" for k in target_keys)  # target wins
+
+
+@given(st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2199, 12, 31)))
+@_SLOW
+def test_to_date_auto_formats_agree(spark, d):
+    """yyyy-MM-dd and M/d/yyyy parse to the same date (dp_demo.sql:115
+    passes '01/10/2020' where setup uses ISO strings)."""
+    from snowflake_data_pipeline_demo_spark.functions.scalars import to_date_auto
+
+    iso = d.strftime("%Y-%m-%d")
+    mdy = f"{d.month}/{d.day}/{d.year}"
+    row = spark.range(1).select(
+        to_date_auto(F.lit(iso)).alias("a"),
+        to_date_auto(F.lit(mdy)).alias("b"),
+    ).collect()[0]
+    assert row["a"] == row["b"] == d
