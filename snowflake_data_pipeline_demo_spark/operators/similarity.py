@@ -13,6 +13,14 @@ Two paths, same contract:
 Hyperplanes are pseudo-random +/-1 vectors derived from md5(plane:dim),
 so signatures are deterministic and reproducible in the DuckDB oracle
 (no RNG state, no JVM-only hashing).
+
+Measured dead end (do not retry): unrolling the dot products into
+explicit GetArrayItem multiply-add chains (dim=64 terms) to escape the
+HOF CodegenFallback made things 5-10x SLOWER (lsh_ann 3.4s -> 22s,
+ivf 2.1s -> 29s at sf0.1) — the giant expression trees blow past
+codegen method limits and interpret per-node, while the HOF loop
+interprets one compact loop. The aggregate/zip_with forms below are
+the fastest JVM-side shape at embedding dims.
 """
 
 from __future__ import annotations
