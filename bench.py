@@ -29,6 +29,7 @@ HEADLINE = [
     "o5_top16",
     "p2_date_range_filter",
     "x_dedup_minhash_lsh",
+    "x_dedup_minhash_xxhash",
     "x_dedup_exact",
     "x_text_stats",
     "x_sim_cosine_topk",

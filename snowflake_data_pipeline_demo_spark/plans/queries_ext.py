@@ -747,3 +747,24 @@ def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("z.q"), lambda x: x.cast("string")), ","
         )).alias("checksum"),
     )
+
+
+@query(
+    "x_dedup_minhash_xxhash",
+    # xxhash64 has no DuckDB twin — rows-only check; the md5 variant
+    # above is the oracle-gated correctness gate for the same pipeline
+    oracle=None,
+    survey_ref="north-star:dedup-minhash-production",
+)
+def x_dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION MinHash+LSH path: seeded xxhash64 signatures (one
+    codegen'd hash per (seed, shingle), no hex round-trip) through the
+    same banding/estimate pipeline as the oracle-gated md5 variant."""
+    from .queries import _materialize
+
+    d = testdata.load(spark, sf_dir, "documents")
+    sigs = _materialize(
+        dedup.minhash_signatures(d, num_hashes=16, hash_family="xxhash64")
+    )
+    pairs = _materialize(dedup.lsh_candidate_pairs(sigs, bands=4))
+    return dedup.minhash_jaccard_estimate(sigs, pairs)

@@ -255,3 +255,28 @@ def test_salted_groupby_agg_matches_plain(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_minhash_families_agree_on_strong_pairs(spark, docs):
+    """md5 (oracle) and xxhash64 (production) MinHash are estimators of
+    the same Jaccard — pairs with a strong estimate under one family
+    should be found by the other (same shingles, independent hashes)."""
+    md5_sigs = dedup.minhash_signatures(docs, num_hashes=16).cache()
+    xx_sigs = dedup.minhash_signatures(
+        docs, num_hashes=16, hash_family="xxhash64").cache()
+
+    def est_map(sigs):
+        pairs = dedup.lsh_candidate_pairs(sigs, bands=4)
+        est = dedup.minhash_jaccard_estimate(sigs, pairs)
+        return {(r["id_a"], r["id_b"]): r["jaccard_est"]
+                for r in est.collect()}
+
+    a, b = est_map(md5_sigs), est_map(xx_sigs)
+    # candidacy itself is probabilistic (4x4 banding misses a true-0.75
+    # pair ~22% of the time per family), so compare the ESTIMATES on
+    # pairs both families surfaced: independent 16-hash estimators of
+    # the same Jaccard, per-pair stderr ~0.11 => tight mean agreement
+    common = set(a) & set(b)
+    assert len(common) >= 10
+    mean_abs_diff = sum(abs(a[p] - b[p]) for p in common) / len(common)
+    assert mean_abs_diff < 0.15
