@@ -768,3 +768,34 @@ def x_dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = _materialize(dedup.lsh_candidate_pairs(sigs, bands=4))
     return dedup.minhash_jaccard_estimate(sigs, pairs)
+
+
+@query(
+    "x_dedup_incremental",
+    oracle="""
+    WITH old AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id < 400
+    ), new AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id >= 400
+    )
+    SELECT n.doc_id, n.fp
+    FROM new n LEFT JOIN old o ON n.fp = o.fp
+    WHERE o.fp IS NULL
+    """,
+    survey_ref="north-star:dedup-incremental",
+)
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: a new batch anti-joined against the
+    historical fingerprint set — the per-ingest dedup step of a
+    continuously-growing corpus. At scale the history side is a
+    fingerprint-only table (32 bytes/doc); the anti-join shuffles on
+    the uniform fp key, or broadcasts when the new batch is small."""
+    from ..operators.text import content_fingerprint
+
+    d = testdata.load(spark, sf_dir, "documents")
+    fp = content_fingerprint("text").alias("fp")
+    old = d.filter(F.col("doc_id") < 400).select(fp).distinct()
+    new = d.filter(F.col("doc_id") >= 400).select("doc_id", fp)
+    return new.join(old, "fp", "left_anti").select("doc_id", "fp")
