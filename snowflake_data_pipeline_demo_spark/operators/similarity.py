@@ -291,3 +291,59 @@ def quantize_int8(vec: Column) -> Column:
     scale = F.when(absmax == 0, F.lit(0.0)).otherwise(F.lit(127.0) / absmax)
     q = F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("int"))
     return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    nlist: int = 8,
+    iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train IVF centroids: spherical k-means (Lloyd's on normalized
+    vectors) over a deterministic sample, run driver-side in numpy.
+
+    Centroid TRAINING is sample-scale — a few thousand vectors bound
+    the centroid quality regardless of corpus size — so the right tool
+    is vectorized numpy on the driver, not a distributed iteration
+    (same judgment as the inlined-literal assignment in
+    :func:`ivf_assign`; at 100 TB only the ASSIGN step must scale).
+    Deterministic end to end: the sample is the ``sample`` lowest ids,
+    init is farthest-point from the lowest-id vector, ties and empty
+    clusters re-seed deterministically. Output: (centroid_id, vec)
+    rows ready for :func:`ivf_topk`."""
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col).limit(sample).collect()
+    )
+    X = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    # farthest-point init (deterministic; ties -> lowest index)
+    chosen = [0]
+    sims = Xn @ Xn[0]
+    while len(chosen) < min(nlist, len(Xn)):
+        nxt = int(np.argmin(sims))
+        chosen.append(nxt)
+        sims = np.maximum(sims, Xn @ Xn[nxt])
+    C = Xn[chosen].copy()
+
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(len(C)):
+            members = Xn[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+            else:
+                # re-seed an empty cluster with the worst-covered point
+                worst = int(np.argmin((Xn @ C.T).max(axis=1)))
+                C[j] = Xn[worst]
+
+    return corpus.sparkSession.createDataFrame(
+        [(j, [float(x) for x in C[j]]) for j in range(len(C))],
+        f"centroid_id long, {vec_col} array<float>",
+    )

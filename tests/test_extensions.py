@@ -280,3 +280,28 @@ def test_minhash_families_agree_on_strong_pairs(spark, docs):
     assert len(common) >= 10
     mean_abs_diff = sum(abs(a[p] - b[p]) for p in common) / len(common)
     assert mean_abs_diff < 0.15
+
+
+def test_kmeans_centroids_give_usable_ivf_recall(spark, emb):
+    """Trained centroids: deterministic across runs, and IVF recall with
+    them is at least as good as the arbitrary first-nlist seed set."""
+    c1 = similarity.kmeans_centroids(emb, nlist=8)
+    c2 = similarity.kmeans_centroids(emb, nlist=8)
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, q, k=5)
+    n_exact = exact.count()
+
+    def recall(cent):
+        approx = similarity.ivf_topk(emb, q, cent, k=5, nprobe=2)
+        return exact.join(approx, ["query_id", "neighbor_id"]).count() / n_exact
+
+    naive = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    r_kmeans, r_naive = recall(c1), recall(naive)
+    assert r_kmeans >= 0.5
+    assert r_kmeans >= r_naive - 0.05  # never meaningfully worse
