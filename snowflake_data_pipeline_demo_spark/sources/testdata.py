@@ -44,14 +44,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # loads work regardless of how the session was constructed.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long (ns
-    # since epoch) under spark.sql.legacy.parquet.nanosAsLong; convert to
-    # a proper timestamp column JVM-side (no precision below micros).
+    # events.ts arrives either as parquet TIMESTAMP(NANOS) — read as long
+    # (ns since epoch) under spark.sql.legacy.parquet.nanosAsLong — or,
+    # in newer testdata drops, as micros-precision TIMESTAMP_NTZ.
+    # Normalize both to the session (UTC) TIMESTAMP type so downstream
+    # epoch arithmetic (sessionize, window rollup) sees one type.
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             # integer div — double division would lose ulp precision on
             # epoch-nanos magnitudes and skew timestamps by ±1us.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     try:
         fact_scale = os.path.getsize(path) >= _REPARTITION_MIN_BYTES
