@@ -39,6 +39,9 @@ HEADLINE = [
     "x_vocab_topk",
     "f7_variant_native",
     "x_multimodal_byte_histogram",
+    "x_asof_join",
+    "x_decontaminate",
+    "x_chunk_tokens",
 ]
 
 

@@ -1,0 +1,55 @@
+"""Document chunking for training pipelines: split long documents into
+fixed token windows with overlap (stride), producing the chunk table a
+tokenizer/packing stage consumes.
+
+Scale shape: pure per-row projection — tokenize once, explode the
+chunk-start sequence, slice the token array. No shuffle, no Python;
+chunk count per doc is ceil(n/stride), so output volume is bounded by
+``window/stride`` × input tokens. At 100 TB this runs at scan speed and
+the chunk table partitions however the write chooses (typically by
+source/date, inherited from the input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def chunk_by_tokens(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", window: int = 32,
+                    stride: int = 24) -> DataFrame:
+    """One output row per (doc, chunk): chunk i covers tokens
+    ``[i*stride, i*stride + window)``; starts advance by ``stride`` while
+    ``i*stride < n_tokens``, so consecutive chunks overlap by
+    ``window - stride`` tokens and the tail chunk may be short. Empty
+    docs produce no chunks.
+
+    Output: ``(id_col, chunk_id, n_chunk_tokens, chunk_text)``.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_t")).withColumn(
+        "_n", F.size("_t")
+    )
+    n_chunks = F.floor((F.col("_n") - 1) / stride) + 1
+    return (
+        toks.filter(F.col("_n") > 0)
+        .select(
+            F.col(id_col), F.col("_t"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(F.col("_t"), F.col("chunk_id") * stride + 1, window)
+            .alias("_chunk"),
+        )
+        .select(
+            id_col, "chunk_id",
+            F.size("_chunk").cast("long").alias("n_chunk_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )

@@ -122,6 +122,44 @@ def quality_score(c: Column | str) -> Column:
     )
 
 
+#: the "must contain >=2 of these" stopword rule from Gopher-style
+#: document filtering (Rae et al. 2021, §A1.1 — public paper)
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_flags(c: Column | str) -> Column:
+    """Gopher-style quality rule flags as a struct of booleans — the
+    repetition/shape heuristics from Rae et al. 2021 (public), adapted
+    to single-line documents:
+
+    - ``ok_tokens``: 10 <= token count <= 5000
+    - ``ok_word_len``: mean word length in [2, 12]
+    - ``ok_stopwords``: contains >= 2 distinct required stopwords
+    - ``ok_unique``: unique-token ratio >= 0.2 (repetition guard)
+
+    Each rule is a codegen'd expression over one tokenization — no
+    shuffle, no Python. ``keep`` is the conjunction.
+    """
+    toks = tokens(c)
+    n = F.size(toks)
+    ok_tokens = (n >= 10) & (n <= 5000)
+    mwl = mean_word_len(c)
+    ok_word_len = (mwl >= 2.0) & (mwl <= 12.0)
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    n_req = F.size(F.filter(F.array_distinct(toks),
+                            lambda t: F.array_contains(req, t)))
+    ok_stopwords = n_req >= 2
+    uniq = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
+    ok_unique = uniq >= 0.2
+    return F.struct(
+        ok_tokens.alias("ok_tokens"),
+        ok_word_len.alias("ok_word_len"),
+        ok_stopwords.alias("ok_stopwords"),
+        ok_unique.alias("ok_unique"),
+        (ok_tokens & ok_word_len & ok_stopwords & ok_unique).alias("keep"),
+    )
+
+
 def content_fingerprint(c: Column | str) -> Column:
     """md5 of the normalized text — the exact-dedup key."""
     return F.md5(normalize(c))

@@ -12,7 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, sampling, similarity, text
+from ..operators import (
+    chunking, decontam, dedup, joins, multimodal, sampling, similarity, text,
+)
 from ..sources import testdata
 from .queries import query
 
@@ -799,3 +801,203 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = d.filter(F.col("doc_id") < 400).select(fp).distinct()
     new = d.filter(F.col("doc_id") >= 400).select("doc_id", fp)
     return new.join(old, "fp", "left_anti").select("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (as-of / range), decontamination, chunking, quality rules
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.value,
+           v.value AS value_asof,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS secs_since_view
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    survey_ref="north-star:asof-join",
+)
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the latest prior view
+    event of the same user (operators/joins.py union-merge shape — one
+    shuffle on user_id, no inequality nested loop). DuckDB's native
+    ASOF JOIN is the oracle."""
+    e = testdata.load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = joins.asof_join(purchases, views, keys=["user_id"],
+                          ts_col="ts", right_cols=["value"])
+    return out.select(
+        "event_id", "user_id", "value",
+        F.col("value_asof"),
+        (F.col("ts").cast("long") - F.col("ts_asof").cast("long"))
+        .alias("secs_since_view"),
+    )
+
+
+@query(
+    "x_range_join",
+    oracle="""
+    WITH err AS (
+      SELECT event_id AS error_id, user_id, ts AS s,
+             ts + INTERVAL 300 SECOND AS e
+      FROM events WHERE event_type = 'error'
+    ), v AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ), hits AS (
+      SELECT error_id, COUNT(*) AS n_views
+      FROM err JOIN v ON err.user_id = v.user_id
+                     AND v.ts BETWEEN err.s AND err.e
+      GROUP BY 1
+    )
+    SELECT err.error_id, CAST(COALESCE(hits.n_views, 0) AS BIGINT) AS n_views
+    FROM err LEFT JOIN hits USING (error_id)
+    """,
+    survey_ref="north-star:range-join",
+)
+def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: views falling inside each error's 5-minute
+    follow-up window, per user — bucketed equi-join + residual filter
+    (operators/joins.py), never a nested-loop inequality join."""
+    e = testdata.load(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("e"),
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    hits = (
+        joins.range_interval_join(err, views, keys=["user_id"],
+                                  start_col="s", end_col="e",
+                                  point_ts="ts", bucket_seconds=300)
+        .groupBy("error_id").agg(F.count("*").alias("n_views"))
+    )
+    return (
+        err.select("error_id")
+        .join(hits, "error_id", "left")
+        .select(
+            "error_id",
+            F.coalesce(F.col("n_views"), F.lit(0)).cast("long")
+            .alias("n_views"),
+        )
+    )
+
+
+@query(
+    "x_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DTOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 3
+                    THEN [concat_ws(' ', t[CAST(i AS INT)],
+                                    t[CAST(i AS INT)+1], t[CAST(i AS INT)+2])
+                          for i in range(1, len(t)-1)]
+                    ELSE [array_to_string(t, ' ')] END) AS s
+      FROM toks
+    ), ev AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT doc_id, COUNT(DISTINCT s) AS n_hits
+      FROM sh JOIN ev USING (s)
+      WHERE doc_id % 97 != 0
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) >= 2 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 97 != 0
+    """,
+    survey_ref="north-star:decontamination",
+)
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-3-gram overlap of every training
+    doc against the (broadcast) eval-set n-gram table; >= 2 shared
+    shingles flags contamination (operators/decontam.py)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    eval_docs = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return decontam.ngram_contamination(corpus, eval_docs, k=3, min_hits=2)
+
+
+@query(
+    "x_chunk_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DTOKS} AS t FROM documents
+    ), c AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(floor((len(t)-1)/24) AS BIGINT) + 1))
+               AS chunk_id
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(t, chunk_id*24+1, chunk_id*24+32)) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(t, chunk_id*24+1, chunk_id*24+32), ' ')
+             AS chunk_text
+    FROM c
+    """,
+    survey_ref="north-star:chunking",
+)
+def x_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (window=32, stride=24): the chunk table a
+    tokenizer/packing stage consumes (operators/chunking.py) — per-row
+    projection, no shuffle."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return chunking.chunk_by_tokens(d, window=32, stride=24)
+
+
+@query(
+    "x_quality_gopher",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DTOKS} AS t FROM documents
+    ), m AS (
+      SELECT doc_id, len(t) AS n,
+             CASE WHEN len(t) > 0 THEN
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(t, w -> CAST(length(w) AS BIGINT))),
+                 (x, y) -> x + y) / CAST(len(t) AS DOUBLE)
+             ELSE 0.0 END AS mwl,
+             len(list_filter(list_distinct(t),
+                 w -> list_contains(['the','be','to','of','and','that',
+                                     'have','with'], w))) AS n_req,
+             CASE WHEN len(t) > 0
+                  THEN len(list_distinct(t)) / CAST(len(t) AS DOUBLE)
+                  ELSE 0.0 END AS uniq
+      FROM t
+    )
+    SELECT doc_id,
+           n >= 10 AND n <= 5000 AS ok_tokens,
+           mwl >= 2.0 AND mwl <= 12.0 AS ok_word_len,
+           n_req >= 2 AS ok_stopwords,
+           uniq >= 0.2 AS ok_unique,
+           (n >= 10 AND n <= 5000) AND (mwl >= 2.0 AND mwl <= 12.0)
+             AND n_req >= 2 AND uniq >= 0.2 AS keep_doc
+    FROM m
+    """,
+    survey_ref="north-star:quality-gopher",
+)
+def x_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule flags (Rae et al. 2021, public) per
+    document — four boolean rules + the keep conjunction, all codegen'd
+    expressions over one tokenization (operators/text.gopher_flags)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    g = text.gopher_flags("text")
+    return d.select("doc_id", g.alias("g")).select(
+        "doc_id",
+        F.col("g.ok_tokens").alias("ok_tokens"),
+        F.col("g.ok_word_len").alias("ok_word_len"),
+        F.col("g.ok_stopwords").alias("ok_stopwords"),
+        F.col("g.ok_unique").alias("ok_unique"),
+        F.col("g.keep").alias("keep_doc"),
+    )

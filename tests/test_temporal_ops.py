@@ -1,0 +1,132 @@
+"""Unit tests for the temporal joins (as-of, range), decontamination,
+chunking, and Gopher-rule operators — synthetic frames pin the edge
+semantics the oracle queries can't isolate (ties, tolerance, bucket
+boundaries, planted contamination)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from snowflake_data_pipeline_demo_spark.operators import (
+    chunking, decontam, joins, text,
+)
+
+
+def _ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_prior_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "p1"),
+         (1, _ts("2024-01-01T10:05:00"), "p2"),
+         (2, _ts("2024-01-01T09:00:00"), "p3")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:59:00"), 1.0),
+         (1, _ts("2024-01-01T10:05:00"), 2.0),   # exact tie with p2
+         (3, _ts("2024-01-01T08:00:00"), 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["tag"]: r
+        for r in joins.asof_join(left, right, keys=["user_id"],
+                                 right_cols=["value"]).collect()
+    }
+    assert out["p1"]["value_asof"] == 1.0
+    # inclusive: a right row at exactly left.ts matches
+    assert out["p2"]["value_asof"] == 2.0
+    # no prior right row for user 2 -> nulls
+    assert out["p3"]["value_asof"] is None
+    assert out["p3"]["ts_asof"] is None
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"))], "user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 5.0)],
+        "user_id long, ts timestamp, value double")
+    fresh = joins.asof_join(left, right, keys=["user_id"],
+                            right_cols=["value"],
+                            tolerance_seconds=3 * 3600).collect()[0]
+    stale = joins.asof_join(left, right, keys=["user_id"],
+                            right_cols=["value"],
+                            tolerance_seconds=3600).collect()[0]
+    assert fresh["value_asof"] == 5.0
+    assert stale["value_asof"] is None and stale["ts_asof"] is None
+
+
+def test_range_join_boundaries_and_multi_bucket_no_dups(spark):
+    # interval spans 3 buckets at bucket_seconds=60; the matching point
+    # must appear exactly once, and both endpoints are inclusive
+    ivl = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T00:00:30"), _ts("2024-01-01T00:02:30"))],
+        "user_id long, ivl_id long, s timestamp, e timestamp")
+    pts = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:30")),    # start boundary
+         (1, _ts("2024-01-01T00:01:45")),    # middle (2nd bucket)
+         (1, _ts("2024-01-01T00:02:30")),    # end boundary
+         (1, _ts("2024-01-01T00:02:31")),    # just outside
+         (2, _ts("2024-01-01T00:01:00"))],   # wrong key
+        "user_id long, ts timestamp")
+    got = joins.range_interval_join(
+        ivl, pts, keys=["user_id"], start_col="s", end_col="e",
+        point_ts="ts", bucket_seconds=60)
+    rows = got.collect()
+    assert len(rows) == 3
+    assert all(r["ivl_id"] == 10 for r in rows)
+
+
+def test_chunking_windows_and_tail(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(40))),  # 40 tokens
+         (2, "solo"),
+         (3, "")],                                   # no tokens -> no chunks
+        "doc_id long, text string")
+    out = chunking.chunk_by_tokens(df, window=32, stride=24)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    assert set(rows) == {(1, 0), (1, 1), (2, 0)}
+    assert rows[(1, 0)]["n_chunk_tokens"] == 32
+    assert rows[(1, 1)]["n_chunk_tokens"] == 16          # tail chunk
+    # stride 24 < window 32 -> 8-token overlap between chunks
+    c0 = rows[(1, 0)]["chunk_text"].split()
+    c1 = rows[(1, 1)]["chunk_text"].split()
+    assert c0[24:] == c1[:8]
+    assert rows[(2, 0)]["chunk_text"] == "solo"
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    leak = "the quick brown fox jumps over the lazy dog"
+    corpus = spark.createDataFrame(
+        [(1, f"intro words then {leak} and a conclusion"),
+         (2, "completely unrelated content about spark plans"),
+         (3, leak)],
+        "doc_id long, text string")
+    eval_docs = spark.createDataFrame(
+        [(100, leak)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in decontam.ngram_contamination(
+        corpus, eval_docs, k=3, min_hits=2).collect()}
+    assert got[1]["contaminated"] and got[3]["contaminated"]
+    assert not got[2]["contaminated"] and got[2]["n_hits"] == 0
+    kept = decontam.decontaminate(corpus, eval_docs, k=3, min_hits=2)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_gopher_flags_rules(spark):
+    good = "the cat sat on a mat and that dog ran off with the red ball " \
+           "to be near all of them today"
+    df = spark.createDataFrame(
+        [(1, good),
+         (2, "short text"),                       # < 10 tokens
+         (3, " ".join(["spam"] * 50))],           # repetition, no stopwords
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id", text.gopher_flags("text").alias("g")).select(
+        "doc_id", "g.*").collect()}
+    assert got[1]["keep"]
+    assert not got[2]["ok_tokens"] and not got[2]["keep"]
+    assert not got[3]["ok_unique"] and not got[3]["ok_stopwords"]
