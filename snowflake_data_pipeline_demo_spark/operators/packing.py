@@ -1,0 +1,91 @@
+"""Sequence packing for training pipelines: lay the (ordered) token
+stream of chunked documents end to end and cut fixed-length training
+sequences — the "concat then split every L tokens" packing GPT-style
+data loaders use.
+
+The core primitive is a GLOBAL running prefix sum over a total order.
+The naive Spark form — ``sum().over(Window.orderBy(...))`` with no
+partition key — collapses to ONE partition (Spark even warns) and dies
+at scale. The scale-correct shape used here:
+
+1. ``repartitionByRange`` on the order columns (range exchange — the
+   same movement a global sort pays, and the only full-data move);
+2. per-partition running sums via a window keyed on
+   ``spark_partition_id()`` (parallel, no further shuffle);
+3. per-partition TOTALS (one tiny row per partition) collected to the
+   driver, prefix-summed there, and joined back as broadcast offsets.
+
+Step 3 moves #partitions rows — bytes — so the whole prefix sum costs
+one range exchange plus a broadcast. Range boundaries are sampled and
+therefore not deterministic, but the OUTPUT is: a row's global prefix
+is invariant to where partition boundaries fall.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_running_offset(df: DataFrame, order_cols: Sequence[str],
+                          value_col: str,
+                          out_col: str = "offset") -> DataFrame:
+    """Append ``out_col`` = sum of ``value_col`` over all rows strictly
+    BEFORE this row in the total order defined by ``order_cols``
+    (exclusive prefix sum). Ties in ``order_cols`` must not exist —
+    the order must be total for the result to be well-defined."""
+    order_cols = list(order_cols)
+    part = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid").orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn(
+        "_local", F.sum(value_col).over(w) - F.col(value_col)
+    )
+    totals = {
+        r["_pid"]: r["_tot"]
+        for r in part.groupBy("_pid").agg(
+            F.sum(value_col).alias("_tot")
+        ).collect()
+    }
+    running, prefix = 0, {}
+    for pid in sorted(totals):
+        prefix[pid] = running
+        running += totals[pid]
+    spark = df.sparkSession
+    pre = spark.createDataFrame(
+        [(pid, int(off)) for pid, off in prefix.items()],
+        "_pid int, _prefix long",
+    )
+    return (
+        local.join(F.broadcast(pre), "_pid")
+        .withColumn(out_col, (F.col("_local") + F.col("_prefix")).cast("long"))
+        .drop("_pid", "_local", "_prefix")
+    )
+
+
+def pack_sequences(chunks: DataFrame, seq_len: int = 64,
+                   id_col: str = "doc_id", chunk_col: str = "chunk_id",
+                   tokens_col: str = "n_chunk_tokens") -> DataFrame:
+    """Assign every chunk its position in the packed token stream:
+    ``pack_id`` = which fixed-length training sequence the chunk STARTS
+    in, ``pack_offset`` = its start position within that sequence, and
+    ``spans_packs`` = whether it straddles a sequence boundary (loaders
+    split those at read time). Deterministic global order is
+    (``id_col``, ``chunk_col``)."""
+    offs = global_running_offset(
+        chunks, [id_col, chunk_col], tokens_col, out_col="token_offset"
+    )
+    return offs.select(
+        id_col, chunk_col, tokens_col, "token_offset",
+        (F.col("token_offset") / seq_len).cast("long").alias("pack_id"),
+        (F.col("token_offset") % seq_len).cast("long").alias("pack_offset"),
+        (
+            (F.col("token_offset") % seq_len) + F.col(tokens_col) > seq_len
+        ).alias("spans_packs"),
+    )

@@ -1001,3 +1001,46 @@ def x_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g.ok_unique").alias("ok_unique"),
         F.col("g.keep").alias("keep_doc"),
     )
+
+
+@query(
+    "x_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DTOKS} AS t FROM documents
+    ), c AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(floor((len(t)-1)/24) AS BIGINT) + 1))
+               AS chunk_id
+      FROM toks WHERE len(t) > 0
+    ), ch AS (
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(len(list_slice(t, chunk_id*24+1, chunk_id*24+32)) AS BIGINT)
+               AS n_chunk_tokens
+      FROM c
+    ), o AS (
+      SELECT doc_id, chunk_id, n_chunk_tokens,
+             CAST(COALESCE(SUM(n_chunk_tokens) OVER (
+               ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS token_offset
+      FROM ch
+    )
+    SELECT doc_id, chunk_id, n_chunk_tokens, token_offset,
+           CAST(floor(token_offset / 64) AS BIGINT) AS pack_id,
+           CAST(token_offset % 64 AS BIGINT) AS pack_offset,
+           (token_offset % 64) + n_chunk_tokens > 64 AS spans_packs
+    FROM o
+    """,
+    survey_ref="north-star:sequence-packing",
+)
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing over the chunk table: a global
+    prefix sum in the scale-correct two-phase shape (range exchange +
+    per-partition window + broadcast prefix offsets — never a
+    single-partition global window; operators/packing.py)."""
+    from ..operators import packing
+
+    d = testdata.load(spark, sf_dir, "documents")
+    chunks = chunking.chunk_by_tokens(d, window=32, stride=24)
+    return packing.pack_sequences(chunks, seq_len=64)

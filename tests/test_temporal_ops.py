@@ -130,3 +130,32 @@ def test_gopher_flags_rules(spark):
     assert got[1]["keep"]
     assert not got[2]["ok_tokens"] and not got[2]["keep"]
     assert not got[3]["ok_unique"] and not got[3]["ok_stopwords"]
+
+
+def test_global_running_offset_matches_serial_cumsum(spark):
+    from snowflake_data_pipeline_demo_spark.operators import packing
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(8)
+    got = {
+        r["k"]: r["offset"]
+        for r in packing.global_running_offset(df, ["k"], "v").collect()
+    }
+    acc = 0
+    for k, v in rows:  # already in k order
+        assert got[k] == acc, f"k={k}"
+        acc += v
+
+
+def test_pack_sequences_boundaries(spark):
+    from snowflake_data_pipeline_demo_spark.operators import packing
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 32), (1, 1, 32), (2, 0, 32), (2, 1, 10)],
+        "doc_id long, chunk_id long, n_chunk_tokens long")
+    got = {(r["doc_id"], r["chunk_id"]): r
+           for r in packing.pack_sequences(chunks, seq_len=64).collect()}
+    assert got[(1, 0)]["pack_id"] == 0 and got[(1, 0)]["pack_offset"] == 0
+    assert got[(1, 1)]["pack_offset"] == 32 and not got[(1, 1)]["spans_packs"]
+    assert got[(2, 0)]["pack_id"] == 1 and got[(2, 0)]["pack_offset"] == 0
+    assert got[(2, 1)]["pack_offset"] == 32
