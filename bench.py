@@ -42,6 +42,7 @@ HEADLINE = [
     "x_asof_join",
     "x_decontaminate",
     "x_chunk_tokens",
+    "x_sim_lsh_ann_prod",
 ]
 
 
@@ -51,6 +52,9 @@ def main() -> None:
     from snowflake_data_pipeline_demo_spark.session import get_spark
 
     spark = get_spark("bench")
+    # touch the executor path once so JVM/executor startup is attributed
+    # to session setup, not to whichever query happens to run first
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     names = [n for n in HEADLINE if n in QUERIES]
 
     def run_all() -> tuple[dict[str, float], float]:

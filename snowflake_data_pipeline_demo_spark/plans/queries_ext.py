@@ -1044,3 +1044,24 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = testdata.load(spark, sf_dir, "documents")
     chunks = chunking.chunk_by_tokens(d, window=32, stride=24)
     return packing.pack_sequences(chunks, seq_len=64)
+
+
+@query(
+    "x_sim_lsh_ann_prod",
+    # float summation order in the numpy matmul differs from the
+    # left-fold oracle expression, so near-zero projections can flip a
+    # bucket bit — rows-only check; x_sim_lsh_ann is the oracle-gated
+    # twin of the same pipeline
+    oracle=None,
+    survey_ref="north-star:similarity-lsh-ann-production",
+)
+def x_sim_lsh_ann_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION LSH ANN path: signatures via one Arrow-batched
+    numpy matmul per batch (lsh_signatures_pandas) instead of 16
+    interpreted HOF folds per row; identical bucketing/re-rank plan."""
+    e = testdata.load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_ann_topk(e, q, k=5, planes=8, tables=2,
+                                   signature_impl="pandas")
