@@ -165,6 +165,40 @@ def content_fingerprint(c: Column | str) -> Column:
     return F.md5(normalize(c))
 
 
+def tfidf_topk(df, text_col: str = "text", id_col: str = "doc_id",
+               k: int = 3):
+    """Top-``k`` terms per document by TF-IDF (tf * ln(N/df), ties by
+    token asc). Output: (id, rank, token, tfidf rounded to 4dp).
+
+    Scale shape: explode tokens once; TF is a (doc, token) hash-agg and
+    DF a (token) hash-agg — both partial-aggregated map-side; the
+    TF⋈DF join shuffles on the token key (hot/stopword tokens are
+    exactly AQE's skew-split case), and the final per-doc top-k is a
+    rank window partitioned by doc. N is one driver scalar. No text
+    moves after the explode projection — only (token, counts) pairs.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("token").agg(
+        F.count_distinct(id_col).alias("df")
+    )
+    scored = tf.join(dfreq, "token").select(
+        F.col(id_col), F.col("token"),
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "tfidf")
+    )
+
+
 def rolling_hash(c: Column | str) -> Column:
     """Polynomial rolling hash over the normalized character stream:
     ``h = (h*131 + ascii(ch)) mod 1e9+7``. Identical arithmetic is

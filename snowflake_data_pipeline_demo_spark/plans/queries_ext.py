@@ -1065,3 +1065,37 @@ def x_sim_lsh_ann_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return similarity.lsh_ann_topk(e, q, k=5, planes=8, tables=2,
                                    signature_impl="pandas")
+
+
+@query(
+    "x_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DTOKS}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / dfreq.df), 4)
+               AS tfidf
+      FROM tf JOIN dfreq USING (token)
+    ), ranked AS (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rank
+      FROM scored
+    )
+    SELECT doc_id, rank, token, tfidf FROM ranked WHERE rank <= 3
+    """,
+    survey_ref="north-star:tfidf",
+)
+def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/text.tfidf_topk):
+    two map-side-combined hash aggs + one token-key join + per-doc
+    rank window."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return text.tfidf_topk(d, k=3)

@@ -178,3 +178,44 @@ def test_lsh_ann_pandas_signatures_match_hof(spark):
     b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in prod.collect()}
     agree = sum(a[k] == b.get(k) for k in a)
     assert agree / len(a) >= 0.95
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Independent reference: pandas.merge_asof on a seeded random
+    event set must agree exactly (inclusive direction='backward' is the
+    same contract)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    base = 1_700_000_000
+    left = sorted(
+        (rng.randrange(5), base + rng.randrange(100_000))
+        for _ in range(300)
+    )
+    right = sorted(
+        (rng.randrange(5), base + rng.randrange(100_000), rng.random())
+        for _ in range(300)
+    )
+    lpdf = pd.DataFrame(left, columns=["user_id", "epoch"])
+    lpdf["ts"] = pd.to_datetime(lpdf["epoch"], unit="s")
+    lpdf["lid"] = range(len(lpdf))
+    rpdf = pd.DataFrame(right, columns=["user_id", "epoch", "value"])
+    rpdf["ts"] = pd.to_datetime(rpdf["epoch"], unit="s")
+    expected = pd.merge_asof(
+        lpdf.sort_values("ts", kind="stable"),
+        rpdf.drop(columns=["epoch"]).sort_values("ts", kind="stable"),
+        on="ts", by="user_id", direction="backward",
+    ).set_index("lid")["value"]
+
+    ldf = spark.createDataFrame(lpdf[["user_id", "ts", "lid"]])
+    rdf = spark.createDataFrame(rpdf[["user_id", "ts", "value"]])
+    got = {
+        r["lid"]: r["value_asof"]
+        for r in joins.asof_join(ldf, rdf, keys=["user_id"],
+                                 right_cols=["value"]).collect()
+    }
+    for lid, exp in expected.items():
+        g = got[lid]
+        assert (pd.isna(exp) and g is None) or g == exp, lid
