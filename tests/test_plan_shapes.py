@@ -1,0 +1,88 @@
+"""Physical-plan shape pins: the properties the 100 TB design depends
+on (SCALE.md) asserted against `.explain("formatted")` output, so a
+refactor that silently de-optimizes a plan (drops a pushdown, turns a
+bucketed join into a nested loop, falls back to SortAggregate) fails
+fast. String-level checks on node names — robust to AQE re-printing,
+fragile only to Spark renaming operators (acceptable)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from snowflake_data_pipeline_demo_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].builder(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_date_filter_reaches_parquet_scan(spark):
+    p = _plan(spark, "p2_date_range_filter")
+    assert "GreaterThanOrEqual(l_shipdate" in p  # pushed, not post-scan
+
+
+def test_star_join_never_goes_cartesian(spark):
+    p = _plan(spark, "j1_star_join_revenue")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortAggregate" not in p
+
+
+def test_pure_projection_operators_have_no_shuffle(spark):
+    for name in ("x_text_stats", "x_chunk_tokens", "x_quality_gopher"):
+        p = _plan(spark, name)
+        assert "Exchange" not in p, name
+
+
+def test_minhash_production_stays_in_hash_aggregate(spark):
+    # long-typed min buffers keep the codegen'd HashAggregate; a string
+    # signature type would silently fall back to SortAggregate
+    p = _plan(spark, "x_dedup_minhash_xxhash")
+    assert "SortAggregate" not in p
+    assert "HashAggregate" in p
+
+
+def test_flagship_joins_are_broadcast_plus_single_like_bnlj(spark):
+    p = _plan(spark, "flagship_secure_report")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # the LIKE theta join against rows-scale security is the ONLY
+    # nested-loop member of the plan, and it must be broadcast
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_asof_join_is_union_merge_not_inequality_join(spark):
+    p = _plan(spark, "x_asof_join")
+    assert "Window" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # event-type filters reach the scans
+    assert "EqualTo(event_type,purchase)" in p
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    p = _plan(spark, "x_range_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_decontamination_broadcasts_eval_ngrams(spark):
+    p = _plan(spark, "x_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize("name", ["j2_role_playing_join", "u1_union_distinct",
+                                  "x_tfidf_topk", "x_pack_sequences"])
+def test_no_plan_goes_cartesian(spark, name):
+    p = _plan(spark, name)
+    assert "CartesianProduct" not in p
