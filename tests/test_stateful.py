@@ -105,3 +105,40 @@ def test_stateful_sessionize_state_survives_batches(spark, event_rows, tmp_path)
     # watermark to minute 25 (55 - 30 gap) => it is LATE and dropped;
     # u2's session is {30, 60}, exactly the watermark contract
     assert (2, 30, 2) in got and (2, 0, 3) not in got
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state: a fingerprint seen in batch
+    1 suppresses its duplicate in batch 2 (maxFilesPerTrigger=1 forces
+    the two files into separate micro-batches)."""
+    import json
+
+    from snowflake_data_pipeline_demo_spark.streaming.dedup import dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f1.json").write_text("\n".join(
+        json.dumps(r) for r in [
+            {"fp": "a", "ts": "2024-01-01T10:00:00"},
+            {"fp": "b", "ts": "2024-01-01T10:00:01"},
+        ]))
+    (src / "f2.json").write_text("\n".join(
+        json.dumps(r) for r in [
+            {"fp": "a", "ts": "2024-01-01T10:00:02"},   # cross-batch dup
+            {"fp": "c", "ts": "2024-01-01T10:00:03"},
+        ]))
+
+    stream = (
+        spark.readStream.schema("fp string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    seen: list = []
+    q = (
+        dedup_stream(stream, ["fp"], watermark="1 hour")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, _: seen.extend(r["fp"] for r in df.collect()))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert sorted(seen) == ["a", "b", "c"]
