@@ -1099,3 +1099,41 @@ def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window."""
     d = testdata.load(spark, sf_dir, "documents")
     return text.tfidf_topk(d, k=3)
+
+
+@query(
+    "x_skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events GROUP BY 1
+    """,
+    survey_ref="north-star:skew-salted-agg",
+)
+def x_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a 5-key (hot by construction)
+    grouping column — the operators/skew.py path AQE cannot cover
+    (single hot key on one reducer); must equal the plain GROUP BY."""
+    from ..operators import skew
+
+    e = testdata.load(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = skew.salted_groupby_agg(
+        e, keys=["event_type"], unique_col="event_id",
+        aggs={
+            "n": "count(*)",
+            "total": "sum(value_dec)",
+            "min_user": "min(user_id)",
+            "max_user": "max(user_id)",
+        },
+        buckets=8,
+    )
+    return out.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        F.col("total").cast("double").alias("total"),
+        "min_user", "max_user",
+    )
