@@ -194,6 +194,57 @@ class Table:
     def count(self) -> int:
         return self.read().count()
 
+    def data_files(self) -> list[tuple[str, int]]:
+        """(path, bytes) of every data file under the table dir."""
+        jvm = self.spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = p.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
+        out = []
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if not name.startswith(("_", ".")):
+                out.append((f.getPath().toString(), f.getLen()))
+        return out
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Small-file compaction: rewrite the table as
+        ``ceil(total_bytes / target_file_bytes)`` files. Continuous
+        micro-batch ingest accretes KB-scale files whose per-file
+        scan/open overhead dominates at scale; compaction restores
+        scan-sized files.
+
+        Maintenance-window operation on a quiesced table: the rewrite
+        stages to a sibling temp dir and swaps via delete+rename (the
+        swap window is not transactional on plain parquet dirs — a
+        table format with a commit log makes this atomic), and it
+        flattens any ``overwrite_subdir`` batch layout, so replay
+        markers (``subdir_committed``) are consumed before compacting.
+        Returns {files_before, files_after, bytes}."""
+        files = self.data_files()
+        if not files:
+            return {"files_before": 0, "files_after": 0, "bytes": 0}
+        total = sum(sz for _, sz in files)
+        n_out = max(1, -(-total // target_file_bytes))
+        df = self.read().repartition(n_out)
+        jvm = self.spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = p.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
+        tmp = jvm.org.apache.hadoop.fs.Path(self.path.rstrip("/") + ".__compact_tmp")
+        cols = [f.name for f in self.schema.fields]
+        w = df.select(*cols).write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(tmp.toString())
+        fs.delete(p, True)
+        fs.rename(tmp, p)
+        return {
+            "files_before": len(files),
+            "files_after": len(self.data_files()),
+            "bytes": int(total),
+        }
+
 
 class Catalog:
     """db.schema.table namespace over a warehouse root directory."""

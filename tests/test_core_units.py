@@ -122,3 +122,24 @@ def test_use_role_session_context(spark):
     use_role(spark, "sysadmin")
     assert current_role(spark) == "SYSADMIN"
     use_role(spark, "accountadmin")
+
+
+def test_table_compact_merges_small_files(spark, tmp_path):
+    from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("v", T.StringType()),
+    ])
+    t = Table(spark, str(tmp_path / "t"), schema)
+    for i in range(6):
+        t.append(spark.createDataFrame([(i, f"v{i}")], schema).coalesce(1))
+    before = t.read().orderBy("k").collect()
+    assert len(t.data_files()) >= 6
+    stats = t.compact(target_file_bytes=1 << 30)
+    assert stats["files_before"] >= 6 and stats["files_after"] == 1
+    assert t.read().orderBy("k").collect() == before
+    # idempotent on an already-compact table
+    stats2 = t.compact(target_file_bytes=1 << 30)
+    assert stats2["files_after"] == 1
+    assert t.read().orderBy("k").collect() == before
