@@ -1,0 +1,55 @@
+"""The corpus-curation funnel: exact dedup → benchmark decontamination
+→ quality filtering, composed from the individually oracle-gated
+operators, with per-stage survivor counts — the summary a data-curation
+run reports at every scale.
+
+Scale: each stage is the operator's own plan (see their modules); the
+funnel adds only four global counts. Stages compose as semi-joins on
+doc ids, so text columns never re-shuffle between stages — at 100 TB
+the funnel materializes each stage's id set (or runs as one plan and
+lets the cache/table boundaries the caller chooses decide).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .decontam import ngram_contamination
+from .dedup import exact_dedup_clusters
+from .text import gopher_flags
+
+
+def curation_funnel(corpus: DataFrame, eval_docs: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 3, min_hits: int = 2) -> DataFrame:
+    """Per-stage survivor counts: raw → exact-dedup'd → decontaminated
+    → quality-kept. Output: (stage_id, stage, n_docs), stage_id giving
+    the funnel order."""
+    dedup_keep = exact_dedup_clusters(corpus, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    deduped = corpus.join(dedup_keep, id_col, "left_semi")
+    clean_ids = ngram_contamination(
+        deduped, eval_docs, text_col, id_col, k, min_hits
+    ).filter(~F.col("contaminated")).select(id_col)
+    clean = deduped.join(clean_ids, id_col, "left_semi")
+    kept = clean.filter(gopher_flags(text_col)["keep"])
+
+    stages = [
+        (0, "raw", corpus),
+        (1, "exact_dedup", deduped),
+        (2, "decontaminated", clean),
+        (3, "quality_kept", kept),
+    ]
+    counts = [
+        df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(sid).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+        for sid, name, df in stages
+    ]
+    return reduce(DataFrame.unionByName, counts)

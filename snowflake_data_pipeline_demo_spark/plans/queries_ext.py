@@ -1137,3 +1137,73 @@ def x_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("double").alias("total"),
         "min_user", "max_user",
     )
+
+
+@query(
+    "x_curation_funnel",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0
+    ), keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM corpus
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ), dd AS (
+      SELECT c.doc_id, c.text FROM corpus c JOIN keepers k USING (doc_id)
+    ), toks_all AS (
+      SELECT doc_id, {_DTOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 3
+                    THEN [concat_ws(' ', t[CAST(i AS INT)],
+                                    t[CAST(i AS INT)+1], t[CAST(i AS INT)+2])
+                          for i in range(1, len(t)-1)]
+                    ELSE [array_to_string(t, ' ')] END) AS s
+      FROM toks_all
+    ), ev AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+    ), contaminated AS (
+      SELECT sh.doc_id FROM sh JOIN ev USING (s)
+      WHERE sh.doc_id IN (SELECT doc_id FROM dd)
+      GROUP BY sh.doc_id HAVING COUNT(DISTINCT s) >= 2
+    ), clean AS (
+      SELECT dd.doc_id, dd.text FROM dd
+      WHERE dd.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), g AS (
+      SELECT doc_id, {_DTOKS} AS t, text FROM clean
+    ), gm AS (
+      SELECT doc_id, len(t) AS n,
+             CASE WHEN len(t) > 0 THEN
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(t, w -> CAST(length(w) AS BIGINT))),
+                 (x, y) -> x + y) / CAST(len(t) AS DOUBLE)
+             ELSE 0.0 END AS mwl,
+             len(list_filter(list_distinct(t),
+                 w -> list_contains(['the','be','to','of','and','that',
+                                     'have','with'], w))) AS n_req,
+             CASE WHEN len(t) > 0
+                  THEN len(list_distinct(t)) / CAST(len(t) AS DOUBLE)
+                  ELSE 0.0 END AS uniq
+      FROM g
+    ), kept AS (
+      SELECT doc_id FROM gm
+      WHERE n >= 10 AND n <= 5000 AND mwl >= 2.0 AND mwl <= 12.0
+        AND n_req >= 2 AND uniq >= 0.2
+    )
+    SELECT 0 AS stage_id, 'raw' AS stage,
+           (SELECT COUNT(*) FROM corpus) AS n_docs
+    UNION ALL SELECT 1, 'exact_dedup', (SELECT COUNT(*) FROM dd)
+    UNION ALL SELECT 2, 'decontaminated', (SELECT COUNT(*) FROM clean)
+    UNION ALL SELECT 3, 'quality_kept', (SELECT COUNT(*) FROM kept)
+    """,
+    survey_ref="north-star:curation-funnel",
+)
+def x_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation funnel (operators/curation.py):
+    exact dedup -> decontamination vs the broadcast eval set -> Gopher
+    quality rules, reported as per-stage survivor counts."""
+    from ..operators import curation
+
+    d = testdata.load(spark, sf_dir, "documents")
+    eval_docs = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return curation.curation_funnel(corpus, eval_docs, k=3, min_hits=2)

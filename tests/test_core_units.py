@@ -143,3 +143,26 @@ def test_table_compact_merges_small_files(spark, tmp_path):
     stats2 = t.compact(target_file_bytes=1 << 30)
     assert stats2["files_after"] == 1
     assert t.read().orderBy("k").collect() == before
+
+
+def test_loader_contract_normalizes_testdata_schemas(spark):
+    """Canary against driver testdata regenerations: the loader must
+    present stable column types to the operator layer regardless of how
+    the parquet files encode them (events.ts has shipped as both
+    TIMESTAMP(NANOS)-as-long and micros TIMESTAMP_NTZ across rounds —
+    a silent change here broke 5 queries once; fail loudly instead)."""
+    from pyspark.sql import types as T
+
+    from snowflake_data_pipeline_demo_spark.sources.testdata import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = load(spark, sf, "events")
+        assert isinstance(ev.schema["ts"].dataType, T.TimestampType), sf
+        docs = load(spark, sf, "documents")
+        assert isinstance(docs.schema["text"].dataType, T.StringType), sf
+        emb = load(spark, sf, "embeddings")
+        el = emb.schema["embedding"].dataType
+        assert isinstance(el, T.ArrayType) and isinstance(
+            el.elementType, (T.FloatType, T.DoubleType)), sf
+        li = load(spark, sf, "lineitem")
+        assert "l_shipdate" in li.columns and "l_quantity" in li.columns, sf
