@@ -43,6 +43,10 @@ HEADLINE = [
     "x_decontaminate",
     "x_chunk_tokens",
     "x_sim_lsh_ann_prod",
+    "x_tfidf_topk",
+    "x_pack_sequences",
+    "x_range_join",
+    "x_curation_funnel",
 ]
 
 

@@ -24,7 +24,8 @@ from .text import gopher_flags
 
 def curation_funnel(corpus: DataFrame, eval_docs: DataFrame,
                     text_col: str = "text", id_col: str = "doc_id",
-                    k: int = 3, min_hits: int = 2) -> DataFrame:
+                    k: int = 3, min_hits: int = 2,
+                    min_required: int = 2) -> DataFrame:
     """Per-stage survivor counts: raw → exact-dedup'd → decontaminated
     → quality-kept. Output: (stage_id, stage, n_docs), stage_id giving
     the funnel order."""
@@ -36,7 +37,7 @@ def curation_funnel(corpus: DataFrame, eval_docs: DataFrame,
         deduped, eval_docs, text_col, id_col, k, min_hits
     ).filter(~F.col("contaminated")).select(id_col)
     clean = deduped.join(clean_ids, id_col, "left_semi")
-    kept = clean.filter(gopher_flags(text_col)["keep"])
+    kept = clean.filter(gopher_flags(text_col, min_required)["keep"])
 
     stages = [
         (0, "raw", corpus),

@@ -127,14 +127,16 @@ def quality_score(c: Column | str) -> Column:
 GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_flags(c: Column | str) -> Column:
+def gopher_flags(c: Column | str, min_required: int = 2) -> Column:
     """Gopher-style quality rule flags as a struct of booleans — the
     repetition/shape heuristics from Rae et al. 2021 (public), adapted
     to single-line documents:
 
     - ``ok_tokens``: 10 <= token count <= 5000
     - ``ok_word_len``: mean word length in [2, 12]
-    - ``ok_stopwords``: contains >= 2 distinct required stopwords
+    - ``ok_stopwords``: contains >= ``min_required`` distinct required
+      stopwords (the paper uses 2; synthetic low-stopword corpora may
+      need 1 for the rule to discriminate rather than reject all)
     - ``ok_unique``: unique-token ratio >= 0.2 (repetition guard)
 
     Each rule is a codegen'd expression over one tokenization — no
@@ -148,7 +150,7 @@ def gopher_flags(c: Column | str) -> Column:
     req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
     n_req = F.size(F.filter(F.array_distinct(toks),
                             lambda t: F.array_contains(req, t)))
-    ok_stopwords = n_req >= 2
+    ok_stopwords = n_req >= min_required
     uniq = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
     ok_unique = uniq >= 0.2
     return F.struct(

@@ -979,10 +979,10 @@ def x_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            n >= 10 AND n <= 5000 AS ok_tokens,
            mwl >= 2.0 AND mwl <= 12.0 AS ok_word_len,
-           n_req >= 2 AS ok_stopwords,
+           n_req >= 1 AS ok_stopwords,
            uniq >= 0.2 AS ok_unique,
            (n >= 10 AND n <= 5000) AND (mwl >= 2.0 AND mwl <= 12.0)
-             AND n_req >= 2 AND uniq >= 0.2 AS keep_doc
+             AND n_req >= 1 AND uniq >= 0.2 AS keep_doc
     FROM m
     """,
     survey_ref="north-star:quality-gopher",
@@ -992,7 +992,11 @@ def x_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     document — four boolean rules + the keep conjunction, all codegen'd
     expressions over one tokenization (operators/text.gopher_flags)."""
     d = testdata.load(spark, sf_dir, "documents")
-    g = text.gopher_flags("text")
+    # min_required=1: the synthetic corpus draws from a tiny vocabulary
+    # where no document carries 2 distinct required stopwords — at the
+    # paper's threshold the rule rejects everything and stops
+    # discriminating (measured: 0/494 vs 376/494 kept at sf0.01)
+    g = text.gopher_flags("text", min_required=1)
     return d.select("doc_id", g.alias("g")).select(
         "doc_id",
         F.col("g.ok_tokens").alias("ok_tokens"),
@@ -1187,7 +1191,7 @@ def x_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), kept AS (
       SELECT doc_id FROM gm
       WHERE n >= 10 AND n <= 5000 AND mwl >= 2.0 AND mwl <= 12.0
-        AND n_req >= 2 AND uniq >= 0.2
+        AND n_req >= 1 AND uniq >= 0.2
     )
     SELECT 0 AS stage_id, 'raw' AS stage,
            (SELECT COUNT(*) FROM corpus) AS n_docs
@@ -1206,4 +1210,27 @@ def x_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = testdata.load(spark, sf_dir, "documents")
     eval_docs = d.filter(F.col("doc_id") % 97 == 0)
     corpus = d.filter(F.col("doc_id") % 97 != 0)
-    return curation.curation_funnel(corpus, eval_docs, k=3, min_hits=2)
+    # min_required=1: see x_quality_gopher
+    return curation.curation_funnel(corpus, eval_docs, k=3, min_hits=2,
+                                    min_required=1)
+
+
+@query(
+    "x_sim_ivf_kmeans",
+    # trained centroids are float means (no closed-form SQL twin) —
+    # rows-only check; x_sim_ivf_ann (first-nlist seed centroids) is
+    # the oracle-gated twin of the identical probe/re-rank plan
+    oracle=None,
+    survey_ref="north-star:similarity-ivf-production",
+)
+def x_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF path: spherical k-means centroids (trained
+    driver-side on a deterministic sample — training is sample-scale,
+    only ASSIGN must scale) feeding the same inlined-literal assignment
+    + centroid_id equi-join probe as the oracle-gated seed variant."""
+    e = testdata.load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.kmeans_centroids(e, nlist=8)
+    return similarity.ivf_topk(e, q, cents, k=5, nprobe=2)
