@@ -1234,3 +1234,33 @@ def x_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = similarity.kmeans_centroids(e, nlist=8)
     return similarity.ivf_topk(e, q, cents, k=5, nprobe=2)
+
+
+@query(
+    "x_multimodal_resize",
+    # documents are pure ASCII, so ascii(substr(text, pos+1, 1)) is the
+    # byte at 0-based pos of the utf-8 payload; the fake-decode geometry
+    # (h=16, w=max(1, n//16), zero-padded) and the nearest-neighbor
+    # index math are recomputed verbatim
+    oracle="""
+    WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+    p AS (SELECT doc_id, text, n, greatest(n // 16, 1) AS w FROM b),
+    yx AS (
+      SELECT doc_id, text, n, w, y, x,
+             ((y * 16) // 8) * w + (x * w) // 8 AS pos
+      FROM p, range(0, 8) r1(y), range(0, 8) r2(x)
+    )
+    SELECT doc_id, CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+           CAST(CASE WHEN pos < n
+                THEN ascii(substr(text, CAST(pos + 1 AS INT), 1))
+                ELSE 0 END AS INT) AS pixel
+    FROM yx
+    """,
+    survey_ref="north-star:multimodal-resize",
+)
+def x_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-fake decode + real vectorized nearest-neighbor
+    resize to 8x8 over the blob table (operators/multimodal.py) —
+    the plumbing a real codec plugs into."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return multimodal.fake_decode_resize(multimodal.to_blob_table(d))

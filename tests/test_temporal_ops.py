@@ -219,3 +219,22 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     for lid, exp in expected.items():
         g = got[lid]
         assert (pd.isna(exp) and g is None) or g == exp, lid
+
+
+def test_fake_decode_resize_geometry(spark):
+    from snowflake_data_pipeline_demo_spark.operators import multimodal
+
+    # blob of 32 bytes -> fake image 16 rows x 2 cols; resized 8x8:
+    # y_src = y*2, x_src = x*2//8 = x//4 -> pixel = buf[y*2*2 + x//4]
+    blob = bytes(range(32))
+    df = spark.createDataFrame([(1, blob), (2, b""), (3, b"abc")],
+                               "doc_id long, payload binary")
+    got = {(r["doc_id"], r["y"], r["x"]): r["pixel"]
+           for r in multimodal.fake_decode_resize(df).collect()}
+    assert len(got) == 3 * 64
+    for y in range(8):
+        for x in range(8):
+            assert got[(1, y, x)] == (y * 2) * 2 + (x * 2) // 8
+    # empty blob -> all zeros; short blob: w=1, rows beyond len pad 0
+    assert all(got[(2, y, x)] == 0 for y in range(8) for x in range(8))
+    assert got[(3, 0, 0)] == ord("a") and got[(3, 7, 0)] == 0
