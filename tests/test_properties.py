@@ -76,3 +76,68 @@ def test_to_date_auto_formats_agree(spark, d):
         to_date_auto(F.lit(mdy)).alias("b"),
     ).collect()[0]
     assert row["a"] == row["b"] == d
+
+
+_TEXT = st.text(
+    alphabet=st.sampled_from("abc XYZ012 .,-\n\té"), max_size=200
+)
+
+
+@given(st.lists(_TEXT, min_size=1, max_size=6))
+@_SLOW
+def test_chunking_covers_tokens_exactly(spark, texts):
+    """Chunk invariants for arbitrary text (unicode, punctuation-only,
+    empty): de-overlapped chunk concatenation reconstructs the token
+    stream, every chunk is window-sized except possibly the tail, and
+    empty docs emit nothing."""
+    from snowflake_data_pipeline_demo_spark.operators.chunking import (
+        chunk_by_tokens,
+    )
+    from snowflake_data_pipeline_demo_spark.operators.text import tokens
+
+    window, stride = 8, 6
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", tokens("text").alias("t")).collect()
+    }
+    chunks: dict = {}
+    for r in chunk_by_tokens(df, window=window, stride=stride).collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    for did, t in toks.items():
+        got = sorted(chunks.get(did, []), key=lambda r: r["chunk_id"])
+        if not t:
+            assert got == []
+            continue
+        # reconstruct: first chunk whole, then the non-overlapped tail
+        # of each subsequent chunk
+        rebuilt = []
+        for r in got:
+            ch = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            assert len(ch) == r["n_chunk_tokens"] <= window
+            rebuilt.extend(ch if not rebuilt else ch[window - stride:])
+        assert rebuilt == t
+        # every chunk starts at chunk_id*stride < len(t)
+        assert all(r["chunk_id"] * stride < len(t) for r in got)
+
+
+@given(st.lists(st.integers(0, 40), min_size=1, max_size=12))
+@_SLOW
+def test_pack_offsets_are_exclusive_prefix_sums(spark, sizes):
+    """pack_sequences offsets equal the serial exclusive prefix sum for
+    any chunk-size sequence, regardless of partitioning."""
+    from snowflake_data_pipeline_demo_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [(i, 0, n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_id long, n_chunk_tokens long"
+    ).repartition(4)
+    got = {r["doc_id"]: r["token_offset"]
+           for r in pack_sequences(df, seq_len=16).collect()}
+    acc = 0
+    for i, n in enumerate(sizes):
+        assert got[i] == acc
+        acc += n
