@@ -142,3 +142,60 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(seen) == ["a", "b", "c"]
+
+
+def test_streaming_curation_ingest(spark, tmp_path):
+    """The training-data surface on the streaming engine: document
+    files stream through watermark-bounded dedup + Gopher filtering
+    into a table via foreachBatch; a checkpointed re-run (same source,
+    new start) processes nothing new and the table stays stable."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from snowflake_data_pipeline_demo_spark.operators.text import gopher_flags
+    from snowflake_data_pipeline_demo_spark.streaming.dedup import dedup_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    good = ("the cat sat on a mat and that dog ran off with the red "
+            "ball to be near all of them today")
+    rows1 = [
+        {"doc_id": 1, "text": good, "ts": "2024-01-01T10:00:00"},
+        {"doc_id": 2, "text": "short", "ts": "2024-01-01T10:00:01"},
+    ]
+    rows2 = [
+        {"doc_id": 3, "text": good, "ts": "2024-01-01T10:00:02"},  # dup text
+        {"doc_id": 4, "text": good + " extra words here now",
+         "ts": "2024-01-01T10:00:03"},
+    ]
+    (src / "f1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    (src / "f2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+
+    out = tmp_path / "curated"
+
+    def run():
+        stream = (
+            spark.readStream
+            .schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        curated = dedup_stream(
+            stream.withColumn("fp", F.md5("text")), ["fp"], watermark="1 hour"
+        ).filter(gopher_flags("text")["keep"])
+        q = (
+            curated.select("doc_id").writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(lambda df, bid: df.write.mode("append")
+                          .parquet(str(out)))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(str(out)).collect())
+    # doc 2 fails quality, doc 3 is a dup of doc 1; 1 and 4 survive
+    assert got == [1, 4]
+    run()  # restart from checkpoint: no new files -> no new rows
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(str(out)).collect())
+    assert got2 == [1, 4]
