@@ -201,6 +201,31 @@ def tfidf_topk(df, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the perplexity-filter shape (docs far below the
+    corpus-typical logprob are boilerplate/noise; far above are
+    degenerate repetition). Output: (id, n_tokens, mean_logprob 4dp).
+
+    Scale shape: one token hash-agg builds the model (map-side
+    combined); scoring re-joins tokens to model on the token key (same
+    AQE skew-split story as TF-IDF); per-doc mean is a doc-key agg.
+    The model is two columns (token, count) — at corpus scale it stays
+    a table join; for bounded vocabularies it broadcasts.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    model = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = model.agg(F.sum("cnt")).first()[0] or 1
+    scored = tok.join(model, "token").select(
+        F.col(id_col),
+        F.log(F.col("cnt") / F.lit(float(total))).alias("lp"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("lp"), 4).alias("mean_logprob"),
+    )
+
+
 def rolling_hash(c: Column | str) -> Column:
     """Polynomial rolling hash over the normalized character stream:
     ``h = (h*131 + ascii(ch)) mod 1e9+7``. Identical arithmetic is

@@ -1264,3 +1264,30 @@ def x_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plumbing a real codec plugs into."""
     d = testdata.load(spark, sf_dir, "documents")
     return multimodal.fake_decode_resize(multimodal.to_blob_table(d))
+
+
+@query(
+    "x_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DTOKS}) AS token FROM documents
+    ), model AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT SUM(cnt) AS total FROM model
+    ), scored AS (
+      SELECT tok.doc_id,
+             ln(model.cnt / CAST((SELECT total FROM tot) AS DOUBLE)) AS lp
+      FROM tok JOIN model USING (token)
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round(AVG(lp), 4) AS mean_logprob
+    FROM scored GROUP BY 1
+    """,
+    survey_ref="north-star:perplexity-filter",
+)
+def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per doc under the corpus's own
+    unigram model — the perplexity-filter shape (operators/text.py)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return text.unigram_logprob(d)
