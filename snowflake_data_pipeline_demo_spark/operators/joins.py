@@ -37,16 +37,22 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
               ts_col: str = "ts", right_cols: Sequence[str] = (),
               tolerance_seconds: int | None = None,
-              suffix: str = "_asof") -> DataFrame:
-    """For every left row, attach the latest right row with
-    ``right.ts <= left.ts`` (inclusive) on the same ``keys``.
+              suffix: str = "_asof",
+              direction: str = "backward") -> DataFrame:
+    """For every left row, attach the nearest right row on the same
+    ``keys``: ``direction="backward"`` (default) = latest right with
+    ``right.ts <= left.ts``; ``"forward"`` = earliest right with
+    ``right.ts >= left.ts`` (both inclusive — the pandas ``merge_asof``
+    contract).
 
     Appends, for each name in ``right_cols``, a column ``name+suffix``
-    (null when no prior right row exists), plus ``ts_col+suffix`` (the
-    matched right timestamp). With ``tolerance_seconds``, matches older
-    than the tolerance are nulled out — the standard as-of staleness
-    bound.
+    (null when no matching right row exists), plus ``ts_col+suffix``
+    (the matched right timestamp). With ``tolerance_seconds``, matches
+    farther than the tolerance are nulled out — the standard as-of
+    staleness bound.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction}")
     keys = list(keys)
     right_cols = [c for c in right_cols if c not in keys and c != ts_col]
     lpay = [c for c in left.columns if c not in keys and c != ts_col]
@@ -66,8 +72,17 @@ def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
         F.col(ts_col).alias("_r_ts"),
     )
+    # backward walks time ascending (carry the last prior right row
+    # forward); forward walks descending (carry the next future right
+    # row back). Right rows sort before left on timestamp ties either
+    # way, which is what makes both directions inclusive.
+    order = (
+        [F.col(ts_col).asc(), F.col("_tag").asc()]
+        if direction == "backward"
+        else [F.col(ts_col).desc(), F.col("_tag").asc()]
+    )
     w = (
-        Window.partitionBy(*keys).orderBy(ts_col, "_tag")
+        Window.partitionBy(*keys).orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l.unionByName(r).select(
@@ -78,9 +93,8 @@ def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
     )
     out = carried.filter(F.col("_tag") == 1).drop("_tag")
     if tolerance_seconds is not None:
-        stale = (
-            F.col(ts_col).cast("long") - F.col(f"{ts_col}{suffix}").cast("long")
-        ) > tolerance_seconds
+        gap = F.col(ts_col).cast("long") - F.col(f"{ts_col}{suffix}").cast("long")
+        stale = (gap if direction == "backward" else -gap) > tolerance_seconds
         for c in [*right_cols, ts_col]:
             out = out.withColumn(
                 f"{c}{suffix}",

@@ -238,3 +238,40 @@ def test_fake_decode_resize_geometry(spark):
     # empty blob -> all zeros; short blob: w=1, rows beyond len pad 0
     assert all(got[(2, y, x)] == 0 for y in range(8) for x in range(8))
     assert got[(3, 0, 0)] == ord("a") and got[(3, 7, 0)] == 0
+
+
+def test_asof_join_forward_matches_pandas(spark):
+    """direction='forward' against pandas.merge_asof on the same seeded
+    random events as the backward test."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    base = 1_700_000_000
+    left = sorted((rng.randrange(5), base + rng.randrange(100_000))
+                  for _ in range(200))
+    right = sorted((rng.randrange(5), base + rng.randrange(100_000),
+                    rng.random()) for _ in range(200))
+    lpdf = pd.DataFrame(left, columns=["user_id", "epoch"])
+    lpdf["ts"] = pd.to_datetime(lpdf["epoch"], unit="s")
+    lpdf["lid"] = range(len(lpdf))
+    rpdf = pd.DataFrame(right, columns=["user_id", "epoch", "value"])
+    rpdf["ts"] = pd.to_datetime(rpdf["epoch"], unit="s")
+    expected = pd.merge_asof(
+        lpdf.sort_values("ts", kind="stable"),
+        rpdf.drop(columns=["epoch"]).sort_values("ts", kind="stable"),
+        on="ts", by="user_id", direction="forward",
+    ).set_index("lid")["value"]
+
+    ldf = spark.createDataFrame(lpdf[["user_id", "ts", "lid"]])
+    rdf = spark.createDataFrame(rpdf[["user_id", "ts", "value"]])
+    got = {
+        r["lid"]: r["value_asof"]
+        for r in joins.asof_join(ldf, rdf, keys=["user_id"],
+                                 right_cols=["value"],
+                                 direction="forward").collect()
+    }
+    for lid, exp in expected.items():
+        g = got[lid]
+        assert (pd.isna(exp) and g is None) or g == exp, lid
