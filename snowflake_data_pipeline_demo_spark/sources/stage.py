@@ -74,17 +74,36 @@ class Stage:
             rows, "name string, size long, last_modified_ms long"
         )
 
+    #: staged-file formats with built-in Spark sources (the reference's
+    #: VARIANT table claims "Parquet, JSON, ORC, XML, Avro" storability,
+    #: dp_setup.sql:140 — Avro/XML need external Spark modules not
+    #: bundled here and raise accordingly)
+    FORMATS = ("json", "csv", "parquet", "orc", "text")
+
     # -- S5: COPY INTO @stage (unload) --------------------------------------
+    def unload(self, df: DataFrame, prefix: str, format: str = "json",
+               compression: str | None = None, **options: str) -> str:
+        """Write a query result as staged files under ``prefix`` in any
+        built-in format (``FORMATS``)."""
+        if format not in self.FORMATS:
+            raise ValueError(
+                f"format {format!r} needs an external Spark module; "
+                f"built-in: {self.FORMATS}"
+            )
+        target = f"{self.url}/{prefix}"
+        writer = df.write.mode("append").format(format)
+        if compression:
+            writer = writer.option("compression", compression)
+        for k, v in options.items():
+            writer = writer.option(k, v)
+        writer.save(target)
+        return target
+
     def unload_json(self, df: DataFrame, prefix: str,
                     compression: str | None = None) -> str:
         """Write a query result as JSON-lines files under ``prefix``
         (dp_setup.sql:57-81 writes gzip JSON per day-prefix)."""
-        target = f"{self.url}/{prefix}"
-        writer = df.write.mode("append")
-        if compression:
-            writer = writer.option("compression", compression)
-        writer.json(target)
-        return target
+        return self.unload(df, prefix, "json", compression)
 
     # -- S6: SELECT $1 FROM @stage -------------------------------------------
     def read_json(self, schema: "StructType | str", prefix: str = "") -> DataFrame:
@@ -97,6 +116,25 @@ class Stage:
             .option("recursiveFileLookup", "true")
             .json(src)
         )
+
+    def read(self, schema: "StructType | str", prefix: str = "",
+             format: str = "json", **options: str) -> DataFrame:
+        """Typed read of staged files in any built-in format —
+        schema-on-read, never inference (inference is a full extra pass
+        over 100 TB)."""
+        if format not in self.FORMATS:
+            raise ValueError(
+                f"format {format!r} needs an external Spark module; "
+                f"built-in: {self.FORMATS}"
+            )
+        src = f"{self.url}/{prefix}" if prefix else self.url
+        r = (
+            self.spark.read.schema(schema).format(format)
+            .option("recursiveFileLookup", "true")
+        )
+        for k, v in options.items():
+            r = r.option(k, v)
+        return r.load(src)
 
     def read_raw(self, prefix: str = "") -> DataFrame:
         """``SELECT $1, metadata$filename FROM @stage`` — raw text rows +

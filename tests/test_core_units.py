@@ -166,3 +166,28 @@ def test_loader_contract_normalizes_testdata_schemas(spark):
             el.elementType, (T.FloatType, T.DoubleType)), sf
         li = load(spark, sf, "lineitem")
         assert "l_shipdate" in li.columns and "l_quantity" in li.columns, sf
+
+
+def test_stage_multi_format_roundtrip(spark, tmp_path):
+    """S5/S6 across every built-in staged format: unload a frame, read
+    it back typed, bytes agree — the format breadth the reference's
+    VARIANT table claims (dp_setup.sql:140), minus Avro/XML (external
+    Spark modules, rejected with a clear error)."""
+    import pytest
+
+    from snowflake_data_pipeline_demo_spark.sources.stage import Stage
+
+    stage = Stage(spark, str(tmp_path / "stage"))
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0), (3, None, 0.25)],
+        "id long, s string, x double",
+    )
+    want = sorted(map(tuple, df.collect()))
+    for fmt in ("json", "csv", "parquet", "orc"):
+        opts = {"header": "true"} if fmt == "csv" else {}
+        stage.unload(df, f"t_{fmt}", format=fmt, **opts)
+        back = stage.read("id long, s string, x double",
+                          f"t_{fmt}", format=fmt, **opts)
+        assert sorted(map(tuple, back.collect())) == want, fmt
+    with pytest.raises(ValueError, match="external Spark module"):
+        stage.unload(df, "t_avro", format="avro")
