@@ -104,6 +104,17 @@ def secure_trips_view(
     )
 
 
+def register_secure_view(view: DataFrame, name: str = "trips_secure_vw") -> str:
+    """``CREATE SECURE VIEW trips_secure_vw`` surface parity
+    (dp_demo.sql:222): expose the governed DataFrame as a session temp
+    view so consumers run the demo's literal SQL against it —
+    ``SELECT program_name, acct, COUNT(*) FROM trips_secure_vw GROUP BY
+    1, 2 ORDER BY 3 DESC`` (dp_demo.sql:267-270; ordinal group/order
+    are on by default in Spark SQL). Returns the view name."""
+    view.createOrReplaceTempView(name)
+    return name
+
+
 def consumer_report(view: DataFrame) -> DataFrame:
     """The demo's consumer query (dp_demo.sql:267-270): ``GROUP BY 1,2
     ORDER BY 3 DESC`` with a count alias (A5/O3)."""

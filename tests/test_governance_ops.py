@@ -187,3 +187,34 @@ def test_pipe_replay_after_crash_between_append_and_commit(
     assert p.pipe.last_committed_batch() == frontier
     assert p.purge_files() == len(staged)
     assert p.stage.list() == []
+
+
+def test_reference_consumer_sql_runs_verbatim(spark, tables):
+    """dp_demo.sql:267-270 as literal SQL over the registered secure
+    view: ordinal GROUP BY/ORDER BY, count alias — must equal the
+    DataFrame-built consumer_report."""
+    from snowflake_data_pipeline_demo_spark.plans.citibike import (
+        extract_trips, programs_from_raw, security_fixture,
+        stations_from_raw, trip_docs, trips_projection,
+    )
+    from snowflake_data_pipeline_demo_spark.plans.secure_view import (
+        consumer_report, register_secure_view, secure_trips_view,
+    )
+
+    raw = trip_docs(tables["lineitem"], tables["supplier"], tables["nation"])
+    ext = extract_trips(raw)
+    view = secure_trips_view(
+        trips_projection(ext), stations_from_raw(ext),
+        programs_from_raw(ext),
+        security_fixture(spark, tables["region"]), account="ACCT_AMERICA",
+    )
+    register_secure_view(view)
+    sql_rows = spark.sql("""
+        select program_name, acct, count(*) as num_trips
+        from trips_secure_vw
+        group by 1, 2
+        order by 3 desc, program_name
+    """).collect()
+    df_rows = consumer_report(view).collect()
+    assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]
+    assert sql_rows  # non-empty report
