@@ -313,3 +313,43 @@ def test_kmeans_centroids_give_usable_ivf_recall(spark, emb):
     # that queries overlap neither seed set)
     assert r_kmeans >= 0.4
     assert r_kmeans >= r_naive - 0.05
+
+
+def test_dedup_paths_under_viral_duplication(spark):
+    """The skew case SCALE.md claims the LSH path survives: every doc
+    duplicated 8x (shifted ids). Exact dedup finds exactly the original
+    clusters; LSH buckets every identical copy-pair as a candidate; the
+    component labeling collapses each clique to its min id."""
+    from snowflake_data_pipeline_demo_spark.operators import dedup
+    from snowflake_data_pipeline_demo_spark.sources import testdata
+
+    base = testdata.load(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text").limit(100).cache()
+    n = base.count()
+    copies = None
+    for i in range(8):
+        c = base.select(
+            (F.col("doc_id") + F.lit(i * 10_000)).alias("doc_id"), "text"
+        )
+        copies = c if copies is None else copies.union(c)
+    copies = copies.cache()
+
+    clusters = dedup.exact_dedup_clusters(copies)
+    sizes = [r["n_docs"] for r in clusters.collect()]
+    assert len(sizes) == n and all(s == 8 for s in sizes)
+
+    sigs = dedup.minhash_signatures(copies, num_hashes=16).cache()
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=4)
+    comp = dedup.components_from_pairs(
+        copies.select("doc_id"), pairs
+    )
+    comps = comp.groupBy("component_id").count().collect()
+    # identical copies always share all bands, so every 8-clique stays
+    # whole: component sizes are multiples of 8 (larger than 8 exactly
+    # when ORIGINAL docs were already near-dups of each other and LSH
+    # merged their cliques — observed: 97 components for 100 originals),
+    # every doc is labeled, and labels are original (minimum) ids
+    assert sum(r["count"] for r in comps) == 8 * n
+    assert all(r["count"] % 8 == 0 for r in comps)
+    assert 0 < len(comps) <= n
+    assert all(r["component_id"] < 10_000 for r in comps)
