@@ -163,15 +163,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
-                        id_col: str = "doc_id") -> DataFrame:
-    """Band the signature (rows = len(sig)/bands); docs sharing any
-    band bucket become a candidate pair (a < b).
-
-    Scale: the exploded frame is (doc, band, 32-char key) — the
-    band-key shuffle joins ids only; text never moves. Skewed buckets
-    (a viral duplicate) are handled by AQE skew-join splitting.
-    """
+def banded_keys(sigs: DataFrame, bands: int = 4,
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, band, key) rows: the signature cut into ``bands`` slices,
+    each hashed to a bucket key — the LSH index representation a
+    production pipeline PERSISTS (so incremental batches probe it
+    without re-banding history)."""
     rows_per_band = F.size(F.col("sig")) / bands
     # sig elements are longs; band key = md5 over the comma-joined slice
     # (decimal rendering matches DuckDB's array_to_string bit-for-bit)
@@ -199,6 +196,19 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return banded
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (rows = len(sig)/bands); docs sharing any
+    band bucket become a candidate pair (a < b).
+
+    Scale: the exploded frame is (doc, band, 32-char key) — the
+    band-key shuffle joins ids only; text never moves. Skewed buckets
+    (a viral duplicate) are handled by AQE skew-join splitting.
+    """
+    banded = banded_keys(sigs, bands, id_col)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -232,6 +242,51 @@ def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame,
         .select(
             "id_a", "id_b",
             F.round(eq / F.size(F.col("sig_a")), 4).alias("jaccard_est"),
+        )
+    )
+
+
+def incremental_neardup(new_sigs: DataFrame, history_sigs: DataFrame,
+                        bands: int = 4, id_col: str = "doc_id",
+                        threshold: float = 0.3) -> DataFrame:
+    """Per-ingest NEAR-dup check: flag each new-batch doc whose
+    estimated Jaccard vs any prior doc — history, or an earlier-id doc
+    of the same batch — reaches ``threshold``. Output one row per
+    flagged new doc: ``(id, dup_of = min such prior id, max_est)``.
+
+    Scale shape: history is represented by its signature table (a few
+    longs per doc — the thing a production pipeline persists, along
+    with its banded keys); the probe joins new band keys against
+    (history ∪ new) band keys, so each ingest pays O(batch) banding
+    plus one bucket-key join — history text is never touched, never
+    re-shingled."""
+    prior = banded_keys(history_sigs, bands, id_col).unionByName(
+        banded_keys(new_sigs, bands, id_col)
+    )
+    probe = banded_keys(new_sigs, bands, id_col)
+    pairs = (
+        prior.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    est = minhash_jaccard_estimate(
+        history_sigs.unionByName(new_sigs), pairs, id_col
+    )
+    return (
+        est.filter(F.col("jaccard_est") >= threshold)
+        .groupBy(F.col("id_b").alias(id_col))
+        .agg(
+            F.min("id_a").alias("dup_of"),
+            F.round(F.max("jaccard_est"), 4).alias("max_est"),
         )
     )
 

@@ -1291,3 +1291,43 @@ def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram model — the perplexity-filter shape (operators/text.py)."""
     d = testdata.load(spark, sf_dir, "documents")
     return text.unigram_logprob(d)
+
+
+@query(
+    "x_dedup_minhash_incremental",
+    oracle=_MINHASH_SIG_SQL + """
+    , banded AS (
+      SELECT doc_id, bnd,
+             md5(array_to_string(sig[CAST(bnd*4+1 AS INT):CAST(bnd*4+4 AS INT)], ',')) AS key
+      FROM sig, range(0, 4) r(bnd)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM banded a JOIN banded b2
+        ON a.bnd = b2.bnd AND a.key = b2.key AND a.doc_id < b2.doc_id
+      WHERE b2.doc_id >= 400
+    ), est AS (
+      SELECT p.id_a, p.id_b,
+             round(len([i for i in range(1, 17)
+                        if sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]]) / 16.0, 4) AS e
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+    )
+    SELECT id_b AS doc_id, MIN(id_a) AS dup_of,
+           round(MAX(e), 4) AS max_est
+    FROM est WHERE e >= 0.3 GROUP BY 1
+    """,
+    survey_ref="north-star:dedup-minhash-incremental",
+)
+def x_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest near-dup flagging: the new batch (doc_id >= 400)
+    probes the persisted history signature table (doc_id < 400) plus
+    its own earlier ids through banded keys — history text is never
+    re-shingled (operators/dedup.incremental_neardup)."""
+    from .queries import _materialize
+
+    d = testdata.load(spark, sf_dir, "documents")
+    sigs = _materialize(dedup.minhash_signatures(d, num_hashes=16))
+    hist = sigs.filter(F.col("doc_id") < 400)
+    new = sigs.filter(F.col("doc_id") >= 400)
+    return dedup.incremental_neardup(new, hist, bands=4, threshold=0.3)
