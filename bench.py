@@ -47,6 +47,7 @@ HEADLINE = [
     "x_pack_sequences",
     "x_range_join",
     "x_curation_funnel",
+    "x_dedup_minhash_incremental",
 ]
 
 

@@ -48,3 +48,22 @@ def deterministic_sample(df: DataFrame, fraction: float,
     and incremental reruns (a row's fate never changes), unlike
     `df.sample`, which is seed- and partitioning-dependent."""
     return df.filter(hash_bucket(id_col, 10_000) < int(fraction * 10_000))
+
+
+def weighted_mixture(df: DataFrame, rates: dict[str, float],
+                     source_col: str = "source",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Curriculum / mixture sampling: keep each row with its SOURCE's
+    rate (sources absent from ``rates`` are dropped — an explicit
+    mixture spec, not a passthrough). Same deterministic id-hash gate
+    as :func:`deterministic_sample`, so the mixture is stable under
+    retries and re-runs and needs no shuffle — the filter evaluates at
+    scan time and composes with partition pruning when the corpus is
+    written partitioned by source."""
+    b = hash_bucket(id_col, 10_000)
+    gate = F.lit(False)
+    for src, rate in sorted(rates.items()):
+        gate = gate | (
+            (F.col(source_col) == src) & (b < int(rate * 10_000))
+        )
+    return df.filter(gate)

@@ -1331,3 +1331,36 @@ def x_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = sigs.filter(F.col("doc_id") < 400)
     new = sigs.filter(F.col("doc_id") >= 400)
     return dedup.incremental_neardup(new, hist, bands=4, threshold=0.3)
+
+
+@query(
+    "x_sample_mixture",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 10000 AS b,
+             CAST(substr(source, 4) AS INT) AS k
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_sampled
+    FROM m
+    WHERE (k < 5 AND b < 10000)
+       OR (k >= 5 AND k < 10 AND b < 5000)
+       OR (k >= 10 AND k < 15 AND b < 2000)
+    GROUP BY 1
+    """,
+    survey_ref="north-star:sampling-mixture",
+)
+def x_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixture sampling (curriculum mixing): keep 100%
+    of src0-4, 50% of src5-9, 20% of src10-14, drop src15-19 — the
+    deterministic id-hash gate evaluated at scan time
+    (operators/sampling.weighted_mixture)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    rates = {f"src{k}": (1.0 if k < 5 else 0.5 if k < 10 else 0.2)
+             for k in range(15)}
+    return (
+        sampling.weighted_mixture(d, rates)
+        .groupBy("source").agg(F.count("*").alias("n_sampled"))
+    )
