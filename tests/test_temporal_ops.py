@@ -275,3 +275,23 @@ def test_asof_join_forward_matches_pandas(spark):
     for lid, exp in expected.items():
         g = got[lid]
         assert (pd.isna(exp) and g is None) or g == exp, lid
+
+
+def test_weighted_mixture_rates_and_drops(spark):
+    from snowflake_data_pipeline_demo_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "keep_all" if i % 3 == 0 else
+          "half" if i % 3 == 1 else "unlisted") for i in range(600)],
+        "doc_id long, source string")
+    out = sampling.weighted_mixture(df, {"keep_all": 1.0, "half": 0.5})
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["keep_all"] == 200          # rate 1.0 keeps everything
+    assert 60 <= counts.get("half", 0) <= 140  # ~50% by id hash
+    assert "unlisted" not in counts            # absent source = dropped
+    # deterministic: second evaluation identical
+    again = {r["source"]: r["n"] for r in
+             sampling.weighted_mixture(df, {"keep_all": 1.0, "half": 0.5})
+             .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert again == counts
