@@ -295,3 +295,19 @@ def test_weighted_mixture_rates_and_drops(spark):
              sampling.weighted_mixture(df, {"keep_all": 1.0, "half": 0.5})
              .groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert again == counts
+
+
+def test_demo_curation_runs_end_to_end(spark, monkeypatch, capsys):
+    """The curation run-book executes against sf0.001 (smoke: funnel
+    counts monotone, chunks/packs/splits printed)."""
+    import sys as _sys
+
+    import demo_curation
+
+    monkeypatch.setattr(_sys, "argv", ["demo_curation.py",
+                                       "/root/testdata/sf0.001"])
+    demo_curation.main()
+    out = capsys.readouterr().out
+    assert "curation funnel" in out
+    assert "packed 64-token sequences" in out
+    assert "train" in out
