@@ -57,7 +57,18 @@ class Pipe:
         copy_history: Table,
         checkpoint_dir: str,
         pattern: str = "*",
+        file_format: str = "json",
+        format_options: dict[str, str] | None = None,
     ):
+        # Snowpipe COPY supports multiple staged file formats
+        # (dp_setup.sql:140 lists "Parquet, JSON, ORC, XML, Avro");
+        # built-in Spark streaming sources cover these — Avro/XML need
+        # external modules not bundled here.
+        if file_format not in ("json", "csv", "parquet", "orc"):
+            raise ValueError(
+                f"file_format {file_format!r} needs an external Spark "
+                "module; built-in: json/csv/parquet/orc"
+            )
         self.spark = spark
         self.name = name
         self.stage = stage
@@ -66,6 +77,8 @@ class Pipe:
         self.copy_history = copy_history
         self.checkpoint_dir = checkpoint_dir
         self.pattern = pattern
+        self.file_format = file_format
+        self.format_options = dict(format_options or {})
         self.query: StreamingQuery | None = None
 
     # -- the COPY INTO body -------------------------------------------------
@@ -101,16 +114,20 @@ class Pipe:
             batch.unpersist()
 
     def _source(self) -> DataFrame:
-        return (
+        r = (
             self.spark.readStream.schema(self.doc_schema)
+            .format(self.file_format)
             # wire timestamps are epoch-micros longs (scale path); the
             # NTZ format remains for docs that do carry formatted times
             .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss[.SSS]")
             .option("pathGlobFilter", self.pattern)
             # day-prefix layout => files live under subdirectories
             .option("recursiveFileLookup", "true")
-            .json(self.stage.url)
-            .select("*", F.col("_metadata.file_path").alias("metadata$filename"))
+        )
+        for k, v in self.format_options.items():
+            r = r.option(k, v)
+        return r.load(self.stage.url).select(
+            "*", F.col("_metadata.file_path").alias("metadata$filename")
         )
 
     # -- lifecycle (T6: resume/suspend == start/stop) ------------------------
