@@ -207,6 +207,46 @@ def ivf_assign(
     )
 
 
+def ivf_assign_pandas(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """PRODUCTION twin of :func:`ivf_assign`: the argmax over centroids
+    as one numpy matmul per Arrow batch instead of nlist inlined-literal
+    cosine expressions — the shape that stays flat as nlist grows to
+    production sizes (256-65k lists), where a literal expression tree
+    would explode. Same contract: cosine rounded to 4dp, ties to the
+    lowest centroid id; still no join and no corpus shuffle."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(
+        centroids.select(centroid_id_col, vec_col).collect(),
+        key=lambda r: r[centroid_id_col],
+    )
+    ids = np.asarray([int(r[centroid_id_col]) for r in rows])
+    C = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("long")
+    def assign(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(X) == 0:
+            return pd.Series([], dtype="int64")
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cos = np.round(Xn @ Cn.T, 4)
+        # ids sorted ascending + argmax-first-occurrence = lowest-id tie
+        return pd.Series(ids[np.argmax(cos, axis=1)])
+
+    return corpus.select(
+        F.col(id_col), F.col(vec_col),
+        assign(F.col(vec_col)).alias(centroid_id_col),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -216,6 +256,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    assignment_impl: str = "expr",
 ) -> DataFrame:
     """IVF search: each query probes its ``nprobe`` nearest centroids'
     inverted lists and exact-reranks only those candidates.
@@ -228,8 +269,11 @@ def ivf_topk(
 
     Centroid choice is the caller's: pass k-means centroids on a real
     cluster, or any deterministic seed set (the oracle-checked query
-    uses the first-nlist vectors) — the probe plan is identical."""
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+    uses the first-nlist vectors) — the probe plan is identical.
+    ``assignment_impl``: ``expr`` (inlined literals, oracle-portable) or
+    ``pandas`` (:func:`ivf_assign_pandas`, the large-nlist path)."""
+    assign_fn = ivf_assign_pandas if assignment_impl == "pandas" else ivf_assign
+    assigned = assign_fn(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         "centroid_id",

@@ -1226,14 +1226,16 @@ def x_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION IVF path: spherical k-means centroids (trained
     driver-side on a deterministic sample — training is sample-scale,
-    only ASSIGN must scale) feeding the same inlined-literal assignment
-    + centroid_id equi-join probe as the oracle-gated seed variant."""
+    only ASSIGN must scale) + the Arrow/numpy batch assignment
+    (flat cost as nlist grows) feeding the same centroid_id equi-join
+    probe as the oracle-gated seed variant."""
     e = testdata.load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     cents = similarity.kmeans_centroids(e, nlist=8)
-    return similarity.ivf_topk(e, q, cents, k=5, nprobe=2)
+    return similarity.ivf_topk(e, q, cents, k=5, nprobe=2,
+                               assignment_impl="pandas")
 
 
 @query(

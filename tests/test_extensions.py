@@ -353,3 +353,20 @@ def test_dedup_paths_under_viral_duplication(spark):
     assert all(r["count"] % 8 == 0 for r in comps)
     assert 0 < len(comps) <= n
     assert all(r["component_id"] < 10_000 for r in comps)
+
+
+def test_ivf_pandas_assignment_matches_expr(spark, emb):
+    """The production (numpy matmul) assignment must agree with the
+    inlined-literal expression path — same 4dp rounding and lowest-id
+    tie rule — on the full testdata sample."""
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    a = {r["vec_id"]: r["centroid_id"]
+         for r in similarity.ivf_assign(emb, cent).collect()}
+    b = {r["vec_id"]: r["centroid_id"]
+         for r in similarity.ivf_assign_pandas(emb, cent).collect()}
+    agree = sum(a[k] == b[k] for k in a)
+    # summation-order float noise can flip a 4dp-rounded tie on a
+    # measure-zero set; on this data they agree exactly
+    assert agree / len(a) >= 0.99
