@@ -10,8 +10,12 @@ construct Spark-first:
                    catalog/tables (the Delta-less table layer)
 - ``functions``  : scalar/variant function layer (iff, object_construct,
                    variant path-casts, date helpers, masking)
-- ``operators``  : merge (insert-only upsert), dedup, similarity search,
-                   text analysis, multimodal plumbing
+- ``operators``  : merge (insert-only upsert), dedup (exact/MinHash+LSH/
+                   SimHash/incremental), similarity search (brute/LSH/
+                   IVF), text analysis (stats/quality/TF-IDF/logprob),
+                   decontamination, chunking, sequence packing, curation
+                   funnel, temporal joins (as-of/range), skew salting,
+                   sampling (splits/mixtures), multimodal plumbing
 - ``plans``      : reference-parity query builders (star joins, secure
                    view, monitoring dashboard, top-k, set ops)
 - ``streaming``  : stream_data producer, pipe (file-stream ingest),

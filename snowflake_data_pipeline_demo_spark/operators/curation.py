@@ -32,11 +32,15 @@ def curation_funnel(corpus: DataFrame, eval_docs: DataFrame,
     dedup_keep = exact_dedup_clusters(corpus, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
-    deduped = corpus.join(dedup_keep, id_col, "left_semi")
+    # stage boundaries: each later stage (and its count) re-traverses
+    # everything upstream otherwise — shingling in particular. At
+    # warehouse scale these boundaries are stage tables; cache is the
+    # in-plan equivalent (doc-scale rows, bounded).
+    deduped = corpus.join(dedup_keep, id_col, "left_semi").cache()
     clean_ids = ngram_contamination(
         deduped, eval_docs, text_col, id_col, k, min_hits
     ).filter(~F.col("contaminated")).select(id_col)
-    clean = deduped.join(clean_ids, id_col, "left_semi")
+    clean = deduped.join(clean_ids, id_col, "left_semi").cache()
     kept = clean.filter(gopher_flags(text_col, min_required)["keep"])
 
     stages = [
