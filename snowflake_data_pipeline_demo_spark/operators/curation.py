@@ -29,18 +29,20 @@ def curation_funnel(corpus: DataFrame, eval_docs: DataFrame,
     """Per-stage survivor counts: raw → exact-dedup'd → decontaminated
     → quality-kept. Output: (stage_id, stage, n_docs), stage_id giving
     the funnel order."""
+    # stage boundaries: each later stage (and its count) would re-run
+    # everything upstream otherwise — the contamination shingle join in
+    # particular. Cache only the ID SETS (a long per surviving doc, not
+    # the text): same recompute savings, bounded footprint even if the
+    # session lives on past the funnel. At warehouse scale these id
+    # sets are the stage tables a curation run persists anyway.
     dedup_keep = exact_dedup_clusters(corpus, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
-    )
-    # stage boundaries: each later stage (and its count) re-traverses
-    # everything upstream otherwise — shingling in particular. At
-    # warehouse scale these boundaries are stage tables; cache is the
-    # in-plan equivalent (doc-scale rows, bounded).
-    deduped = corpus.join(dedup_keep, id_col, "left_semi").cache()
+    ).cache()
+    deduped = corpus.join(dedup_keep, id_col, "left_semi")
     clean_ids = ngram_contamination(
         deduped, eval_docs, text_col, id_col, k, min_hits
-    ).filter(~F.col("contaminated")).select(id_col)
-    clean = deduped.join(clean_ids, id_col, "left_semi").cache()
+    ).filter(~F.col("contaminated")).select(id_col).cache()
+    clean = deduped.join(clean_ids, id_col, "left_semi")
     kept = clean.filter(gopher_flags(text_col, min_required)["keep"])
 
     stages = [

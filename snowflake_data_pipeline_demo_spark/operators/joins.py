@@ -50,6 +50,11 @@ def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
     (the matched right timestamp). With ``tolerance_seconds``, matches
     farther than the tolerance are nulled out — the standard as-of
     staleness bound.
+
+    Determinism caveat: if several RIGHT rows share the same
+    (keys, ts), which of them wins is partition-order-dependent —
+    pre-aggregate the right side to unique (keys, ts) when that
+    matters (pandas merge_asof has the same ambiguity).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")
@@ -112,6 +117,8 @@ def range_interval_join(intervals: DataFrame, points: DataFrame,
     a nested-loop inequality join (module docstring).
 
     Returns interval columns + the point columns (point ``ts`` kept).
+    Non-key column names must not collide between the two inputs
+    (rename before joining — the output keeps both sides' columns).
     Interval [start, end] explodes to ``floor(end/b) - floor(start/b)
     + 1`` bucket rows; keep ``bucket_seconds`` within ~an order of
     magnitude of typical interval length so the explode factor stays
