@@ -38,7 +38,8 @@ def main() -> None:
     chunks = chunking.chunk_by_tokens(kept, window=32, stride=24)
     packed = packing.pack_sequences(chunks, seq_len=64)
     n_chunks = chunks.count()
-    n_packs = packed.agg(F.max("pack_id")).first()[0] + 1
+    max_pack = packed.agg(F.max("pack_id")).first()[0]
+    n_packs = (max_pack + 1) if max_pack is not None else 0
     print(f"== chunks: {n_chunks}, packed 64-token sequences: {n_packs}")
 
     print("== deterministic splits:")

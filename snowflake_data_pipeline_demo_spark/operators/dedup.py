@@ -260,22 +260,38 @@ def incremental_neardup(new_sigs: DataFrame, history_sigs: DataFrame,
     (history ∪ new) band keys, so each ingest pays O(batch) banding
     plus one bucket-key join — history text is never touched, never
     re-shingled."""
-    prior = banded_keys(history_sigs, bands, id_col).unionByName(
-        banded_keys(new_sigs, bands, id_col)
-    )
     probe = banded_keys(new_sigs, bands, id_col)
-    pairs = (
-        prior.alias("a")
+    # history matches by MEMBERSHIP (ids need not be smaller than batch
+    # ids — uuid-derived or per-source id spaces are not ingest-ordered);
+    # the id ordering applies only within the new batch, where it
+    # deterministically picks which same-batch copy survives.
+    hist_pairs = (
+        banded_keys(history_sigs, bands, id_col).alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+    )
+    batch_pairs = (
+        probe.alias("a")
         .join(
             probe.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
+    )
+    pairs = (
+        hist_pairs.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
+        .unionByName(batch_pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        ))
         .distinct()
     )
     est = minhash_jaccard_estimate(

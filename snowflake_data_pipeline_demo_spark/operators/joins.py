@@ -61,6 +61,10 @@ def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
     keys = list(keys)
     right_cols = [c for c in right_cols if c not in keys and c != ts_col]
     lpay = [c for c in left.columns if c not in keys and c != ts_col]
+    # a null right timestamp would sort nulls-first in the ascending
+    # window and get carried as a phantom match (value without ts,
+    # invisible to the tolerance check) — there is no "as of null"
+    right = right.filter(F.col(ts_col).isNotNull())
 
     # union-tag: right rows sort BEFORE left rows on timestamp ties, so
     # a right row at exactly left.ts is visible (inclusive as-of).

@@ -47,7 +47,10 @@ def deterministic_sample(df: DataFrame, fraction: float,
     """Keep ~fraction of rows, chosen by id hash — stable under retries
     and incremental reruns (a row's fate never changes), unlike
     `df.sample`, which is seed- and partitioning-dependent."""
-    return df.filter(hash_bucket(id_col, 10_000) < int(fraction * 10_000))
+    # round, don't truncate: float rates like 0.29 are binary-inexact
+    # (0.29*10000 = 2899.99...), and int() would silently drop one
+    # whole bucket from the sample forever
+    return df.filter(hash_bucket(id_col, 10_000) < round(fraction * 10_000))
 
 
 def weighted_mixture(df: DataFrame, rates: dict[str, float],
@@ -64,6 +67,6 @@ def weighted_mixture(df: DataFrame, rates: dict[str, float],
     gate = F.lit(False)
     for src, rate in sorted(rates.items()):
         gate = gate | (
-            (F.col(source_col) == src) & (b < int(rate * 10_000))
+            (F.col(source_col) == src) & (b < round(rate * 10_000))
         )
     return df.filter(gate)

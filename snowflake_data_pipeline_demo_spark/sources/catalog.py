@@ -28,6 +28,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # -- Declared schemas (dp_setup.sql:140-175; SURVEY §1.1) -------------------
@@ -227,7 +228,18 @@ class Table:
             return {"files_before": 0, "files_after": 0, "bytes": 0}
         total = sum(sz for _, sz in files)
         n_out = max(1, -(-total // target_file_bytes))
-        df = self.read().repartition(n_out)
+        # partitioned tables must repartition BY the partition columns:
+        # a plain round-robin repartition(n) followed by partitionBy
+        # writes up to n files per partition value (fan-out, the
+        # opposite of compaction); hashing on the partition keys keeps
+        # each value's rows in one task -> one file per value (the
+        # per-directory floor), n_out bounding the unpartitioned case.
+        if self.partition_by:
+            df = self.read().repartition(n_out, *[
+                F.col(c) for c in self.partition_by
+            ])
+        else:
+            df = self.read().repartition(n_out)
         jvm = self.spark.sparkContext._jvm
         p = jvm.org.apache.hadoop.fs.Path(self.path)
         fs = p.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())

@@ -311,3 +311,55 @@ def test_demo_curation_runs_end_to_end(spark, monkeypatch, capsys):
     assert "curation funnel" in out
     assert "packed 64-token sequences" in out
     assert "train" in out
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"))], "user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, None, 9.0)], "user_id long, ts timestamp, value double")
+    row = joins.asof_join(left, right, keys=["user_id"],
+                          right_cols=["value"]).collect()[0]
+    # a null-ts right row is not a match — no phantom value carry
+    assert row["value_asof"] is None and row["ts_asof"] is None
+
+
+def test_incremental_neardup_history_ids_larger_than_batch(spark):
+    """History membership matters, not id ordering: a new doc must be
+    flagged against a history doc with a LARGER id."""
+    from snowflake_data_pipeline_demo_spark.operators import dedup
+
+    text = "the quick brown fox jumps over the lazy dog tonight again"
+    hist_docs = spark.createDataFrame(
+        [(900, text)], "doc_id long, text string")
+    new_docs = spark.createDataFrame(
+        [(450, text + " ok"), (451, "completely different words entirely "
+                                    "about nothing shared at all here")],
+        "doc_id long, text string")
+    hist = dedup.minhash_signatures(hist_docs, num_hashes=16)
+    new = dedup.minhash_signatures(new_docs, num_hashes=16)
+    got = {r["doc_id"]: r["dup_of"]
+           for r in dedup.incremental_neardup(new, hist,
+                                              threshold=0.3).collect()}
+    assert got.get(450) == 900
+    assert 451 not in got
+
+
+def test_compact_partitioned_table(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+
+    schema = T.StructType([
+        T.StructField("day", T.StringType()), T.StructField("v", T.LongType()),
+    ])
+    t = Table(spark, str(tmp_path / "pt"), schema, partition_by=["day"])
+    for i in range(4):  # 4 appends x 2 days -> >= 8 files
+        t.append(spark.createDataFrame(
+            [("d1", i), ("d2", i * 10)], schema).coalesce(1))
+    before = sorted(map(tuple, t.read().collect()))
+    assert len(t.data_files()) >= 8
+    stats = t.compact(target_file_bytes=1 << 30)
+    # per-directory floor: one file per partition value
+    assert stats["files_after"] == 2
+    assert sorted(map(tuple, t.read().collect())) == before
