@@ -201,6 +201,36 @@ def tfidf_topk(df, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def repetition_metrics(c: Column | str) -> Column:
+    """Within-document repetition (the Gopher dup-n-gram rule family):
+    fraction of n-gram OCCURRENCES that are repeats of an earlier
+    occurrence, for n = 1, 2, 3 — ``1 - distinct/total``. Degenerate
+    texts (loops, boilerplate) score high; 0 when no n-grams exist.
+    Pure per-row expressions over one tokenization."""
+    toks = tokens(c)
+
+    def dup_frac(n: int) -> Column:
+        if n == 1:
+            grams = toks
+        else:
+            cnt = F.size(toks)
+            idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(0)))
+            grams = F.when(cnt >= n, F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+            )).otherwise(F.array())
+        total = F.size(grams)
+        return F.when(
+            total > 0,
+            F.round(1.0 - F.size(F.array_distinct(grams)) / total, 4),
+        ).otherwise(F.lit(0.0))
+
+    return F.struct(
+        dup_frac(1).alias("dup_unigram_frac"),
+        dup_frac(2).alias("dup_bigram_frac"),
+        dup_frac(3).alias("dup_trigram_frac"),
+    )
+
+
 def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
     """Per-document mean unigram log-probability under the corpus's own
     unigram model — the perplexity-filter shape (docs far below the

@@ -1366,3 +1366,43 @@ def x_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampling.weighted_mixture(d, rates)
         .groupBy("source").agg(F.count("*").alias("n_sampled"))
     )
+
+
+@query(
+    "x_repetition_metrics",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DTOKS} AS t FROM documents),
+    g AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) >= 2
+                  THEN [concat_ws(' ', t[CAST(i AS INT)], t[CAST(i AS INT)+1])
+                        for i in range(1, len(t))]
+                  ELSE [] END AS g2,
+             CASE WHEN len(t) >= 3
+                  THEN [concat_ws(' ', t[CAST(i AS INT)], t[CAST(i AS INT)+1],
+                                  t[CAST(i AS INT)+2])
+                        for i in range(1, len(t)-1)]
+                  ELSE [] END AS g3
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN len(t) > 0
+                THEN round(1.0 - len(list_distinct(t)) / len(t), 4)
+                ELSE 0.0 END AS dup_unigram_frac,
+           CASE WHEN len(g2) > 0
+                THEN round(1.0 - len(list_distinct(g2)) / len(g2), 4)
+                ELSE 0.0 END AS dup_bigram_frac,
+           CASE WHEN len(g3) > 0
+                THEN round(1.0 - len(list_distinct(g3)) / len(g3), 4)
+                ELSE 0.0 END AS dup_trigram_frac
+    FROM g
+    """,
+    survey_ref="north-star:repetition-metrics",
+)
+def x_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc duplicate n-gram fractions (n=1,2,3) — the Gopher
+    repetition rules (operators/text.repetition_metrics)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return d.select("doc_id", text.repetition_metrics("text").alias("r")) \
+        .select("doc_id", "r.dup_unigram_frac", "r.dup_bigram_frac",
+                "r.dup_trigram_frac")
