@@ -48,6 +48,11 @@ HEADLINE = [
     "x_range_join",
     "x_curation_funnel",
     "x_dedup_minhash_incremental",
+    "x_quality_gopher",
+    "x_unigram_logprob",
+    "x_sample_mixture",
+    "x_repetition_metrics",
+    "x_multimodal_resize",
 ]
 
 

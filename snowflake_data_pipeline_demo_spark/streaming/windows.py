@@ -58,3 +58,37 @@ def session_counts(events: DataFrame, ts_col: str = "ts",
             "n_events",
         )
     )
+
+
+def interval_join_stream(left: DataFrame, right: DataFrame,
+                         keys: tuple[str, ...] = ("user_id",),
+                         left_ts: str = "ts", right_ts: str = "r_ts",
+                         window_seconds: int = 300,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: each left event joins
+    right events of the same keys within ``[left_ts, left_ts +
+    window_seconds]``. Works on batch frames too (withWatermark is a
+    batch no-op) — the batch twin is operators/joins.range_interval_join.
+
+    Scale/state: Spark keeps both sides' state only within the
+    watermark horizon — the time-bound condition lets the state store
+    evict rows older than (watermark + window), so state is bounded by
+    arrival rate x horizon, not history. The join itself shuffles both
+    streams on the equi-keys.
+    """
+    from pyspark.sql import functions as F
+
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    conds = [F.col(k) == F.col(f"_r_{k}") for k in keys] + [
+        F.col(right_ts) >= F.col(left_ts),
+        F.col(right_ts)
+        <= F.col(left_ts) + F.expr(f"INTERVAL {window_seconds} SECONDS"),
+    ]
+    r_renamed = rw.select(
+        *[F.col(k).alias(f"_r_{k}") for k in keys],
+        F.col(right_ts),
+        *[c for c in rw.columns if c not in keys and c != right_ts],
+    )
+    out = lw.join(r_renamed, conds, "inner")
+    return out.drop(*[f"_r_{k}" for k in keys])

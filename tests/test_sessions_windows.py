@@ -101,3 +101,56 @@ def test_session_counts_streaming_matches_batch(spark, events, tmp_path):
         "select user_id, count(*) as n_sessions from sess_stream group by 1"
     ).collect()}
     assert got == {1: 2, 2: 1, 3: 3}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (error -> follow-up
+    views within 5 min) run as TWO file streams matches the batch
+    range-join on the same data."""
+    import json
+
+    from snowflake_data_pipeline_demo_spark.operators import joins
+    from snowflake_data_pipeline_demo_spark.streaming.windows import (
+        interval_join_stream,
+    )
+
+    errs = [(1, "2024-01-01T10:00:00"), (2, "2024-01-01T11:00:00")]
+    views = [(1, "2024-01-01T10:02:00"), (1, "2024-01-01T10:06:00"),
+             (2, "2024-01-01T11:04:59"), (2, "2024-01-01T10:59:00")]
+    ldir, rdir = tmp_path / "errs", tmp_path / "views"
+    ldir.mkdir(); rdir.mkdir()
+    (ldir / "l.json").write_text("\n".join(
+        json.dumps({"user_id": u, "ts": t}) for u, t in errs))
+    (rdir / "r.json").write_text("\n".join(
+        json.dumps({"user_id": u, "r_ts": t}) for u, t in views))
+
+    ls = spark.readStream.schema("user_id long, ts timestamp").json(str(ldir))
+    rs = spark.readStream.schema("user_id long, r_ts timestamp").json(str(rdir))
+    got: list = []
+    q = (
+        interval_join_stream(ls, rs, keys=("user_id",),
+                             window_seconds=300)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(lambda df, _: got.extend(
+            (r["user_id"], str(r["ts"]), str(r["r_ts"])) for r in df.collect()))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    # batch twin on the same rows
+    lb = spark.read.schema("user_id long, ts timestamp").json(str(ldir))
+    rb = spark.read.schema("user_id long, r_ts timestamp").json(str(rdir))
+    ivl = lb.select("user_id", F.col("ts").alias("s"),
+                    (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("e"))
+    batch = joins.range_interval_join(
+        ivl, rb.select("user_id", F.col("r_ts").alias("ts")),
+        keys=["user_id"], start_col="s", end_col="e", point_ts="ts",
+        bucket_seconds=300,
+    ).select("user_id", F.col("s").alias("ts"), F.col("ts").alias("r_ts"))
+    want = sorted((r["user_id"], str(r["ts"]), str(r["r_ts"]))
+                  for r in batch.collect())
+    assert sorted(got) == want
+    # 10:02 and 11:04:59 match; 10:06 is outside the 5-min window and
+    # 10:59 precedes its error
+    assert len(got) == 2
