@@ -448,24 +448,113 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
 # near-dup clustering (connected components over the pair graph)
 # ---------------------------------------------------------------------------
 
+def _bigstar_components(ids: DataFrame, pairs: DataFrame,
+                        id_col: str, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al. 2014, "Connected Components in MapReduce and Beyond" —
+    public paper). Converges in O(log^2 n) rounds regardless of graph
+    DIAMETER, where min-label propagation needs diameter rounds — the
+    swap for 100 TB-scale graphs with long chains.
+
+    Each round is two grouped joins over the edge list only (ids as
+    longs — a few bytes per edge, document text never moves):
+
+    - large-star: for each node u, attach every LARGER neighbor v to
+      ``m = min(neighbors(u) + [u])`` — emit edge (v, m).
+    - small-star: with edges oriented (big, small), attach each node
+      u's smaller neighbors AND u itself to its min neighbor.
+
+    The fixpoint is a star forest: one (node, component-min) edge per
+    non-root node. Isolated nodes are restored by the final label join.
+
+    Each round's edge set is ``localCheckpoint``-ed, not cached: every
+    round references the previous edge frame ~4 times, so without a
+    LINEAGE cut the logical plan grows 4^rounds and the driver OOMs
+    just printing it by round 10 (measured). Checkpointing pins the
+    (id, id) edge list — a few bytes per edge — and restarts lineage.
+    """
+    e = (
+        pairs.select(
+            F.greatest(F.col("id_a").cast("long"),
+                       F.col("id_b").cast("long")).alias("u"),
+            F.least(F.col("id_a").cast("long"),
+                    F.col("id_b").cast("long")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # large-star over the symmetric view: every edge is seen from
+        # both endpoints; the strictly-larger endpoint gets re-attached.
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: ls edges are (big, small) by construction, so each
+        # node u's ls-neighbors are all smaller; hook them (and u) to
+        # the min one.
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = (
+            ss.count() == e.count() and ss.subtract(e).count() == 0
+        )
+        e = ss
+        if converged:
+            break
+    out = (
+        ids.select(F.col(id_col).alias("nid"))
+        .join(e, F.col("nid").cast("long") == F.col("u"), "left")
+        .select(
+            F.col("nid").alias(id_col),
+            F.coalesce(F.col("v"), F.col("nid").cast("long"))
+            .alias("component_id"),
+        )
+    )
+    return out
+
+
 def components_from_pairs(ids: DataFrame, pairs: DataFrame,
                           id_col: str = "doc_id",
-                          max_iter: int = 25) -> DataFrame:
+                          max_iter: int = 25,
+                          algorithm: str = "propagation") -> DataFrame:
     """Connected components over an undirected near-duplicate pair
     graph: every node ends up labeled with the minimum id reachable
     from it. Output: (id, component_id) — ``component_id == id`` marks
     the kept representative, everything else is a near-dup to drop.
 
-    Implementation: iterative min-label propagation — each round every
-    node takes ``min(own label, min neighbor label)``; converges in
-    graph-diameter rounds (dup clusters are near-cliques, so diameter
-    is tiny). Each round is one shuffle join on the edge list; labels
-    are (id, long) pairs, a few bytes/node regardless of document size,
-    and the loop re-caches only that label table. At 100 TB-scale graph
-    diameters, swap the loop body for the alternating large-star/
-    small-star rounds (Kiveris et al.) — same join primitive, O(log n)
-    rounds; the propagation below is the diameter-bounded special case.
+    ``algorithm="propagation"`` (default): iterative min-label
+    propagation — each round every node takes ``min(own label, min
+    neighbor label)``; converges in graph-diameter rounds (dup clusters
+    are near-cliques, so diameter is tiny). Each round is one shuffle
+    join on the edge list; labels are (id, long) pairs, a few
+    bytes/node regardless of document size, and the loop re-caches only
+    that label table.
+
+    ``algorithm="bigstar"``: the alternating large-star/small-star
+    rounds (Kiveris et al.) — same join primitive, O(log^2 n) rounds
+    independent of diameter; the swap for huge-diameter graphs (see
+    :func:`_bigstar_components`).
     """
+    if algorithm == "bigstar":
+        return _bigstar_components(ids, pairs, id_col, max_iter)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm: {algorithm}")
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(
@@ -507,13 +596,15 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
 
 def neardup_components(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       threshold: float = 0.5) -> DataFrame:
+                       threshold: float = 0.5,
+                       algorithm: str = "propagation") -> DataFrame:
     """Near-duplicate clusters: edges = word-3-gram Jaccard >= threshold
     (the deterministic verifier pair-generator; production swaps in
     :func:`lsh_candidate_pairs` — same (id_a, id_b) contract), then
     connected components. Output: (id, component_id, is_kept)."""
     pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold=threshold)
-    comp = components_from_pairs(df.select(id_col), pairs, id_col)
+    comp = components_from_pairs(df.select(id_col), pairs, id_col,
+                                 algorithm=algorithm)
     return comp.select(
         id_col, "component_id",
         (F.col(id_col) == F.col("component_id")).alias("is_kept"),

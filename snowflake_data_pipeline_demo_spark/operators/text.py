@@ -176,22 +176,28 @@ def tfidf_topk(df, text_col: str = "text", id_col: str = "doc_id",
     DF a (token) hash-agg — both partial-aggregated map-side; the
     TF⋈DF join shuffles on the token key (hot/stopword tokens are
     exactly AQE's skew-split case), and the final per-doc top-k is a
-    rank window partitioned by doc. N is one driver scalar. No text
-    moves after the explode projection — only (token, counts) pairs.
+    rank window partitioned by doc. N is a broadcast one-row scalar
+    subframe (no driver action at plan build — the whole operator is
+    one lazy plan). No text moves after the explode projection — only
+    (token, counts) pairs.
     """
     from pyspark.sql import Window
 
-    n_docs = df.count()
+    n_docs = df.agg(F.count("*").cast("double").alias("_n_docs"))
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     dfreq = tok.groupBy("token").agg(
         F.count_distinct(id_col).alias("df")
     )
-    scored = tf.join(dfreq, "token").select(
-        F.col(id_col), F.col("token"),
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
-        ).alias("tfidf"),
+    scored = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col(id_col), F.col("token"),
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
     return (
@@ -231,6 +237,72 @@ def repetition_metrics(c: Column | str) -> Column:
     )
 
 
+def repetition_metrics_agg(df, text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Production twin of :func:`repetition_metrics` — same output
+    contract (one row per input doc: id + dup n-gram fractions for
+    n = 1, 2, 3), built in the scale execution shape.
+
+    :func:`repetition_metrics` constructs per-row n-gram ARRAYS with
+    ``F.transform(F.sequence, F.slice)`` + ``F.array_distinct`` — the
+    interpreted CodegenFallback HOF family this codebase already
+    measured ~90x slower and eliminated from MinHash
+    (dedup.exploded_shingles docstring). This twin keeps everything in
+    whole-stage codegen: posexplode the regex split, window-lead to
+    stitch bigrams/trigrams (same partition key as the reduce, so one
+    shuffle serves both), then ONE ``groupBy(doc_id)`` computing
+    count / count_distinct per n. Docs with no tokens (null/empty/
+    punctuation-only text) are restored by a left join and score 0.0,
+    matching the array form.
+    """
+    from pyspark.sql import Window
+
+    t = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("_pos", "_tok"),
+        )
+        .filter(F.col("_tok") != "")
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    grams = t.select(
+        F.col(id_col),
+        F.col("_tok").alias("g1"),
+        F.lead("_tok", 1).over(w).alias("_l1"),
+        F.lead("_tok", 2).over(w).alias("_l2"),
+    ).select(
+        id_col,
+        "g1",
+        F.when(F.col("_l1").isNotNull(),
+               F.concat_ws(" ", "g1", "_l1")).alias("g2"),
+        F.when(F.col("_l2").isNotNull(),
+               F.concat_ws(" ", "g1", "_l1", "_l2")).alias("g3"),
+    )
+    agg = grams.groupBy(id_col).agg(
+        F.count("g1").alias("n1"), F.count_distinct("g1").alias("d1"),
+        F.count("g2").alias("n2"), F.count_distinct("g2").alias("d2"),
+        F.count("g3").alias("n3"), F.count_distinct("g3").alias("d3"),
+    )
+
+    def frac(n: str, d: str) -> Column:
+        return F.when(
+            F.col(n) > 0, F.round(1.0 - F.col(d) / F.col(n), 4)
+        ).otherwise(F.lit(0.0))
+
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(frac("n1", "d1"), F.lit(0.0)).alias("dup_unigram_frac"),
+            F.coalesce(frac("n2", "d2"), F.lit(0.0)).alias("dup_bigram_frac"),
+            F.coalesce(frac("n3", "d3"), F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )
+
+
 def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
     """Per-document mean unigram log-probability under the corpus's own
     unigram model — the perplexity-filter shape (docs far below the
@@ -241,14 +313,18 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
     combined); scoring re-joins tokens to model on the token key (same
     AQE skew-split story as TF-IDF); per-doc mean is a doc-key agg.
     The model is two columns (token, count) — at corpus scale it stays
-    a table join; for bounded vocabularies it broadcasts.
+    a table join; for bounded vocabularies it broadcasts. The corpus
+    token total is a broadcast one-row scalar subframe (no driver
+    action at plan build — the whole operator is one lazy plan).
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     model = tok.groupBy("token").agg(F.count("*").alias("cnt"))
-    total = model.agg(F.sum("cnt")).first()[0] or 1
-    scored = tok.join(model, "token").select(
+    total = model.agg(
+        F.greatest(F.sum("cnt"), F.lit(1)).cast("double").alias("_total")
+    )
+    scored = tok.join(model, "token").join(F.broadcast(total)).select(
         F.col(id_col),
-        F.log(F.col("cnt") / F.lit(float(total))).alias("lp"),
+        F.log(F.col("cnt") / F.col("_total")).alias("lp"),
     )
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_tokens"),

@@ -474,6 +474,43 @@ def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_dedup_components_bigstar",
+    # same reachability fixpoint as x_dedup_components — the algorithms
+    # must agree on every component label
+    oracle=f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_DTOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_DSHING} AS s FROM toks),
+    ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS sh FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, a.n_sh, b.n_sh
+      HAVING round(COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)), 4) >= 0.5
+    ),
+    ed AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(nid, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.nid, ed.dst FROM reach JOIN ed ON ed.src = reach.r
+    )
+    SELECT nid AS doc_id, MIN(r) AS component_id, (nid = MIN(r)) AS is_kept
+    FROM reach GROUP BY nid
+    """,
+    survey_ref="north-star:dedup-components",
+)
+def x_dedup_components_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as x_dedup_components via the alternating
+    large-star/small-star rounds (Kiveris et al.) — O(log^2 n) rounds
+    independent of graph diameter (operators/dedup._bigstar_components).
+    """
+    d = testdata.load(spark, sf_dir, "documents")
+    return dedup.neardup_components(d, threshold=0.5, algorithm="bigstar")
+
+
+@query(
     "x_sim_ivf_ann",
     oracle=f"""
     WITH cent AS (
@@ -1406,3 +1443,43 @@ def x_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", text.repetition_metrics("text").alias("r")) \
         .select("doc_id", "r.dup_unigram_frac", "r.dup_bigram_frac",
                 "r.dup_trigram_frac")
+
+
+@query(
+    "x_repetition_metrics_prod",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DTOKS} AS t FROM documents),
+    g AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) >= 2
+                  THEN [concat_ws(' ', t[CAST(i AS INT)], t[CAST(i AS INT)+1])
+                        for i in range(1, len(t))]
+                  ELSE [] END AS g2,
+             CASE WHEN len(t) >= 3
+                  THEN [concat_ws(' ', t[CAST(i AS INT)], t[CAST(i AS INT)+1],
+                                  t[CAST(i AS INT)+2])
+                        for i in range(1, len(t)-1)]
+                  ELSE [] END AS g3
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN len(t) > 0
+                THEN round(1.0 - len(list_distinct(t)) / len(t), 4)
+                ELSE 0.0 END AS dup_unigram_frac,
+           CASE WHEN len(g2) > 0
+                THEN round(1.0 - len(list_distinct(g2)) / len(g2), 4)
+                ELSE 0.0 END AS dup_bigram_frac,
+           CASE WHEN len(g3) > 0
+                THEN round(1.0 - len(list_distinct(g3)) / len(g3), 4)
+                ELSE 0.0 END AS dup_trigram_frac
+    FROM g
+    """,
+    survey_ref="north-star:repetition-metrics",
+)
+def x_repetition_metrics_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of x_repetition_metrics: same output + oracle,
+    built codegen-first (posexplode + window-lead + one groupBy) instead
+    of interpreted per-row n-gram arrays
+    (operators/text.repetition_metrics_agg)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return text.repetition_metrics_agg(d, "text", "doc_id")

@@ -31,26 +31,28 @@ from ..functions.scalars import iff, md5_mask
 from ..session import current_account
 
 
-def _is_publisher(security: DataFrame, account_lit: Column) -> Column:
+def _is_publisher(
+    security: DataFrame, account_lit: Column
+) -> tuple[DataFrame, Column]:
     """``current_account() IN (SELECT account FROM security WHERE
     name = 'Publisher Account')`` (dp_demo.sql:226-228, P6).
 
-    security is tiny (rows-scale) so the IN-subquery is evaluated by
-    collecting the publisher set once at plan-build time — equivalent
-    to Catalyst's subquery rewrite, but keeps this factory usable from
-    the DataFrame API without a registered temp view.
+    Evaluated lazily as a scalar subquery over the security frame: the
+    publisher-match count is a one-row aggregate, broadcast-joined into
+    the consuming plan by :func:`secure_trips_view` — no driver action
+    at view-build time, and (matching the reference's re-evaluating
+    subquery) the predicate reflects the security frame's state at
+    query run, not at view construction.
 
-    Non-goal (deviation from the reference): the reference subquery
-    re-evaluates on every query, so later security-table changes would
-    be reflected; this factory snapshots the publisher set when the
-    view is BUILT. Rebuild the view after security changes.
+    Returns (flag_frame, column): join ``flag_frame`` (one row, one
+    boolean ``_is_pub``) into the plan and use ``column`` in masking
+    expressions.
     """
-    publishers = [
-        r["account"]
-        for r in security.filter(F.col("name") == "Publisher Account")
-        .select("account").collect()
-    ]
-    return account_lit.isin(publishers) if publishers else F.lit(False)
+    flag = security.filter(
+        (F.col("name") == "Publisher Account")
+        & (F.col("account") == account_lit)
+    ).agg((F.count("*") > 0).alias("_is_pub"))
+    return flag, F.col("_is_pub")
 
 
 def secure_trips_view(
@@ -72,7 +74,7 @@ def secure_trips_view(
         account = current_account(spark)
     acct = F.lit(account)
 
-    is_pub = _is_publisher(security, acct)
+    pub_flag, is_pub = _is_publisher(security, acct)
     mask = lambda c: iff(is_pub, c, md5_mask(c))  # noqa: E731
 
     t = trips.alias("t")
@@ -83,6 +85,9 @@ def secure_trips_view(
 
     return (
         t
+        # one-row publisher flag (lazy IN-subquery equivalent; see
+        # _is_publisher) — broadcast nested-loop, zero shuffle
+        .join(F.broadcast(pub_flag))
         .join(F.broadcast(ss), F.col("t.start_station_id") == F.col("ss.station_id"))
         .join(F.broadcast(es), F.col("t.end_station_id") == F.col("es.station_id"))
         .join(F.broadcast(p), F.col("t.program_id") == F.col("p.program_id"))

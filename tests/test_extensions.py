@@ -370,3 +370,103 @@ def test_ivf_pandas_assignment_matches_expr(spark, emb):
     # summation-order float noise can flip a 4dp-rounded tie on a
     # measure-zero set; on this data they agree exactly
     assert agree / len(a) >= 0.99
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star components (round 4)
+# ---------------------------------------------------------------------------
+
+def test_bigstar_matches_propagation_on_testdata(spark, docs):
+    """Both component algorithms must produce identical labels on the
+    sf0.001 near-dup pair graph."""
+    sigs = dedup.minhash_signatures(docs, num_hashes=16).cache()
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=4).cache()
+    ids = docs.select("doc_id")
+    a = {r["doc_id"]: r["component_id"]
+         for r in dedup.components_from_pairs(ids, pairs).collect()}
+    b = {r["doc_id"]: r["component_id"]
+         for r in dedup.components_from_pairs(
+             ids, pairs, algorithm="bigstar").collect()}
+    pairs.unpersist(); sigs.unpersist()
+    assert a == b
+
+
+def test_bigstar_converges_in_log_rounds_on_chain(spark):
+    """A 64-node path graph has diameter 63: min-label propagation
+    cannot finish in 8 rounds, while large-star/small-star converges in
+    O(log n) rounds — the whole point of the swap (Kiveris et al.)."""
+    n = 64
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    big = dedup.components_from_pairs(
+        ids, pairs, max_iter=10, algorithm="bigstar"
+    )
+    assert {r["component_id"] for r in big.collect()} == {0}
+    prop = dedup.components_from_pairs(ids, pairs, max_iter=8)
+    # propagation moves labels <= 8 hops/8 rounds: node 63 cannot see 0
+    assert {r["component_id"] for r in prop.collect()} != {0}
+
+
+def test_bigstar_isolated_and_multi_component(spark):
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7, 8, 42)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(2, 1), (3, 2), (8, 7)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["component_id"]
+           for r in dedup.components_from_pairs(
+               ids, pairs, algorithm="bigstar").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 42: 42}
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics production twin (round 4)
+# ---------------------------------------------------------------------------
+
+def test_repetition_agg_matches_array_form(spark, docs):
+    """The codegen (posexplode+lead+groupBy) twin must reproduce the
+    per-row array form exactly, including empty/null/short-doc edges."""
+    edge = spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "..!!.."), (9004, "one"),
+         (9005, "a b"), (9006, "x x x x x")],
+        "doc_id long, text string",
+    )
+    df = docs.select("doc_id", "text").unionByName(edge)
+    array_form = df.select(
+        "doc_id", text.repetition_metrics("text").alias("r")
+    ).select("doc_id", "r.dup_unigram_frac", "r.dup_bigram_frac",
+             "r.dup_trigram_frac")
+    agg_form = text.repetition_metrics_agg(df)
+    a = {r["doc_id"]: (r["dup_unigram_frac"], r["dup_bigram_frac"],
+                       r["dup_trigram_frac"]) for r in array_form.collect()}
+    b = {r["doc_id"]: (r["dup_unigram_frac"], r["dup_bigram_frac"],
+                       r["dup_trigram_frac"]) for r in agg_form.collect()}
+    assert a == b
+    # sanity on the planted degenerate doc: all-repeat unigrams
+    assert b[9006][0] == 0.8
+
+
+def test_lazy_plan_construction(spark, docs):
+    """tfidf_topk / unigram_logprob / secure_trips_view must not run any
+    Spark job while the plan is being BUILT (scalar subqueries replaced
+    the former count()/first()/collect() at construction)."""
+    from snowflake_data_pipeline_demo_spark.plans.citibike import (
+        security_fixture,
+    )
+    sc = spark.sparkContext
+    region = spark.createDataFrame(
+        [(0, "AMERICA"), (2, "ASIA")], "r_regionkey long, r_name string"
+    )
+    group = "lazy-build-check"
+    sc.setJobGroup(group, "plan construction must be lazy")
+    try:
+        text.tfidf_topk(docs)
+        text.unigram_logprob(docs)
+        security_fixture(spark, region)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(jobs) == []
