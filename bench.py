@@ -6,6 +6,19 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Execution is measured with the noop sink (full plan execution, no
 driver-side row transfer) so the number reflects engine throughput,
 not toPandas serialization.
+
+Methodology change (round 4): the cache is cleared after EVERY query,
+cold and warm passes alike. Previously caches persisted across queries
+and passes, which (a) let a warm run reuse a cache built two passes
+earlier — under-counting queries whose plan includes a materialization
+boundary (flagship's parse cache, minhash signature tables) — and
+(b) accumulated tens of cached frames whose memory pressure produced
+warm > cold inversions on late headline entries. Warm numbers from
+r04 on therefore INCLUDE each query's own cache build; per-query
+comparisons against r03 and earlier are apples-to-oranges for the
+cache-using queries (flagship_secure_report, u1_union_distinct,
+x_dedup_minhash_*): those look slower while measuring strictly more
+honestly.
 """
 
 from __future__ import annotations
@@ -52,7 +65,10 @@ HEADLINE = [
     "x_unigram_logprob",
     "x_sample_mixture",
     "x_repetition_metrics",
+    "x_repetition_metrics_prod",
     "x_multimodal_resize",
+    "x_skew_salted_agg",
+    "x_window_rollup",
 ]
 
 
@@ -75,6 +91,12 @@ def main() -> None:
             df = QUERIES[name].builder(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            # queries with a _materialize boundary cache intermediates;
+            # drop them after each query so timings are isolated (cache
+            # pressure from earlier queries was producing warm > cold
+            # inversions on the late headline entries) and each warm
+            # pass re-pays its own query's cache fill, nothing else's.
+            spark.catalog.clearCache()
         return timings, round(time.time() - t_all, 3)
 
     # Pass 1 (cold): first execution at the measured SF. Pays one-time

@@ -31,17 +31,20 @@ def curation_funnel(corpus: DataFrame, eval_docs: DataFrame,
     the funnel order."""
     # stage boundaries: each later stage (and its count) would re-run
     # everything upstream otherwise — the contamination shingle join in
-    # particular. Cache only the ID SETS (a long per surviving doc, not
-    # the text): same recompute savings, bounded footprint even if the
-    # session lives on past the funnel. At warehouse scale these id
-    # sets are the stage tables a curation run persists anyway.
+    # particular. Materialize only the ID SETS (a long per surviving
+    # doc, not the text): same recompute savings, bounded footprint. Via
+    # localCheckpoint, not cache — checkpoint blocks are released when
+    # the funnel result is dropped, where cached frames would stay
+    # pinned in the catalog until explicitly unpersisted, accumulating
+    # storage across calls in a long-lived session. At warehouse scale
+    # these id sets are the stage tables a curation run persists anyway.
     dedup_keep = exact_dedup_clusters(corpus, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
-    ).cache()
+    ).localCheckpoint(eager=False)
     deduped = corpus.join(dedup_keep, id_col, "left_semi")
     clean_ids = ngram_contamination(
         deduped, eval_docs, text_col, id_col, k, min_hits
-    ).filter(~F.col("contaminated")).select(id_col).cache()
+    ).filter(~F.col("contaminated")).select(id_col).localCheckpoint(eager=False)
     clean = deduped.join(clean_ids, id_col, "left_semi")
     kept = clean.filter(gopher_flags(text_col, min_required)["keep"])
 

@@ -102,8 +102,15 @@ def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
     )
     out = carried.filter(F.col("_tag") == 1).drop("_tag")
     if tolerance_seconds is not None:
-        gap = F.col(ts_col).cast("long") - F.col(f"{ts_col}{suffix}").cast("long")
-        stale = (gap if direction == "backward" else -gap) > tolerance_seconds
+        # microsecond-precision gap: cast('long') truncates to whole
+        # seconds, which lets matches up to ~1s past the tolerance
+        # boundary slip through on micro-precision timestamps
+        gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+            F.col(f"{ts_col}{suffix}")
+        )
+        stale = (
+            gap if direction == "backward" else -gap
+        ) > tolerance_seconds * 1_000_000
         for c in [*right_cols, ts_col]:
             out = out.withColumn(
                 f"{c}{suffix}",

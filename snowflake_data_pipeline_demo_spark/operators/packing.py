@@ -37,13 +37,18 @@ def global_running_offset(df: DataFrame, order_cols: Sequence[str],
     (exclusive prefix sum). Ties in ``order_cols`` must not exist —
     the order must be total for the result to be well-defined."""
     order_cols = list(order_cols)
-    # cache BEFORE the totals collect: the ranged frame is computed by
-    # two jobs (totals, output), and without pinning it the range
-    # boundaries could be re-sampled differently per job — a row near a
-    # boundary would take its _prefix from the wrong partition's total.
+    # localCheckpoint BEFORE the totals collect: the ranged frame is
+    # computed by two jobs (totals, output), and without pinning it the
+    # range boundaries could be re-sampled differently per job — a row
+    # near a boundary would take its _prefix from the wrong partition's
+    # total. Checkpoint (not cache): materialized once by whichever job
+    # runs first (the totals collect), lineage truncated after, and its
+    # blocks are released when the result frame is dropped — a cache
+    # here would stay pinned in the catalog until someone unpersists it,
+    # accumulating storage across calls in a long-lived session.
     part = df.repartitionByRange(*order_cols).withColumn(
         "_pid", F.spark_partition_id()
-    ).cache()
+    ).localCheckpoint(eager=False)
     w = (
         Window.partitionBy("_pid").orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

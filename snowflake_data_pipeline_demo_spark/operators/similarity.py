@@ -237,7 +237,13 @@ def ivf_assign_pandas(
         if len(X) == 0:
             return pd.Series([], dtype="int64")
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        cos = np.round(Xn @ Cn.T, 4)
+        # HALF_UP rounding to match Spark's F.round (np.round is
+        # half-to-even: a score landing exactly on a .00005 midpoint
+        # would round differently and could flip the argmax tie-break
+        # vs the expr path). HALF_UP = ties away from zero, hence the
+        # sign split — cosines can be negative.
+        raw = Xn @ Cn.T
+        cos = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
         # ids sorted ascending + argmax-first-occurrence = lowest-id tie
         return pd.Series(ids[np.argmax(cos, axis=1)])
 

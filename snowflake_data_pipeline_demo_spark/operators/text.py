@@ -239,21 +239,25 @@ def repetition_metrics(c: Column | str) -> Column:
 
 def repetition_metrics_agg(df, text_col: str = "text",
                            id_col: str = "doc_id"):
-    """Production twin of :func:`repetition_metrics` — same output
+    """Aggregation twin of :func:`repetition_metrics` — same output
     contract (one row per input doc: id + dup n-gram fractions for
-    n = 1, 2, 3), built in the scale execution shape.
+    n = 1, 2, 3), built shuffle-side instead of row-side: posexplode
+    the regex split, window-lead to stitch bigrams/trigrams, then ONE
+    ``groupBy(doc_id)`` computing count / count_distinct per n — all
+    whole-stage codegen, no interpreted HOFs. Docs with no tokens
+    (null/empty/punctuation-only text) are restored by a left join and
+    score 0.0, matching the array form.
 
-    :func:`repetition_metrics` constructs per-row n-gram ARRAYS with
-    ``F.transform(F.sequence, F.slice)`` + ``F.array_distinct`` — the
-    interpreted CodegenFallback HOF family this codebase already
-    measured ~90x slower and eliminated from MinHash
-    (dedup.exploded_shingles docstring). This twin keeps everything in
-    whole-stage codegen: posexplode the regex split, window-lead to
-    stitch bigrams/trigrams (same partition key as the reduce, so one
-    shuffle serves both), then ONE ``groupBy(doc_id)`` computing
-    count / count_distinct per n. Docs with no tokens (null/empty/
-    punctuation-only text) are restored by a left join and score 0.0,
-    matching the array form.
+    Measured trade-off (bench r04, cache-isolated, sf0.1): the array
+    form wins — 1.8 s vs 2.1 s. The per-row HOF construction in
+    :func:`repetition_metrics` is interpreted but ZERO-shuffle, while
+    this twin moves the full token stream through the window exchange
+    and a 3-way Expand for the distinct aggregates. (Not the MinHash
+    situation: there the explode feeds a map-side-combinable ``min``,
+    so codegen explode wins outright — dedup.exploded_shingles.) Both
+    stay registered: the array form is the default; this twin is the
+    escape hatch for corpora whose per-doc token counts make
+    interpreted per-row array construction the bottleneck.
     """
     from pyspark.sql import Window
 

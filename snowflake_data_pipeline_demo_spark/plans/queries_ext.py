@@ -1477,9 +1477,11 @@ def x_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="north-star:repetition-metrics",
 )
 def x_repetition_metrics_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production twin of x_repetition_metrics: same output + oracle,
-    built codegen-first (posexplode + window-lead + one groupBy) instead
-    of interpreted per-row n-gram arrays
-    (operators/text.repetition_metrics_agg)."""
+    """Aggregation twin of x_repetition_metrics: same output + oracle,
+    built shuffle-side (posexplode + window-lead + one groupBy) instead
+    of interpreted per-row n-gram arrays. Measured at sf0.1 the per-row
+    array form wins (zero shuffle); both shapes are benched
+    round-over-round (operators/text.repetition_metrics_agg docstring
+    has the trade-off analysis)."""
     d = testdata.load(spark, sf_dir, "documents")
     return text.repetition_metrics_agg(d, "text", "doc_id")

@@ -217,12 +217,15 @@ class Table:
         scan-sized files.
 
         Maintenance-window operation on a quiesced table: the rewrite
-        stages to a sibling temp dir and swaps via delete+rename (the
-        swap window is not transactional on plain parquet dirs — a
-        table format with a commit log makes this atomic), and it
-        flattens any ``overwrite_subdir`` batch layout, so replay
-        markers (``subdir_committed``) are consumed before compacting.
-        Returns {files_before, files_after, bytes}."""
+        stages to a sibling temp dir, renames the original ASIDE, renames
+        the staged dir into place, then deletes the backup — the
+        non-atomic window is a single rename, and a crash at any point
+        leaves the full table recoverable in either ``.__compact_tmp``
+        (pre-swap) or ``.__compact_old`` (mid-swap). Plain parquet dirs
+        can't do better; a table format with a commit log makes this
+        atomic. Flattens any ``overwrite_subdir`` batch layout, so
+        replay markers (``subdir_committed``) are consumed before
+        compacting. Returns {files_before, files_after, bytes}."""
         files = self.data_files()
         if not files:
             return {"files_before": 0, "files_after": 0, "bytes": 0}
@@ -249,8 +252,14 @@ class Table:
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         w.parquet(tmp.toString())
-        fs.delete(p, True)
+        old = jvm.org.apache.hadoop.fs.Path(
+            self.path.rstrip("/") + ".__compact_old"
+        )
+        if fs.exists(old):  # leftover from an earlier crashed swap
+            fs.delete(old, True)
+        fs.rename(p, old)
         fs.rename(tmp, p)
+        fs.delete(old, True)
         return {
             "files_before": len(files),
             "files_after": len(self.data_files()),

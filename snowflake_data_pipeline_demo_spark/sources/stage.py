@@ -37,6 +37,36 @@ class StageFile:
     mtime_ms: int
 
 
+#: formats the reference's VARIANT table claims (dp_setup.sql:140)
+#: whose Spark data source may or may not be registered on this
+#: deployment (avro is an external module unless the jar is deployed;
+#: xml is built in from Spark 4)
+_OPTIONAL_FORMATS = ("avro", "xml")
+_probe_cache: dict[str, bool] = {}
+
+
+def optional_formats(spark: SparkSession) -> tuple[str, ...]:
+    """Which of the optional formats (avro, xml) this deployment's
+    data-source registry actually resolves. Probed once per process by
+    planning a read of a nonexistent path: a missing SOURCE fails with
+    "Failed to find data source" at lookup, before the path is ever
+    touched — class presence alone is not enough, since Spark resolves
+    shortnames through ServiceLoader registration."""
+    out = []
+    for fmt in _OPTIONAL_FORMATS:
+        if fmt not in _probe_cache:
+            try:
+                spark.read.format(fmt).schema("x int").load(
+                    f"/nonexistent/__{fmt}_probe__"
+                )
+                _probe_cache[fmt] = True  # source resolved, path missing
+            except Exception as e:  # noqa: BLE001 — classify the error
+                _probe_cache[fmt] = "Failed to find data source" not in str(e)
+        if _probe_cache[fmt]:
+            out.append(fmt)
+    return tuple(out)
+
+
 class Stage:
     """A named file location (dir or object-store prefix)."""
 
@@ -76,19 +106,25 @@ class Stage:
 
     #: staged-file formats with built-in Spark sources (the reference's
     #: VARIANT table claims "Parquet, JSON, ORC, XML, Avro" storability,
-    #: dp_setup.sql:140 — Avro/XML need external Spark modules not
-    #: bundled here and raise accordingly)
+    #: dp_setup.sql:140 — Avro/XML ship as external Spark modules and
+    #: light up via :func:`optional_formats` when their jar is present)
     FORMATS = ("json", "csv", "parquet", "orc", "text")
+
+    def supported_formats(self) -> tuple[str, ...]:
+        """Built-in formats plus whichever optional modules (avro, xml)
+        this JVM's classpath actually provides."""
+        return self.FORMATS + optional_formats(self.spark)
 
     # -- S5: COPY INTO @stage (unload) --------------------------------------
     def unload(self, df: DataFrame, prefix: str, format: str = "json",
                compression: str | None = None, **options: str) -> str:
         """Write a query result as staged files under ``prefix`` in any
-        built-in format (``FORMATS``)."""
-        if format not in self.FORMATS:
+        supported format (``supported_formats()``)."""
+        supported = self.supported_formats()
+        if format not in supported:
             raise ValueError(
-                f"format {format!r} needs an external Spark module; "
-                f"built-in: {self.FORMATS}"
+                f"format {format!r} needs an external Spark module not "
+                f"on this classpath; available: {supported}"
             )
         target = f"{self.url}/{prefix}"
         writer = df.write.mode("append").format(format)
@@ -119,13 +155,14 @@ class Stage:
 
     def read(self, schema: "StructType | str", prefix: str = "",
              format: str = "json", **options: str) -> DataFrame:
-        """Typed read of staged files in any built-in format —
+        """Typed read of staged files in any supported format —
         schema-on-read, never inference (inference is a full extra pass
         over 100 TB)."""
-        if format not in self.FORMATS:
+        supported = self.supported_formats()
+        if format not in supported:
             raise ValueError(
-                f"format {format!r} needs an external Spark module; "
-                f"built-in: {self.FORMATS}"
+                f"format {format!r} needs an external Spark module not "
+                f"on this classpath; available: {supported}"
             )
         src = f"{self.url}/{prefix}" if prefix else self.url
         r = (

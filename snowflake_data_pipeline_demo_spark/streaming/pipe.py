@@ -62,12 +62,16 @@ class Pipe:
     ):
         # Snowpipe COPY supports multiple staged file formats
         # (dp_setup.sql:140 lists "Parquet, JSON, ORC, XML, Avro");
-        # built-in Spark streaming sources cover these — Avro/XML need
-        # external modules not bundled here.
-        if file_format not in ("json", "csv", "parquet", "orc"):
+        # built-in Spark streaming sources cover json/csv/parquet/orc,
+        # and avro/xml light up when their module jar is on the
+        # classpath (sources.stage.optional_formats probes once).
+        from ..sources.stage import optional_formats
+
+        allowed = ("json", "csv", "parquet", "orc") + optional_formats(spark)
+        if file_format not in allowed:
             raise ValueError(
                 f"file_format {file_format!r} needs an external Spark "
-                "module; built-in: json/csv/parquet/orc"
+                f"module not on this classpath; available: {allowed}"
             )
         self.spark = spark
         self.name = name

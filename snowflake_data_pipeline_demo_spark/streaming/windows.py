@@ -75,9 +75,20 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
     evict rows older than (watermark + window), so state is bounded by
     arrival rate x horizon, not history. The join itself shuffles both
     streams on the equi-keys.
+
+    Output columns: all left columns as-is, ``right_ts``, and every
+    other right column prefixed ``r_`` — so a self-join of the same
+    event stream (shared event_id/value names) cannot silently produce
+    duplicate column names. ``right_ts`` must differ from ``left_ts``
+    (rename before calling), matching range_interval_join's contract.
     """
     from pyspark.sql import functions as F
 
+    if left_ts == right_ts:
+        raise ValueError(
+            "left_ts and right_ts must have distinct names — rename one "
+            "side's timestamp before joining"
+        )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     conds = [F.col(k) == F.col(f"_r_{k}") for k in keys] + [
@@ -88,7 +99,8 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
     r_renamed = rw.select(
         *[F.col(k).alias(f"_r_{k}") for k in keys],
         F.col(right_ts),
-        *[c for c in rw.columns if c not in keys and c != right_ts],
+        *[F.col(c).alias(f"r_{c}")
+          for c in rw.columns if c not in keys and c != right_ts],
     )
     out = lw.join(r_renamed, conds, "inner")
     return out.drop(*[f"_r_{k}" for k in keys])

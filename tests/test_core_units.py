@@ -169,13 +169,18 @@ def test_loader_contract_normalizes_testdata_schemas(spark):
 
 
 def test_stage_multi_format_roundtrip(spark, tmp_path):
-    """S5/S6 across every built-in staged format: unload a frame, read
-    it back typed, bytes agree — the format breadth the reference's
-    VARIANT table claims (dp_setup.sql:140), minus Avro/XML (external
-    Spark modules, rejected with a clear error)."""
+    """S5/S6 across every staged format available on this deployment:
+    unload a frame, read it back typed, bytes agree — the format
+    breadth the reference's VARIANT table claims (dp_setup.sql:140).
+    Optional module formats (avro/xml) are probed: available ones must
+    round-trip, absent ones must be rejected with a clear error (in
+    this sandbox xml is built in to Spark 4; avro's module jar is not
+    deployed)."""
     import pytest
 
-    from snowflake_data_pipeline_demo_spark.sources.stage import Stage
+    from snowflake_data_pipeline_demo_spark.sources.stage import (
+        Stage, optional_formats,
+    )
 
     stage = Stage(spark, str(tmp_path / "stage"))
     df = spark.createDataFrame(
@@ -183,11 +188,15 @@ def test_stage_multi_format_roundtrip(spark, tmp_path):
         "id long, s string, x double",
     )
     want = sorted(map(tuple, df.collect()))
-    for fmt in ("json", "csv", "parquet", "orc"):
-        opts = {"header": "true"} if fmt == "csv" else {}
+    opt = optional_formats(spark)
+    per_fmt_opts = {"csv": {"header": "true"}, "xml": {"rowTag": "row"}}
+    for fmt in ("json", "csv", "parquet", "orc") + opt:
+        opts = per_fmt_opts.get(fmt, {})
         stage.unload(df, f"t_{fmt}", format=fmt, **opts)
         back = stage.read("id long, s string, x double",
                           f"t_{fmt}", format=fmt, **opts)
         assert sorted(map(tuple, back.collect())) == want, fmt
-    with pytest.raises(ValueError, match="external Spark module"):
-        stage.unload(df, "t_avro", format="avro")
+    for fmt in ("avro", "xml"):
+        if fmt not in opt:
+            with pytest.raises(ValueError, match="external Spark module"):
+                stage.unload(df, f"t_{fmt}_missing", format=fmt)
