@@ -69,6 +69,8 @@ HEADLINE = [
     "x_multimodal_resize",
     "x_skew_salted_agg",
     "x_window_rollup",
+    "x_dsir_importance",
+    "x_dup_ngram_coverage",
 ]
 
 

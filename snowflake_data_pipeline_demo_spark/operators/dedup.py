@@ -354,6 +354,67 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def dup_ngram_coverage(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Cross-document duplicated n-gram coverage — the per-document
+    signal behind exact-substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    paper), approximated at n-gram granularity: for each doc, the
+    fraction of its word k-gram occurrences that also appear in at
+    least one OTHER document. High coverage = boilerplate/mirrored
+    spans worth cutting even when whole-doc similarity is low.
+    Output: (id, n_grams, dup_gram_frac 4dp); docs with < k tokens
+    score 0 over 0 grams.
+
+    Scale shape: k-grams come from the codegen posexplode+lead stitch
+    (one window exchange on the doc key); the cross-doc counts are one
+    (gram) hash-agg carrying count_distinct(doc) only — grams, never
+    text, move — and the per-doc reduce is a doc-key agg. Hot grams
+    (ubiquitous boilerplate) are AQE's skew-split case.
+    """
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("_pos", "_tok"),
+    ).filter(F.col("_tok") != "")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    lead_names = [f"_l{j}" for j in range(1, k)]
+    grams = (
+        t.select(
+            F.col(id_col), F.col("_tok"),
+            *[F.lead("_tok", j).over(w).alias(nm)
+              for j, nm in enumerate(lead_names, start=1)],
+        )
+        .filter(F.col(lead_names[-1]).isNotNull())
+        .select(F.col(id_col), F.concat_ws(" ", "_tok", *lead_names).alias("g"))
+    )
+    ndocs = grams.groupBy("g").agg(
+        (F.count_distinct(id_col) > 1).alias("is_dup")
+    )
+    per_doc = (
+        grams.join(ndocs, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(
+                F.round(F.col("n_dup") / F.col("n_grams"), 4), F.lit(0.0)
+            ).alias("dup_gram_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (16-bit, hex-digit top-bit construction — oracle-portable)
 # ---------------------------------------------------------------------------

@@ -336,6 +336,62 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def dsir_importance(corpus, target, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public paper):
+    score each corpus document by its mean per-token log-likelihood
+    ratio under a TARGET-domain unigram model vs the corpus's own
+    (source) model — documents that "sound like" the target domain
+    score high and are upsampled by the caller. Laplace add-1 smoothing
+    over the union vocabulary keeps every ratio finite and makes the
+    arithmetic engine-portable. Output: (id, n_tokens,
+    importance = mean ln(p_target/p_source) rounded to 4dp).
+
+    Scale shape: two token hash-aggs build the models (map-side
+    combined; the paper's hashed-n-gram variant drops in by swapping
+    the token expression for a bucketed hash). The models full-outer
+    join on the token key — vocabulary-scale, not corpus-scale — and
+    scoring re-joins corpus tokens to the merged model (AQE skew-split
+    handles stopword keys). Totals and vocab size ride along as a
+    broadcast one-row frame, so the whole operator is one lazy plan.
+    """
+    tok_src = corpus.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    tok_tgt = target.select(F.explode(tokens(text_col)).alias("token"))
+    m_src = tok_src.groupBy("token").agg(F.count("*").alias("cnt_s"))
+    m_tgt = tok_tgt.groupBy("token").agg(F.count("*").alias("cnt_t"))
+    model = (
+        m_src.join(m_tgt, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("cnt_s", F.lit(0)).alias("cnt_s"),
+            F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
+        )
+    )
+    totals = model.agg(
+        F.sum("cnt_s").cast("double").alias("_tot_s"),
+        F.sum("cnt_t").cast("double").alias("_tot_t"),
+        F.count("*").cast("double").alias("_vocab"),
+    )
+    scored = (
+        tok_src.join(model, "token")
+        .join(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            (
+                F.log((F.col("cnt_t") + 1.0) / (F.col("_tot_t") + F.col("_vocab")))
+                - F.log((F.col("cnt_s") + 1.0) / (F.col("_tot_s") + F.col("_vocab")))
+            ).alias("llr"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("llr"), 4).alias("importance"),
+    )
+
+
 def rolling_hash(c: Column | str) -> Column:
     """Polynomial rolling hash over the normalized character stream:
     ``h = (h*131 + ascii(ch)) mod 1e9+7``. Identical arithmetic is

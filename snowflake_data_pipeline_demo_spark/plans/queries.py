@@ -886,6 +886,8 @@ _VERIFY_FIRST = [
     # round-4 additions
     "x_repetition_metrics_prod",
     "x_dedup_components_bigstar",
+    "x_dsir_importance",
+    "x_dup_ngram_coverage",
 ]
 
 #: Verified-every-round scalar/one-liner queries that can safely sit

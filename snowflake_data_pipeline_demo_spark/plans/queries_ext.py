@@ -1485,3 +1485,83 @@ def x_repetition_metrics_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     has the trade-off analysis)."""
     d = testdata.load(spark, sf_dir, "documents")
     return text.repetition_metrics_agg(d, "text", "doc_id")
+
+
+@query(
+    "x_dsir_importance",
+    oracle=f"""
+    WITH tok_src AS (
+      SELECT doc_id, unnest({_DTOKS}) AS token FROM documents
+    ),
+    tok_tgt AS (
+      SELECT unnest({_DTOKS}) AS token FROM documents WHERE doc_id % 10 = 0
+    ),
+    m_src AS (SELECT token, COUNT(*) AS cnt_s FROM tok_src GROUP BY 1),
+    m_tgt AS (SELECT token, COUNT(*) AS cnt_t FROM tok_tgt GROUP BY 1),
+    model AS (
+      SELECT COALESCE(s.token, t.token) AS token,
+             COALESCE(cnt_s, 0) AS cnt_s, COALESCE(cnt_t, 0) AS cnt_t
+      FROM m_src s FULL OUTER JOIN m_tgt t ON s.token = t.token
+    ),
+    tots AS (
+      SELECT CAST(SUM(cnt_s) AS DOUBLE) AS tot_s,
+             CAST(SUM(cnt_t) AS DOUBLE) AS tot_t,
+             CAST(COUNT(*) AS DOUBLE) AS vocab
+      FROM model
+    )
+    SELECT ts.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(AVG(
+             ln((m.cnt_t + 1.0) / (tots.tot_t + tots.vocab))
+             - ln((m.cnt_s + 1.0) / (tots.tot_s + tots.vocab))
+           ), 4) AS importance
+    FROM tok_src ts JOIN model m USING (token), tots
+    GROUP BY ts.doc_id
+    """,
+    survey_ref="north-star:dsir-importance",
+)
+def x_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): per-doc mean
+    log-likelihood ratio under a target-domain unigram model (every
+    10th doc as the deterministic target sample) vs the corpus's own
+    model (operators/text.dsir_importance)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    target = d.filter(F.col("doc_id") % 10 == 0)
+    return text.dsir_importance(d, target)
+
+
+@query(
+    "x_dup_ngram_coverage",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DTOKS} AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN [concat_ws(' ', t[CAST(i AS INT)],
+                                  t[CAST(i AS INT)+1], t[CAST(i AS INT)+2],
+                                  t[CAST(i AS INT)+3], t[CAST(i AS INT)+4])
+                        for i in range(1, len(t)-3)]
+                  ELSE [] END AS gs
+      FROM t
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM g),
+    nd AS (SELECT g, (COUNT(DISTINCT doc_id) > 1) AS is_dup
+           FROM ex GROUP BY g),
+    per AS (
+      SELECT ex.doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN nd.is_dup THEN 1 ELSE 0 END) AS n_dup
+      FROM ex JOIN nd USING (g) GROUP BY ex.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+           COALESCE(round(per.n_dup / per.n_grams, 4), 0.0) AS dup_gram_frac
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    survey_ref="north-star:dup-ngram-coverage",
+)
+def x_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated 5-gram coverage per document — the
+    exact-substring-dedup signal (Lee et al. 2021) at n-gram
+    granularity (operators/dedup.dup_ngram_coverage)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return dedup.dup_ngram_coverage(d, k=5)

@@ -470,3 +470,49 @@ def test_lazy_plan_construction(spark, docs):
     finally:
         sc.setJobGroup(None, None)
     assert list(jobs) == []
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance + duplicated n-gram coverage (round 4)
+# ---------------------------------------------------------------------------
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    """Docs from the target-like domain must outscore off-domain docs
+    under the target-vs-source unigram log-ratio."""
+    legal = "the court finds the defendant liable under the statute of "
+    chat = "lol ok cool see you later tonight maybe idk haha "
+    rows = (
+        [(i, legal * 3) for i in range(10)]          # target-like
+        + [(100 + i, chat * 3) for i in range(10)]    # off-domain
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, legal * 2) for i in range(5)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["importance"]
+           for r in text.dsir_importance(df, target).collect()}
+    legal_scores = [got[i] for i in range(10)]
+    chat_scores = [got[100 + i] for i in range(10)]
+    assert min(legal_scores) > max(chat_scores)
+
+
+def test_dup_ngram_coverage_planted_span(spark):
+    """A 5-gram span shared by two docs is counted for both; a doc with
+    all-unique grams scores 0; short docs score 0 over 0 grams."""
+    span = "alpha bravo charlie delta echo foxtrot golf"
+    df = spark.createDataFrame(
+        [
+            (1, span + " one extra unique tail here"),
+            (2, "prefix words then " + span),
+            (3, "completely different content with no shared spans at all ok"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["dup_gram_frac"])
+           for r in dedup.dup_ngram_coverage(df, k=5).collect()}
+    # span has 7 tokens -> 3 shared 5-grams in each doc
+    assert got[1][0] == 8 and abs(got[1][1] - round(3 / 8, 4)) < 1e-9
+    assert got[2][0] == 6 and abs(got[2][1] - 0.5) < 1e-9
+    assert got[3] == (6, 0.0)
+    assert got[4] == (0, 0.0)
