@@ -71,6 +71,7 @@ HEADLINE = [
     "x_window_rollup",
     "x_dsir_importance",
     "x_dup_ngram_coverage",
+    "x_semdedup",
 ]
 
 

@@ -505,6 +505,64 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
     )
 
 
+def semdedup(emb: DataFrame, centroids: DataFrame,
+             threshold: float = 0.85, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             centroid_id_col: str = "centroid_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication" — public paper):
+    cluster embeddings, then mark within-cluster pairs with cosine >=
+    ``threshold`` as semantic duplicates. Per the paper's keep rule,
+    the member of a duplicate pair with the LOWER cosine to its
+    centroid survives (it carries more information than the
+    cluster-typical copy); ties break to the lower id. Output:
+    (id, centroid_id, centroid_cos, is_kept).
+
+    Scale shape: assignment is similarity.ivf_assign's shuffle-free
+    narrow projection; the pairwise stage self-joins each CLUSTER, not
+    the corpus — the paper's point is exactly that k bounds the
+    quadratic term, so size the centroid set as k ≈ n / target cluster
+    size (they use 50k clusters for web scale). A hot cluster is AQE's
+    skew-split case; the deterministic drop rule needs no iteration —
+    one join, one distinct, one anti-join.
+    """
+    from .similarity import cosine, ivf_assign
+
+    assigned = ivf_assign(emb, centroids, id_col, vec_col,
+                          centroid_id_col, with_score=True)
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
+        F.col(centroid_id_col).alias("_ca"), F.col("centroid_cos").alias("_sa"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
+        F.col(centroid_id_col).alias("_cb"), F.col("centroid_cos").alias("_sb"),
+    )
+    # b-side is dropped when a ranks before it: farther from centroid
+    # first (paper), then lower id
+    dropped = (
+        a.join(
+            b,
+            (F.col("_ca") == F.col("_cb")) & (F.col("_ida") != F.col("_idb")),
+        )
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 4) >= threshold)
+        .filter(
+            (F.col("_sa") < F.col("_sb"))
+            | ((F.col("_sa") == F.col("_sb")) & (F.col("_ida") < F.col("_idb")))
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, centroid_id_col, "centroid_cos")
+        .join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col, centroid_id_col, "centroid_cos",
+            F.col("_drop").isNull().alias("is_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # near-dup clustering (connected components over the pair graph)
 # ---------------------------------------------------------------------------

@@ -173,6 +173,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    with_score: bool = False,
 ) -> DataFrame:
     """IVF index build: assign every corpus vector to its nearest
     centroid by cosine (ties -> lowest centroid id).
@@ -183,7 +184,9 @@ def ivf_assign(
     array of (cos, centroid) structs — with no join and **no shuffle**
     of the corpus. At 100 TB that matters: the alternative
     (cross-join + groupBy(id).max_by) shuffles every corpus row once
-    for no reason. Output: (id, vec, centroid_id)."""
+    for no reason. Output: (id, vec, centroid_id); ``with_score`` adds
+    ``centroid_cos`` (the winning 4dp cosine — SemDeDup's keep rule
+    ranks cluster members by it)."""
     cent_rows = centroids.select(
         F.col(centroid_id_col), F.col(vec_col)
     ).collect()  # nlist rows — dim-scale, like the star-join dims
@@ -201,10 +204,13 @@ def ivf_assign(
         for r in cent_rows
     ])
     best = F.array_max(scored)
-    return corpus.select(
+    out = [
         F.col(id_col), F.col(vec_col),
         (-best["ncid"]).alias(centroid_id_col),
-    )
+    ]
+    if with_score:
+        out.append(best["ccos"].alias("centroid_cos"))
+    return corpus.select(*out)
 
 
 def ivf_assign_pandas(

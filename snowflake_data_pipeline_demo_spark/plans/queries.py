@@ -888,6 +888,7 @@ _VERIFY_FIRST = [
     "x_dedup_components_bigstar",
     "x_dsir_importance",
     "x_dup_ngram_coverage",
+    "x_semdedup",
 ]
 
 #: Verified-every-round scalar/one-liner queries that can safely sit

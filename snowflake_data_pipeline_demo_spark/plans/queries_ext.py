@@ -1565,3 +1565,51 @@ def x_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity (operators/dedup.dup_ngram_coverage)."""
     d = testdata.load(spark, sf_dir, "documents")
     return dedup.dup_ngram_coverage(d, k=5)
+
+
+@query(
+    "x_semdedup",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    ac AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             round({_ddot('e.embedding', 'c.centv')}
+               / ({_dnorm('e.embedding')} * {_dnorm('c.centv')}), 4) AS ccos,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round({_ddot('e.embedding', 'c.centv')}
+                 / ({_dnorm('e.embedding')} * {_dnorm('c.centv')}), 4) DESC,
+               c.centroid_id) AS rn
+      FROM embeddings e, cent c
+    ),
+    a1 AS (SELECT vec_id, embedding, centroid_id, ccos FROM ac WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM a1 a JOIN a1 b
+        ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id
+      WHERE round({_ddot('a.embedding', 'b.embedding')}
+              / ({_dnorm('a.embedding')} * {_dnorm('b.embedding')}), 4) >= 0.4
+        AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+    )
+    SELECT a1.vec_id, a1.centroid_id, a1.ccos AS centroid_cos,
+           (d.vec_id IS NULL) AS is_kept
+    FROM a1 LEFT JOIN dropped d USING (vec_id)
+    """,
+    survey_ref="north-star:semdedup",
+)
+def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-bounded semantic dedup over the embeddings
+    table — nlist=8 deterministic centroids (first 8 vectors;
+    production: k-means), within-cluster pairs >= threshold, keep the
+    farthest-from-centroid member (operators/dedup.semdedup).
+    Threshold 0.4: the synthetic embeddings' within-cluster similarity
+    tops out near 0.49 (the planted >=0.95 near-dup pair sits inside
+    the first-8 seed, where each member is its own centroid), so 0.4
+    exercises the drop path here; real corpora run 0.9+."""
+    e = testdata.load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return dedup.semdedup(e, cent, threshold=0.4)

@@ -516,3 +516,33 @@ def test_dup_ngram_coverage_planted_span(spark):
     assert got[2][0] == 6 and abs(got[2][1] - 0.5) < 1e-9
     assert got[3] == (6, 0.0)
     assert got[4] == (0, 0.0)
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    """Three near-identical vectors in one cluster: exactly one
+    survives, and it is the one least similar to its centroid (the
+    paper's keep rule); a lone distinct vector is untouched."""
+    base = [1.0, 0.0, 0.0, 0.0]
+    tilt = [0.866, 0.5, 0.0, 0.0]    # 30 deg off base: <0.95 vs all three
+    near1 = [0.999, 0.0447, 0.0, 0.0]
+    near2 = [0.998, 0.0632, 0.0, 0.0]
+    other = [0.0, 0.0, 1.0, 0.0]
+    emb = spark.createDataFrame(
+        [(10, base), (11, near1), (12, near2), (13, tilt), (20, other)],
+        "vec_id long, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in dedup.semdedup(
+        emb, cent, threshold=0.95).collect()}
+    assert all(r["centroid_id"] == 0 for v, r in out.items() if v != 20)
+    # 10/11/12 are mutual dups (pairwise cos >= .95); 13 pairs with
+    # none; among the dup trio exactly the lowest-centroid-cos member
+    # survives
+    group = [out[v] for v in (10, 11, 12)]
+    kept = [r for r in group if r["is_kept"]]
+    assert len(kept) == 1
+    assert kept[0]["centroid_cos"] == min(r["centroid_cos"] for r in group)
+    assert out[13]["is_kept"] and out[20]["is_kept"]
