@@ -508,7 +508,8 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
 def semdedup(emb: DataFrame, centroids: DataFrame,
              threshold: float = 0.85, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             centroid_id_col: str = "centroid_id") -> DataFrame:
+             centroid_id_col: str = "centroid_id",
+             assignment_impl: str = "expr") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication" — public paper):
     cluster embeddings, then mark within-cluster pairs with cosine >=
@@ -518,18 +519,23 @@ def semdedup(emb: DataFrame, centroids: DataFrame,
     cluster-typical copy); ties break to the lower id. Output:
     (id, centroid_id, centroid_cos, is_kept).
 
-    Scale shape: assignment is similarity.ivf_assign's shuffle-free
-    narrow projection; the pairwise stage self-joins each CLUSTER, not
-    the corpus — the paper's point is exactly that k bounds the
-    quadratic term, so size the centroid set as k ≈ n / target cluster
-    size (they use 50k clusters for web scale). A hot cluster is AQE's
-    skew-split case; the deterministic drop rule needs no iteration —
-    one join, one distinct, one anti-join.
+    Scale shape: assignment is shuffle-free (similarity.ivf_assign's
+    narrow projection, or the Arrow/numpy-matmul twin via
+    ``assignment_impl="pandas"`` — at production nlist the inlined
+    expression tree is the bottleneck, measured r04: 80k vecs /
+    nlist=256 spends most of its time in assignment on the expr path);
+    the pairwise stage self-joins each CLUSTER, not the corpus — the
+    paper's point is exactly that k bounds the quadratic term, so size
+    the centroid set as k ≈ n / target cluster size (they use 50k
+    clusters for web scale). A hot cluster is AQE's skew-split case;
+    the deterministic drop rule needs no iteration — one join, one
+    distinct, one anti-join.
     """
-    from .similarity import cosine, ivf_assign
+    from .similarity import cosine, ivf_assign, ivf_assign_pandas
 
-    assigned = ivf_assign(emb, centroids, id_col, vec_col,
-                          centroid_id_col, with_score=True)
+    assign_fn = ivf_assign_pandas if assignment_impl == "pandas" else ivf_assign
+    assigned = assign_fn(emb, centroids, id_col, vec_col,
+                         centroid_id_col, with_score=True)
     a = assigned.select(
         F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
         F.col(centroid_id_col).alias("_ca"), F.col("centroid_cos").alias("_sa"),

@@ -219,13 +219,17 @@ def ivf_assign_pandas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    with_score: bool = False,
 ) -> DataFrame:
     """PRODUCTION twin of :func:`ivf_assign`: the argmax over centroids
     as one numpy matmul per Arrow batch instead of nlist inlined-literal
     cosine expressions — the shape that stays flat as nlist grows to
     production sizes (256-65k lists), where a literal expression tree
-    would explode. Same contract: cosine rounded to 4dp, ties to the
-    lowest centroid id; still no join and no corpus shuffle."""
+    would explode (measured r04: at nlist=256 on 80k vecs the inlined
+    assignment dominates semdedup's runtime). Same contract: cosine
+    rounded to 4dp, ties to the lowest centroid id; still no join and
+    no corpus shuffle. ``with_score`` adds ``centroid_cos`` like
+    :func:`ivf_assign`."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -237,11 +241,14 @@ def ivf_assign_pandas(
     C = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
-    @pandas_udf("long")
-    def assign(vecs: pd.Series) -> pd.Series:
+    @pandas_udf("struct<centroid_id: long, centroid_cos: double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
         X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         if len(X) == 0:
-            return pd.Series([], dtype="int64")
+            return pd.DataFrame(
+                {"centroid_id": pd.Series([], dtype="int64"),
+                 "centroid_cos": pd.Series([], dtype="float64")}
+            )
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         # HALF_UP rounding to match Spark's F.round (np.round is
         # half-to-even: a score landing exactly on a .00005 midpoint
@@ -251,12 +258,22 @@ def ivf_assign_pandas(
         raw = Xn @ Cn.T
         cos = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
         # ids sorted ascending + argmax-first-occurrence = lowest-id tie
-        return pd.Series(ids[np.argmax(cos, axis=1)])
+        best = np.argmax(cos, axis=1)
+        return pd.DataFrame({
+            "centroid_id": ids[best],
+            "centroid_cos": cos[np.arange(len(best)), best],
+        })
 
-    return corpus.select(
-        F.col(id_col), F.col(vec_col),
-        assign(F.col(vec_col)).alias(centroid_id_col),
+    out = corpus.select(
+        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("_a")
     )
+    cols = [
+        F.col(id_col), F.col(vec_col),
+        F.col("_a.centroid_id").alias(centroid_id_col),
+    ]
+    if with_score:
+        cols.append(F.col("_a.centroid_cos").alias("centroid_cos"))
+    return out.select(*cols)
 
 
 def ivf_topk(

@@ -248,16 +248,16 @@ def repetition_metrics_agg(df, text_col: str = "text",
     (null/empty/punctuation-only text) are restored by a left join and
     score 0.0, matching the array form.
 
-    Measured trade-off (bench r04, cache-isolated, sf0.1): the array
-    form wins — 1.8 s vs 2.1 s. The per-row HOF construction in
-    :func:`repetition_metrics` is interpreted but ZERO-shuffle, while
-    this twin moves the full token stream through the window exchange
-    and a 3-way Expand for the distinct aggregates. (Not the MinHash
-    situation: there the explode feeds a map-side-combinable ``min``,
-    so codegen explode wins outright — dedup.exploded_shingles.) Both
-    stay registered: the array form is the default; this twin is the
-    escape hatch for corpora whose per-doc token counts make
-    interpreted per-row array construction the bottleneck.
+    Measured trade-off (r04): at bench scale (sf0.1, 5k docs) the
+    array form edges ahead — 1.8 s vs 2.1 s — because this twin's
+    window exchange + 3-way Expand is fixed overhead the tiny corpus
+    can't amortize. The ranking FLIPS as soon as data grows: at 50k
+    docs the twin wins 4.4 s vs 19.1 s and at 200k docs 29 s vs 63 s
+    (local[32], replicated-perturbed corpus) — the interpreted per-row
+    HOF cost scales with every token while the twin's exchange is
+    bandwidth-bound. THIS twin is the production path at scale; the
+    zero-shuffle array form remains the right call for small/interactive
+    slices and stays registered as the same-oracle verifier.
     """
     from pyspark.sql import Window
 

@@ -889,6 +889,7 @@ _VERIFY_FIRST = [
     "x_dsir_importance",
     "x_dup_ngram_coverage",
     "x_semdedup",
+    "x_semdedup_prod",
 ]
 
 #: Verified-every-round scalar/one-liner queries that can safely sit

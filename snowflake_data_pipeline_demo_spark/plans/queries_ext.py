@@ -1613,3 +1613,22 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return dedup.semdedup(e, cent, threshold=0.4)
+
+
+@query(
+    "x_semdedup_prod",
+    # rows-only: the Arrow/numpy assignment is not DuckDB-expressible;
+    # the expr twin above IS hash-verified, and
+    # test_semdedup_pandas_assignment_matches_expr pins the agreement
+    oracle=None,
+    survey_ref="north-star:semdedup-production",
+)
+def x_semdedup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SemDeDup: BLAS-matmul centroid assignment
+    (similarity.ivf_assign_pandas) — measured r04 at 80k vecs /
+    nlist=256: 35 s vs 161 s for the inlined-expression assignment."""
+    e = testdata.load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return dedup.semdedup(e, cent, threshold=0.4, assignment_impl="pandas")

@@ -546,3 +546,18 @@ def test_semdedup_keeps_farthest_from_centroid(spark):
     assert len(kept) == 1
     assert kept[0]["centroid_cos"] == min(r["centroid_cos"] for r in group)
     assert out[13]["is_kept"] and out[20]["is_kept"]
+
+
+def test_semdedup_pandas_assignment_matches_expr(spark, emb):
+    """The BLAS-assignment semdedup must agree with the expr path on
+    the full testdata sample (same rounding + tie rules)."""
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    a = {r["vec_id"]: (r["centroid_id"], r["is_kept"])
+         for r in dedup.semdedup(emb, cent, threshold=0.4).collect()}
+    b = {r["vec_id"]: (r["centroid_id"], r["is_kept"])
+         for r in dedup.semdedup(emb, cent, threshold=0.4,
+                                 assignment_impl="pandas").collect()}
+    agree = sum(a[k] == b[k] for k in a)
+    assert agree / len(a) >= 0.99
