@@ -109,15 +109,16 @@ def main() -> None:
     # sf0.1 run after an sf0.01 warm-up vs 3.8s on repeat — the delta is
     # janino/JIT compile, not execution).
     cold, cold_total = run_all()
-    # Passes 2-3 (steady state): same plans, compiled code reused. The
-    # headline metric is the per-query MIN over two warm passes —
+    # Passes 2-4 (steady state): same plans, compiled code reused. The
+    # headline metric is the per-query MIN over three warm passes —
     # engine throughput, the quantity that scales with data volume
     # (compile cost is constant, ~noise at production scale), with
-    # best-of-N damping single-JVM GC noise (measured ±70% run-to-run
-    # on identical warm passes).
-    warm_a, _ = run_all()
-    warm_b, _ = run_all()
-    timings = {n: min(warm_a[n], warm_b[n]) for n in warm_a}
+    # best-of-N damping single-JVM GC noise (measured: steady-state
+    # flagship ~5.2 s with sporadic 8-11 s GC outliers in ~1 of 6 runs;
+    # explicit System.gc() between queries does NOT remove them, a
+    # third sample pass does).
+    warm_runs = [run_all()[0] for _ in range(3)]
+    timings = {n: min(w[n] for w in warm_runs) for n in warm_runs[0]}
     total = round(sum(timings.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
