@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Run-book for the training-data surface: curate a document corpus
-end to end — dedup -> decontaminate -> quality-filter -> chunk ->
-pack -> split — printing what a curation run reports at every scale.
+end to end — dedup -> decontaminate -> quality-filter -> semantic
+dedup -> importance-weight -> chunk -> pack -> split — printing what
+a curation run reports at every scale.
 
 Usage: python demo_curation.py [sf_dir]   (default /root/testdata/sf0.01)
 """
@@ -34,6 +35,25 @@ def main() -> None:
     deduped = dedup.drop_exact_dups(corpus)
     clean = decontam.decontaminate(deduped, eval_docs)
     kept = clean.filter(text.gopher_flags("text", min_required=1)["keep"]).cache()
+
+    # semantic dedup over the embeddings table (cluster-bounded, BLAS
+    # assignment) — at scale this joins back to kept doc ids; here the
+    # id spaces are separate tables, so report the embedding-side drops
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    sem = dedup.semdedup(emb, cent, threshold=0.4,
+                         assignment_impl="pandas")
+    n_vec = sem.count()
+    n_drop = sem.filter(~F.col("is_kept")).count()
+    print(f"== semantic dedup: {n_vec} vectors, {n_drop} semantic dups dropped")
+
+    # DSIR importance vs the eval-like target sample: the weights a
+    # resampling loader consumes
+    print("== DSIR importance (top 5 target-like kept docs):")
+    text.dsir_importance(kept, eval_docs) \
+        .orderBy(F.desc("importance")).limit(5).show()
 
     chunks = chunking.chunk_by_tokens(kept, window=32, stride=24)
     packed = packing.pack_sequences(chunks, seq_len=64)

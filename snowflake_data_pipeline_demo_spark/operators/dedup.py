@@ -569,6 +569,64 @@ def semdedup(emb: DataFrame, centroids: DataFrame,
     )
 
 
+def incremental_embedding_neardup(new_emb: DataFrame,
+                                  history_emb: DataFrame,
+                                  centroids: DataFrame,
+                                  threshold: float = 0.85,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding",
+                                  assignment_impl: str = "expr") -> DataFrame:
+    """Per-ingest EMBEDDING near-dup check — the semantic analog of
+    :func:`incremental_neardup`: flag each new-batch vector whose
+    cosine vs any prior vector — history, or an earlier-id vector of
+    the same batch — reaches ``threshold``, probing only the shared
+    IVF cluster (the SemDeDup candidate rule). Output one row per
+    flagged new vector: ``(id, dup_of = min such prior id, max_cos)``.
+
+    Scale shape: history is represented by its ASSIGNED table — the
+    (id, vec, centroid) index a production pipeline persists — so each
+    ingest pays O(batch) assignment (shuffle-free; ``assignment_impl=
+    "pandas"`` for the BLAS twin at production nlist) plus
+    cluster-key equi-joins; history is never re-scored against itself.
+    Like incremental_neardup, history matches by MEMBERSHIP (ids need
+    not be smaller than batch ids) while the id ordering applies only
+    within the new batch.
+    """
+    from .similarity import cosine, ivf_assign, ivf_assign_pandas
+
+    assign_fn = ivf_assign_pandas if assignment_impl == "pandas" else ivf_assign
+    probe = assign_fn(new_emb, centroids, id_col, vec_col)
+    hist = assign_fn(history_emb, centroids, id_col, vec_col)
+
+    def side(df, tag):
+        return df.select(
+            F.col(id_col).alias(f"_id{tag}"),
+            F.col(vec_col).alias(f"_v{tag}"),
+            F.col("centroid_id").alias(f"_c{tag}"),
+        )
+
+    hist_pairs = side(hist, "a").join(
+        side(probe, "b"),
+        (F.col("_ca") == F.col("_cb")) & (F.col("_ida") != F.col("_idb")),
+    )
+    batch_pairs = side(probe, "a").join(
+        side(probe, "b"),
+        (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")),
+    )
+    pairs = hist_pairs.unionByName(batch_pairs).select(
+        "_ida", "_idb",
+        F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("cos"),
+    )
+    return (
+        pairs.filter(F.col("cos") >= threshold)
+        .groupBy(F.col("_idb").alias(id_col))
+        .agg(
+            F.min("_ida").alias("dup_of"),
+            F.round(F.max("cos"), 4).alias("max_cos"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # near-dup clustering (connected components over the pair graph)
 # ---------------------------------------------------------------------------

@@ -890,6 +890,7 @@ _VERIFY_FIRST = [
     "x_dup_ngram_coverage",
     "x_semdedup",
     "x_semdedup_prod",
+    "x_embed_dedup_incremental",
 ]
 
 #: Verified-every-round scalar/one-liner queries that can safely sit

@@ -1632,3 +1632,56 @@ def x_semdedup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return dedup.semdedup(e, cent, threshold=0.4, assignment_impl="pandas")
+
+
+@query(
+    "x_embed_dedup_incremental",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    ac AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round({_ddot('e.embedding', 'c.centv')}
+                 / ({_dnorm('e.embedding')} * {_dnorm('c.centv')}), 4) DESC,
+               c.centroid_id) AS rn
+      FROM embeddings e, cent c
+    ),
+    asg AS (SELECT vec_id, embedding, centroid_id FROM ac WHERE rn = 1),
+    hist AS (SELECT * FROM asg WHERE vec_id < 400),
+    batch AS (SELECT * FROM asg WHERE vec_id >= 400),
+    hp AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             round({_ddot('a.embedding', 'b.embedding')}
+               / ({_dnorm('a.embedding')} * {_dnorm('b.embedding')}), 4) AS cos
+      FROM hist a JOIN batch b
+        ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id
+    ),
+    bp AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             round({_ddot('a.embedding', 'b.embedding')}
+               / ({_dnorm('a.embedding')} * {_dnorm('b.embedding')}), 4) AS cos
+      FROM batch a JOIN batch b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    ),
+    pairs AS (SELECT * FROM hp UNION ALL SELECT * FROM bp)
+    SELECT idb AS vec_id, MIN(ida) AS dup_of, round(MAX(cos), 4) AS max_cos
+    FROM pairs WHERE cos >= 0.4 GROUP BY idb
+    """,
+    survey_ref="north-star:embed-dedup-incremental",
+)
+def x_embed_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic near-dup: vecs >= 400 arrive as the new
+    batch, probe the persisted IVF-assigned history (vecs < 400) plus
+    earlier-id batch members within their shared cluster
+    (operators/dedup.incremental_embedding_neardup)."""
+    e = testdata.load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    hist = e.filter(F.col("vec_id") < 400)
+    batch = e.filter(F.col("vec_id") >= 400)
+    return dedup.incremental_embedding_neardup(batch, hist, cent,
+                                               threshold=0.4)

@@ -561,3 +561,32 @@ def test_semdedup_pandas_assignment_matches_expr(spark, emb):
                                  assignment_impl="pandas").collect()}
     agree = sum(a[k] == b[k] for k in a)
     assert agree / len(a) >= 0.99
+
+
+def test_incremental_embedding_neardup_membership(spark):
+    """History matches flag the NEW vec regardless of id ordering
+    (membership, not id-comparison); same-batch dups resolve to the
+    earlier batch id; cross-cluster twins are (by design) not seen."""
+    c0, c1 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    hist = spark.createDataFrame(
+        [(900, [0.999, 0.0447, 0.0, 0.0]),   # history id > batch ids
+         (5, [0.0, 0.999, 0.0447, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(100, [0.998, 0.0632, 0.0, 0.0]),   # dup of history 900
+         (101, [0.9975, 0.0706, 0.0, 0.0]),  # dup of 900 AND of 100
+         (102, [0.0, 0.0, 0.0, 1.0])],       # own cluster, clean
+        "vec_id long, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, c0), (1, c1), (2, [0.0, 0.0, 0.0, 1.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["dup_of"]
+           for r in dedup.incremental_embedding_neardup(
+               batch, hist, cent, threshold=0.95).collect()}
+    assert got[100] == 900      # flagged by the larger history id
+    assert got[101] == 100      # min prior id wins: same-batch 100
+    assert 102 not in got
+    assert 5 not in got and 900 not in got  # history itself never flagged
