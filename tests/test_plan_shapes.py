@@ -81,8 +81,55 @@ def test_decontamination_broadcasts_eval_ngrams(spark):
     assert "CartesianProduct" not in p
 
 
-@pytest.mark.parametrize("name", ["j2_role_playing_join", "u1_union_distinct",
-                                  "x_tfidf_topk", "x_pack_sequences"])
+#: queries whose plan is INTENTIONALLY an all-pairs product — the
+#: small-scale verifiers quarantined as such in their docstrings
+_ALL_PAIRS_BY_DESIGN = {"x_dedup_embedding_neardup"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_plan_goes_cartesian(spark, name):
+    """Registry-wide: no query plans a CartesianProduct (BNLJ broadcast
+    of one-row/dim-scale frames is fine; an unbounded cross product is
+    not), except the documented all-pairs verifiers."""
+    if name in _ALL_PAIRS_BY_DESIGN:
+        pytest.skip("all-pairs verifier by design")
     p = _plan(spark, name)
     assert "CartesianProduct" not in p
+
+
+def test_semdedup_pairs_join_on_cluster_key(spark):
+    """The within-cluster pair stage must be a hash/sort-merge join on
+    centroid_id — never a nested loop over the corpus; assignment stays
+    a shuffle-free projection (no join feeding it)."""
+    p = _plan(spark, "x_semdedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or \
+        "BroadcastHashJoin" in p
+
+
+def test_dup_ngram_coverage_stays_hash_aggregated(spark):
+    p = _plan(spark, "x_dup_ngram_coverage")
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+    assert "Window" in p  # the posexplode+lead stitch
+
+
+def test_dsir_scalar_totals_ride_a_broadcast(spark):
+    """The model totals are a one-row frame joined by BNLJ broadcast;
+    the token->model join itself must be an equi-join."""
+    p = _plan(spark, "x_dsir_importance")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the one-row totals frame
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or \
+        "BroadcastHashJoin" in p
+
+
+def test_repetition_twin_single_doc_exchange(spark):
+    """The agg twin's window and groupBy share the doc key; the only
+    exchanges are the doc-key shuffle plus the Expand'd distinct-agg
+    re-shuffles — no nested loop anywhere."""
+    p = _plan(spark, "x_repetition_metrics_prod")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p and "Expand" in p

@@ -141,3 +141,76 @@ def test_pack_offsets_are_exclusive_prefix_sums(spark, sizes):
     for i, n in enumerate(sizes):
         assert got[i] == acc
         acc += n
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        max_size=30,
+    ),
+)
+@settings(
+    max_examples=4, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bigstar_components_match_union_find(spark, edges):
+    """Both component algorithms must label every node with the true
+    min-reachable id on arbitrary random graphs — checked against a
+    driver-side union-find."""
+    from snowflake_data_pipeline_demo_spark.operators.dedup import (
+        components_from_pairs,
+    )
+
+    nodes = sorted({n for e in edges for n in e} | {0, 24})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+
+    ids = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(0, 0)],
+        "id_a long, id_b long",
+    )
+    got_big = {r["doc_id"]: r["component_id"]
+               for r in components_from_pairs(
+                   ids, pairs, algorithm="bigstar").collect()}
+    assert got_big == want
+    got_prop = {r["doc_id"]: r["component_id"]
+                for r in components_from_pairs(ids, pairs).collect()}
+    assert got_prop == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab .x", min_size=0, max_size=40),
+        min_size=1, max_size=8,
+    ),
+)
+@_SLOW
+def test_repetition_agg_twin_matches_array_form(spark, texts):
+    """The shuffle-side repetition twin must equal the per-row array
+    form on arbitrary degenerate inputs (tiny alphabet forces heavy
+    n-gram repetition; '.'/' ' exercise tokenizer edges)."""
+    from snowflake_data_pipeline_demo_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cols = ["dup_unigram_frac", "dup_bigram_frac", "dup_trigram_frac"]
+    a = {r["doc_id"]: tuple(r[c] for c in cols)
+         for r in df.select(
+             "doc_id", T.repetition_metrics("text").alias("r")
+         ).select("doc_id", *[f"r.{c}" for c in cols]).collect()}
+    b = {r["doc_id"]: tuple(r[c] for c in cols)
+         for r in T.repetition_metrics_agg(df).collect()}
+    assert a == b
