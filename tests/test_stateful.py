@@ -239,3 +239,45 @@ def test_pipe_ingests_csv_format(spark, tmp_path):
     with _pytest.raises(ValueError, match="external Spark module"):
         Pipe(spark, "x", stage, schema, raw, hist,
              str(tmp_path / "ck2"), file_format="avro")
+
+
+def test_semantic_dedup_batch_fn_incremental_and_replay_safe(spark, tmp_path):
+    """Continuous semantic ingest dedup: batch 1's twin of a batch-0
+    vector is dropped against the persisted history, new content
+    passes, and replaying a committed batch is a no-op (exactly-once
+    convergence)."""
+    from pyspark.sql import types as T
+
+    from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+    from snowflake_data_pipeline_demo_spark.streaming.dedup import (
+        semantic_dedup_batch_fn,
+    )
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    clean = Table(spark, str(tmp_path / "clean_vecs"), schema)
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    fn = semantic_dedup_batch_fn(clean, cent, threshold=0.95)
+
+    b0 = spark.createDataFrame(
+        [(1, [0.999, 0.0447, 0.0, 0.0]), (2, [0.0, 0.0, 1.0, 0.0])],
+        schema,
+    )
+    fn(b0, 0)
+    assert {r["vec_id"] for r in clean.read().collect()} == {1, 2}
+
+    b1 = spark.createDataFrame(
+        [(10, [0.998, 0.0632, 0.0, 0.0]),   # twin of history vec 1
+         (11, [0.0, 1.0, 0.0, 0.0])],        # new direction, kept
+        schema,
+    )
+    fn(b1, 1)
+    assert {r["vec_id"] for r in clean.read().collect()} == {1, 2, 11}
+
+    fn(b1, 1)  # crash-replay of a committed batch: converged, no change
+    assert clean.read().count() == 3
