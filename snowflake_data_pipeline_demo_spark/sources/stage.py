@@ -47,21 +47,22 @@ _probe_cache: dict[str, bool] = {}
 
 def optional_formats(spark: SparkSession) -> tuple[str, ...]:
     """Which of the optional formats (avro, xml) this deployment's
-    data-source registry actually resolves. Probed once per process by
-    planning a read of a nonexistent path: a missing SOURCE fails with
-    "Failed to find data source" at lookup, before the path is ever
-    touched — class presence alone is not enough, since Spark resolves
-    shortnames through ServiceLoader registration."""
+    data-source registry actually resolves. Probed once per process via
+    the registry itself (``DataSource.lookupDataSource`` — no dummy
+    read, no logged stack noise); class presence alone is not enough,
+    since Spark resolves shortnames through ServiceLoader
+    registration."""
     out = []
+    jvm = spark.sparkContext._jvm
     for fmt in _OPTIONAL_FORMATS:
         if fmt not in _probe_cache:
             try:
-                spark.read.format(fmt).schema("x int").load(
-                    f"/nonexistent/__{fmt}_probe__"
-                )
-                _probe_cache[fmt] = True  # source resolved, path missing
-            except Exception as e:  # noqa: BLE001 — classify the error
-                _probe_cache[fmt] = "Failed to find data source" not in str(e)
+                conf = jvm.org.apache.spark.sql.internal.SQLConf.get()
+                jvm.org.apache.spark.sql.execution.datasources.DataSource \
+                    .lookupDataSource(fmt, conf)
+                _probe_cache[fmt] = True
+            except Exception:  # noqa: BLE001 — source not registered
+                _probe_cache[fmt] = False
         if _probe_cache[fmt]:
             out.append(fmt)
     return tuple(out)
