@@ -891,6 +891,7 @@ _VERIFY_FIRST = [
     "x_semdedup",
     "x_semdedup_prod",
     "x_embed_dedup_incremental",
+    "x_dedup_pipeline_components",
 ]
 
 #: Verified-every-round scalar/one-liner queries that can safely sit

@@ -1685,3 +1685,59 @@ def x_embed_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = e.filter(F.col("vec_id") >= 400)
     return dedup.incremental_embedding_neardup(batch, hist, cent,
                                                threshold=0.4)
+
+
+@query(
+    "x_dedup_pipeline_components",
+    oracle=_MINHASH_SIG_SQL.replace("WITH toks", "WITH RECURSIVE toks") + """
+    , banded AS (
+      SELECT doc_id, bnd,
+             md5(array_to_string(sig[CAST(bnd*4+1 AS INT):CAST(bnd*4+4 AS INT)], ',')) AS key
+      FROM sig, range(0, 4) r(bnd)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM banded a JOIN banded b2
+        ON a.bnd = b2.bnd AND a.key = b2.key AND a.doc_id < b2.doc_id
+    ), est AS (
+      SELECT p.id_a, p.id_b,
+             round(len([i for i in range(1, 17)
+                        if sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]]) / 16.0, 4) AS je
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+    ), ed AS (
+      SELECT id_a AS src, id_b AS dst FROM est WHERE je >= 0.5
+      UNION ALL
+      SELECT id_b, id_a FROM est WHERE je >= 0.5
+    ), reach(nid, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.nid, ed.dst FROM reach JOIN ed ON ed.src = reach.r
+    )
+    SELECT nid AS doc_id, MIN(r) AS component_id, (nid = MIN(r)) AS is_kept
+    FROM reach GROUP BY nid
+    """,
+    survey_ref="north-star:dedup-pipeline",
+)
+def x_dedup_pipeline_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production near-dup pipeline, oracle-verified end to
+    end: MinHash(16) signatures -> banded LSH candidates -> estimated
+    Jaccard >= 0.5 edges -> large-star/small-star connected components.
+    Every stage is the scale path (codegen sigs, id-only bucket join,
+    O(log^2 n) clustering); the per-stage queries
+    (x_dedup_minhash_lsh, x_dedup_components_bigstar) verify the
+    pieces, this one verifies their composition."""
+    from .queries import _materialize
+
+    d = testdata.load(spark, sf_dir, "documents")
+    sigs = _materialize(dedup.minhash_signatures(d, num_hashes=16))
+    pairs = _materialize(dedup.lsh_candidate_pairs(sigs, bands=4))
+    est = dedup.minhash_jaccard_estimate(sigs, pairs)
+    edges = est.filter(F.col("jaccard_est") >= 0.5).select("id_a", "id_b")
+    comp = dedup.components_from_pairs(
+        d.select("doc_id"), edges, algorithm="bigstar"
+    )
+    return comp.select(
+        "doc_id", "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_kept"),
+    )
