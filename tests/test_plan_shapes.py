@@ -133,3 +133,57 @@ def test_repetition_twin_single_doc_exchange(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Window" in p and "Expand" in p
+
+
+def test_bucketed_fact_join_deletes_both_exchanges(spark, tmp_path):
+    """lineitem x orders on the order key: bucketed into the same
+    bucket count on both sides, the join must read co-located buckets
+    — zero Exchange anywhere in the plan — while the unbucketed twin
+    shuffles both sides. The SCALE.md fact-to-fact claim, executable."""
+    import contextlib
+    import io
+
+    from snowflake_data_pipeline_demo_spark.sources import testdata
+    from snowflake_data_pipeline_demo_spark.sources.bucketed import (
+        bucket_spec, write_bucketed,
+    )
+
+    li = testdata.load(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    od = testdata.load(spark, SF, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    write_bucketed(li, "li_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(od, "od_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    # sf0.001 tables are broadcast-sized; force the shuffle-vs-bucket
+    # comparison the claim is about (at fact scale broadcast is off the
+    # table anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spec = bucket_spec(spark, "li_b")
+        assert spec["num_buckets"] == 8
+        assert spec["bucket_cols"] == ["l_orderkey"]
+
+        def plan_of(join_df):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                join_df.explain("formatted")
+            return buf.getvalue()
+
+        bucketed = spark.table("li_b").join(
+            spark.table("od_b"),
+            spark.table("li_b")["l_orderkey"] == spark.table("od_b")["o_orderkey"],
+        )
+        p = plan_of(bucketed)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, "bucketed join must not shuffle"
+
+        plain = li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        # disable AQE broadcast demotion noise: just assert it shuffles
+        assert "Exchange" in plan_of(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS od_b")
