@@ -187,3 +187,38 @@ def test_bucketed_fact_join_deletes_both_exchanges(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS od_b")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The skew story SCALE.md leans on, executed: a hot key holding
+    half the rows makes AQE re-plan the fact join with
+    SortMergeJoin(skew=true) — the runtime split that replaces manual
+    salting for plannable skew (operators/skew.py remains the
+    escape hatch AQE can't cover: skewed AGGREGATION keys)."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id") % 97).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pay"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        agg = left.join(right, "k").agg(F.sum(F.length("pay")))
+        agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
