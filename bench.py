@@ -72,6 +72,7 @@ HEADLINE = [
     "x_dsir_importance",
     "x_dup_ngram_coverage",
     "x_semdedup",
+    "x_dedup_pipeline_components",
 ]
 
 

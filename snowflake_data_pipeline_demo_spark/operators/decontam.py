@@ -62,3 +62,40 @@ def decontaminate(corpus: DataFrame, eval_docs: DataFrame,
         corpus, eval_docs, text_col, id_col, k, min_hits
     ).filter(~F.col("contaminated")).select(id_col)
     return corpus.join(clean, id_col, "left_semi")
+
+
+def contamination_matrix(corpus: DataFrame,
+                         eval_sets: dict[str, DataFrame],
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 3, min_hits: int = 2) -> DataFrame:
+    """The report a curation run publishes before training: per eval
+    set, how much of the corpus is contaminated. Output one row per
+    eval set: (eval_set, n_docs, n_contaminated, rate 4dp), union-ed in
+    dict order.
+
+    Scale shape: each eval set contributes one broadcast of its
+    distinct shingles (eval sets are benchmark-scale); the corpus
+    shingle stream is re-derived per set — at many eval sets, stage the
+    corpus shingles once (a table write) and reuse, exactly like the
+    funnel stages its id sets.
+    """
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as DF
+
+    reports = []
+    for name, ev in eval_sets.items():
+        c = ngram_contamination(corpus, ev, text_col, id_col, k, min_hits)
+        reports.append(
+            c.agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum(F.col("contaminated").cast("long"))
+                .cast("long").alias("n_contaminated"),
+            ).select(
+                F.lit(name).alias("eval_set"),
+                "n_docs", "n_contaminated",
+                F.round(F.col("n_contaminated") / F.col("n_docs"), 4)
+                .alias("rate"),
+            )
+        )
+    return reduce(DF.unionByName, reports)

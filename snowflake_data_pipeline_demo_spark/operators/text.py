@@ -392,6 +392,40 @@ def dsir_importance(corpus, target, text_col: str = "text",
     )
 
 
+def oov_rate(df, vocab_size: int = 1000, text_col: str = "text",
+             id_col: str = "doc_id"):
+    """Out-of-vocabulary rate per document against a frequency-truncated
+    vocabulary built from the corpus itself — the tokenizer-coverage
+    diagnostic (docs with high OOV under the candidate vocab are the
+    ones a whitespace/BPE tokenizer will fragment). Vocabulary = the
+    ``vocab_size`` most frequent tokens, ties broken lexicographically
+    (deterministic + oracle-portable). Output: (id, n_tokens, n_oov,
+    oov_rate 4dp).
+
+    Scale shape: one token hash-agg builds counts; the truncation is a
+    distributed top-k (``TakeOrderedAndProject`` via orderBy+limit —
+    never a one-partition rank window) over the vocabulary-scale count
+    table; scoring left-joins corpus tokens to the kept vocab
+    (broadcast — real vocabularies are dim-scale) and reduces per doc.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_size)
+        .select("token", F.lit(True).alias("_in_vocab"))
+    )
+    scored = tok.join(F.broadcast(vocab), "token", "left")
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            / F.count("*"), 4
+        ).alias("oov_rate"),
+    )
+
+
 def rolling_hash(c: Column | str) -> Column:
     """Polynomial rolling hash over the normalized character stream:
     ``h = (h*131 + ascii(ch)) mod 1e9+7``. Identical arithmetic is

@@ -892,6 +892,8 @@ _VERIFY_FIRST = [
     "x_semdedup_prod",
     "x_embed_dedup_incremental",
     "x_dedup_pipeline_components",
+    "x_oov_rate",
+    "x_contamination_matrix",
 ]
 
 #: Verified-every-round scalar/one-liner queries that can safely sit

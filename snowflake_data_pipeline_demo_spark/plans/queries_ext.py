@@ -1741,3 +1741,93 @@ def x_dedup_pipeline_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "component_id",
         (F.col("doc_id") == F.col("component_id")).alias("is_kept"),
     )
+
+
+@query(
+    "x_oov_rate",
+    # vocab_size=20 of the corpus's 31 distinct tokens so the
+    # diagnostic is non-degenerate on the synthetic vocabulary; real
+    # corpora run 32k-256k
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DTOKS}) AS token FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    vocab AS (
+      SELECT token FROM counts ORDER BY cnt DESC, token ASC LIMIT 20
+    ),
+    scored AS (
+      SELECT t.doc_id, (v.token IS NULL) AS oov
+      FROM tok t LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(SUM(CASE WHEN oov THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS oov_rate
+    FROM scored GROUP BY doc_id
+    """,
+    survey_ref="north-star:oov-rate",
+)
+def x_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the frequency-truncated
+    top-20 corpus vocabulary — the tokenizer-coverage diagnostic
+    (operators/text.oov_rate)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return text.oov_rate(d, vocab_size=20)
+
+
+@query(
+    "x_contamination_matrix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DTOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 3
+                    THEN [concat_ws(' ', t[CAST(i AS INT)],
+                                    t[CAST(i AS INT)+1], t[CAST(i AS INT)+2])
+                          for i in range(1, len(t)-1)]
+                    ELSE [array_to_string(t, ' ')] END) AS s
+      FROM toks
+    ), corpus AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 89 != 0 AND doc_id % 97 != 0
+    ),
+    report AS (
+      SELECT 'eval_89' AS eval_set, ev.mod_val FROM (SELECT 89 AS mod_val) ev
+      UNION ALL
+      SELECT 'eval_97', 97
+    ),
+    hits AS (
+      SELECT r.eval_set, c.doc_id, COUNT(DISTINCT s.s) AS n_hits
+      FROM report r
+      JOIN corpus c ON TRUE
+      JOIN sh s ON s.doc_id = c.doc_id
+      JOIN (SELECT DISTINCT r2.eval_set, s2.s
+            FROM report r2 JOIN sh s2 ON s2.doc_id % r2.mod_val = 0) ev
+        ON ev.eval_set = r.eval_set AND ev.s = s.s
+      GROUP BY 1, 2
+    )
+    SELECT r.eval_set,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN h.n_hits >= 2 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_contaminated,
+           round(COALESCE(SUM(CASE WHEN h.n_hits >= 2 THEN 1 ELSE 0 END), 0)
+                 * 1.0 / (SELECT COUNT(*) FROM corpus), 4) AS rate
+    FROM report r LEFT JOIN hits h ON h.eval_set = r.eval_set
+    GROUP BY r.eval_set
+    """,
+    survey_ref="north-star:contamination-matrix",
+)
+def x_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training contamination report: corpus contamination rate per
+    eval set (two deterministic eval slices here), word-3-gram overlap
+    >= 2 (operators/decontam.contamination_matrix)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    corpus = d.filter((F.col("doc_id") % 89 != 0) & (F.col("doc_id") % 97 != 0))
+    evals = {
+        "eval_89": d.filter(F.col("doc_id") % 89 == 0),
+        "eval_97": d.filter(F.col("doc_id") % 97 == 0),
+    }
+    return decontam.contamination_matrix(corpus, evals, k=3, min_hits=2)
