@@ -894,6 +894,8 @@ _VERIFY_FIRST = [
     "x_dedup_pipeline_components",
     "x_oov_rate",
     "x_contamination_matrix",
+    "x_split_leakage",
+    "x_dedup_keep_longest",
 ]
 
 #: Verified-every-round scalar/one-liner queries that can safely sit

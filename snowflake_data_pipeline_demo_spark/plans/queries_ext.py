@@ -1831,3 +1831,147 @@ def x_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "eval_97": d.filter(F.col("doc_id") % 97 == 0),
     }
     return decontam.contamination_matrix(corpus, evals, k=3, min_hits=2)
+
+
+@query(
+    "x_split_leakage",
+    oracle=_MINHASH_SIG_SQL + """
+    , banded AS (
+      SELECT doc_id, bnd,
+             md5(array_to_string(sig[CAST(bnd*4+1 AS INT):CAST(bnd*4+4 AS INT)], ',')) AS key
+      FROM sig, range(0, 4) r(bnd)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM banded a JOIN banded b2
+        ON a.bnd = b2.bnd AND a.key = b2.key AND a.doc_id < b2.doc_id
+    ), est AS (
+      SELECT p.id_a, p.id_b
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+      WHERE round(len([i for i in range(1, 17)
+                       if sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]]) / 16.0, 4) >= 0.5
+    ), lab AS (
+      SELECT doc_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT least(la.split, lb.split) AS split_a,
+           greatest(la.split, lb.split) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           (least(la.split, lb.split) != greatest(la.split, lb.split))
+             AS cross_split
+    FROM est
+    JOIN lab la ON la.doc_id = est.id_a
+    JOIN lab lb ON lb.doc_id = est.id_b
+    GROUP BY 1, 2
+    """,
+    survey_ref="north-star:split-leakage",
+)
+def x_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-dup pairs (MinHash est >= 0.5) grouped
+    by the train/val/test splits of their endpoints — cross_split rows
+    are evaluation contamination a deterministic-hash split can still
+    produce when near-duplicates straddle the boundary. The reason
+    production dedup runs BEFORE splitting."""
+    from .queries import _materialize
+
+    d = testdata.load(spark, sf_dir, "documents")
+    sigs = _materialize(dedup.minhash_signatures(d, num_hashes=16))
+    pairs = _materialize(dedup.lsh_candidate_pairs(sigs, bands=4))
+    est = dedup.minhash_jaccard_estimate(sigs, pairs) \
+        .filter(F.col("jaccard_est") >= 0.5)
+    lab = testdata.load(spark, sf_dir, "documents").select(
+        "doc_id", sampling.split_label("doc_id").alias("split")
+    )
+    la = lab.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    lb = lab.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    return (
+        est.join(la, "id_a").join(lb, "id_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select(
+            "split_a", "split_b", "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("cross_split"),
+        )
+    )
+
+
+@query(
+    "x_dedup_keep_longest",
+    oracle=_MINHASH_SIG_SQL.replace("WITH toks", "WITH RECURSIVE toks") + """
+    , banded AS (
+      SELECT doc_id, bnd,
+             md5(array_to_string(sig[CAST(bnd*4+1 AS INT):CAST(bnd*4+4 AS INT)], ',')) AS key
+      FROM sig, range(0, 4) r(bnd)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM banded a JOIN banded b2
+        ON a.bnd = b2.bnd AND a.key = b2.key AND a.doc_id < b2.doc_id
+    ), est AS (
+      SELECT p.id_a, p.id_b
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+      WHERE round(len([i for i in range(1, 17)
+                       if sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]]) / 16.0, 4) >= 0.5
+    ), ed AS (
+      SELECT id_a AS src, id_b AS dst FROM est
+      UNION ALL SELECT id_b, id_a FROM est
+    ), reach(nid, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.nid, ed.dst FROM reach JOIN ed ON ed.src = reach.r
+    ), comp AS (
+      SELECT nid AS doc_id, MIN(r) AS component_id FROM reach GROUP BY nid
+    ), ranked AS (
+      SELECT c.doc_id, c.component_id,
+             CAST(len(t.t) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY c.component_id
+                                ORDER BY len(t.t) DESC, c.doc_id ASC) AS rn
+      FROM comp c JOIN toks t ON t.doc_id = c.doc_id
+    )
+    SELECT doc_id, component_id, n_tokens, (rn = 1) AS is_kept
+    FROM ranked
+    """,
+    survey_ref="north-star:dedup-representative",
+)
+def x_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-selection policy: near-dup components keep their
+    LONGEST member (token count, ties to lowest id) instead of the
+    min-id default — the policy most curation runs actually want
+    (near-dup clusters often contain truncated copies). One window over
+    the component key after the same pipeline as
+    x_dedup_pipeline_components."""
+    from pyspark.sql import Window
+
+    from .queries import _materialize
+
+    d = testdata.load(spark, sf_dir, "documents")
+    sigs = _materialize(dedup.minhash_signatures(d, num_hashes=16))
+    pairs = _materialize(dedup.lsh_candidate_pairs(sigs, bands=4))
+    est = dedup.minhash_jaccard_estimate(sigs, pairs) \
+        .filter(F.col("jaccard_est") >= 0.5).select("id_a", "id_b")
+    comp = dedup.components_from_pairs(
+        d.select("doc_id"), est, algorithm="bigstar"
+    )
+    lengths = d.select("doc_id", text.token_count("text").alias("n_tokens"))
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        comp.join(lengths, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id", "component_id", "n_tokens",
+            (F.col("rn") == 1).alias("is_kept"),
+        )
+    )
