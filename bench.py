@@ -73,6 +73,12 @@ HEADLINE = [
     "x_dup_ngram_coverage",
     "x_semdedup",
     "x_dedup_pipeline_components",
+    "x_chunk_dedup_reassemble",
+    "x_source_quota",
+    "x_bigram_logprob",
+    "x_quality_classifier",
+    "x_shard_tokens",
+    "x_encoding_quality",
 ]
 
 

@@ -792,3 +792,73 @@ def neardup_components(df: DataFrame, text_col: str = "text",
         id_col, "component_id",
         (F.col(id_col) == F.col("component_id")).alias("is_kept"),
     )
+
+
+def chunk_dedup_reassemble(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           window: int = 8) -> DataFrame:
+    """Cross-document CHUNK-level exact dedup with reassembly — the
+    practical form of exact-substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", public
+    paper): cut every document into non-overlapping ``window``-token
+    chunks, keep each distinct chunk text only at its FIRST occurrence
+    (min (doc, chunk) position corpus-wide), and stitch every document
+    back together from its surviving chunks. Repeated boilerplate
+    (headers, license blocks, navigation) disappears from every copy
+    but the first, while unique prose is untouched.
+
+    Output: (id, n_chunks, kept_chunks, kept_tokens, deduped_text) —
+    one row per non-empty document; fully-deduplicated docs keep the
+    row with kept_chunks=0 and deduped_text=''.
+
+    Scale shape: chunking is a per-row projection (chunking.py). The
+    keeper decision is one hash-agg on the 128-bit chunk fingerprint —
+    min(struct(doc,chunk)) combines map-side, and the shuffle carries
+    (16-byte key, two longs), never chunk text. The decision joins back
+    on the fingerprint (chunk text moves once, partitioned by
+    fingerprint — AQE splits the hot boilerplate keys), and reassembly
+    is the doc-key exchange any per-doc rebuild pays. Two text moves
+    total; both are the minimum for the semantics.
+    """
+    from .chunking import chunk_by_tokens
+
+    chunks = chunk_by_tokens(
+        df, text_col, id_col, window=window, stride=window
+    ).withColumn("_fp", F.md5(F.col("chunk_text")))
+    keeper = chunks.groupBy("_fp").agg(
+        F.min(F.struct(id_col, "chunk_id")).alias("_first")
+    )
+    kept = (
+        chunks.join(keeper, "_fp")
+        .filter(
+            (F.col("_first")[id_col] == F.col(id_col))
+            & (F.col("_first")["chunk_id"] == F.col("chunk_id"))
+        )
+    )
+    totals = chunks.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("kept_chunks"),
+        F.sum("n_chunk_tokens").cast("long").alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("deduped_text"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col, "n_chunks",
+            F.coalesce("kept_chunks", F.lit(0).cast("long"))
+            .alias("kept_chunks"),
+            F.coalesce("kept_tokens", F.lit(0).cast("long"))
+            .alias("kept_tokens"),
+            F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
+        )
+    )

@@ -98,3 +98,71 @@ def pack_sequences(chunks: DataFrame, seq_len: int = 64,
             (F.col("token_offset") % seq_len) + F.col(tokens_col) > seq_len
         ).alias("spans_packs"),
     )
+
+
+def shard_by_token_budget(df: DataFrame, budget: int = 4096,
+                          id_col: str = "doc_id",
+                          tokens_col: str | None = None,
+                          text_col: str = "text") -> DataFrame:
+    """Assign every document to a TOKEN-BALANCED output shard: lay docs
+    end to end in ``id_col`` order and cut a new shard every ``budget``
+    tokens — ``shard = floor(exclusive_prefix_tokens / budget)``. The
+    training-data writer's sharding policy: shards carry ~equal token
+    counts (not doc counts), so data-parallel readers get balanced
+    work regardless of document-length skew.
+
+    Output: (id, n_tokens, token_offset, shard). ``tokens_col=None``
+    tokenizes ``text_col`` inline (scan-time projection).
+
+    Scale shape: the global exclusive prefix sum is
+    :func:`global_running_offset` — one range exchange plus a broadcast
+    of per-partition totals; the shard id is then a narrow projection.
+    A doc larger than ``budget`` still lands in exactly one shard (its
+    start position decides), so shard token sums can exceed budget by
+    at most one document — the standard writer tolerance.
+    """
+    from .text import token_count
+
+    if tokens_col is None:
+        base = df.select(
+            F.col(id_col), token_count(text_col).alias("n_tokens")
+        )
+        tokens_col = "n_tokens"
+    else:
+        base = df.select(F.col(id_col), F.col(tokens_col))
+    offs = global_running_offset(
+        base, [id_col], tokens_col, out_col="token_offset"
+    )
+    return offs.select(
+        id_col,
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        "token_offset",
+        (F.col("token_offset") / budget).cast("long").alias("shard"),
+    )
+
+
+def write_token_balanced_shards(df: DataFrame, path: str,
+                                budget: int = 4096,
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """Write ``df`` as parquet partitioned by token-balanced shard:
+    one directory (shard=N) per ~``budget`` tokens of text, each fed by
+    exactly one task. Returns the shard assignment frame (id -> shard)
+    for the manifest the caller keeps.
+
+    Plan shape: the assignment join is an id-key exchange;
+    ``repartition(shard)`` then co-locates each shard in one task so
+    ``partitionBy`` emits ONE file per shard directory instead of
+    #tasks files — the small-files guard a 100 TB writer needs.
+    """
+    assign = shard_by_token_budget(
+        df, budget=budget, id_col=id_col, text_col=text_col
+    ).select(id_col, "shard")
+    (
+        df.join(assign, id_col)
+        .repartition(F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return assign

@@ -70,3 +70,47 @@ def weighted_mixture(df: DataFrame, rates: dict[str, float],
             (F.col(source_col) == src) & (b < round(rate * 10_000))
         )
     return df.filter(gate)
+
+
+def group_quota_topk(df: DataFrame, group_col: str = "source",
+                     rank_col: str = "n_chars", k: int = 10,
+                     id_col: str = "doc_id",
+                     salt_buckets: int = 16) -> DataFrame:
+    """Per-group quota sampling: keep the top ``k`` rows of every group
+    ordered by (``rank_col`` DESC, ``id_col`` ASC) — the domain-cap
+    curation gate (a hot domain contributes at most k documents, ranked
+    by quality/length). Output: input columns + ``quota_rank`` (1..k).
+
+    Scale shape: the textbook window — row_number over
+    partitionBy(group) — puts every row of a group on ONE reducer; a
+    boilerplate-heavy domain at 100 TB is a straggler. This runs the
+    SALTED two-phase form instead: phase 1 ranks within
+    (group, hash(id) % salt_buckets) and keeps k per salt (parallel —
+    the group's rows spread over ``salt_buckets`` reducers); phase 2
+    re-ranks the <= salt_buckets*k survivors per group and keeps k.
+    Correct because a group's global top-k is contained in the union of
+    its per-salt top-ks; phase 2's input is bounded rows-per-group, so
+    its window is skew-proof by construction. Values match the naive
+    single-window form exactly (the DuckDB oracle runs that form).
+    """
+    from pyspark.sql import Window
+
+    salt = hash_bucket(id_col, salt_buckets)
+    w1 = (
+        Window.partitionBy(F.col(group_col), salt)
+        .orderBy(F.desc(rank_col), F.asc(id_col))
+    )
+    survivors = (
+        df.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_rn1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.desc(rank_col), F.asc(id_col)
+    )
+    return (
+        survivors.withColumn(
+            "quota_rank", F.row_number().over(w2).cast("long")
+        )
+        .filter(F.col("quota_rank") <= k)
+    )

@@ -426,6 +426,160 @@ def oov_rate(df, vocab_size: int = 1000, text_col: str = "text",
     )
 
 
+def bigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
+                   lam: float = 0.75):
+    """Per-document mean INTERPOLATED bigram log-probability under the
+    corpus's own counts — the KenLM-shaped upgrade of
+    :func:`unigram_logprob`:
+
+        P(w2 | w1) = lam * c(w1,w2)/c(w1) + (1-lam) * c(w2)/N
+
+    Documents scoring far below the corpus-typical value read as noise;
+    far above as degenerate repetition (their own bigrams dominate the
+    counts). Output: (id, n_bigrams, mean_logprob 4dp); docs with fewer
+    than two tokens emit no row.
+
+    Scale shape: positions come from one posexplode; the bigram stream
+    is a per-doc ``lead`` window (partitioned by doc — parallel, the
+    shuffle it pays is the same doc-key exchange the final mean needs).
+    Two hash-aggs build the models (map-side combined, vocabulary- and
+    bigram-vocabulary-sized). Scoring re-joins the bigram stream to the
+    bigram model and to the unigram model twice (w1 for the conditional,
+    w2 for the backoff) — token-key joins, the TF-IDF AQE skew-split
+    story. N rides along as a broadcast one-row frame: one lazy plan,
+    no driver action at build.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w1")
+    )
+    big = (
+        tok.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+    )
+    uni = tok.groupBy(F.col("w1").alias("token")).agg(
+        F.count("*").alias("cnt")
+    )
+    bi = big.groupBy("w1", "w2").agg(F.count("*").alias("cnt2"))
+    total = uni.agg(F.sum("cnt").cast("double").alias("_total"))
+    u1 = uni.select(F.col("token").alias("w1"), F.col("cnt").alias("c_w1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("cnt").alias("c_w2"))
+    scored = (
+        big.join(bi, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log(
+                F.lit(lam) * F.col("cnt2") / F.col("c_w1")
+                + F.lit(1.0 - lam) * F.col("c_w2") / F.col("_total")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("mean_logprob"),
+    )
+
+
+#: hashed-classifier weight-table constants: a fixed multiplicative
+#: hash spreads bucket ids over a prime modulus; every constant fits
+#:  int64 (buckets < 2^20 keeps bucket*KNUTH < 2^52)
+_CLS_KNUTH = 2654435761
+_CLS_PRIME = 1_000_003
+
+
+def hashed_token_bucket(token: Column, buckets: int = 1024) -> Column:
+    """Feature-hash a token into [0, buckets) via the first 8 hex digits
+    of md5 — the fastText-style hashing-trick bucket, portable to any
+    engine with md5."""
+    return (
+        F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def classifier_weight(bucket: Column) -> Column:
+    """Deterministic pseudo-random weight in (-1, 1) for a feature
+    bucket: ``(bucket*KNUTH mod P)/P * 2 - 1``. A trained model drops in
+    by replacing this expression with a broadcast-joined weight table —
+    the surrounding plan (explode -> per-token weight -> doc-key mean)
+    is exactly the serving shape of a linear text classifier."""
+    return (
+        ((bucket * _CLS_KNUTH) % _CLS_PRIME) / F.lit(float(_CLS_PRIME))
+    ) * 2.0 - 1.0
+
+
+def hashed_classifier_score(df, text_col: str = "text",
+                            id_col: str = "doc_id", buckets: int = 1024,
+                            bias: float = 0.0):
+    """Serve a fastText-shaped linear classifier over hashed unigram
+    features: score = sigmoid(mean over tokens of weight(bucket(token))
+    + bias). The weight table here is a deterministic expression (see
+    :func:`classifier_weight`) so the DuckDB oracle can verify the
+    plumbing bit-for-bit; a real trained model is the same plan with a
+    broadcast weight-table join instead of the inline expression.
+
+    Output: (id, n_tokens, score 4dp); empty docs emit no row.
+
+    Scale shape: explode tokens once, hash+weight at the top level of
+    the projection (whole-stage codegen — not inside an array lambda,
+    the CodegenFallback trap measured at 90x on MinHash), then one
+    doc-key mean with map-side partial agg. The shuffle carries
+    (id, one double) per token batch after partial combine — text never
+    moves.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    weighted = tok.select(
+        F.col(id_col),
+        classifier_weight(hashed_token_bucket(F.col("token"), buckets))
+        .alias("w"),
+    )
+    return weighted.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.avg("w") + F.lit(bias)))),
+            4,
+        ).alias("score"),
+    )
+
+
+def encoding_quality(c: Column | str):
+    """Encoding/mojibake quality signals as a list of named columns:
+    replacement-character count (U+FFFD — the scar a bad decode leaves),
+    control-character count (C0 minus tab/newline), printable-ASCII
+    ratio, digit ratio, and whitespace ratio. All are per-row regexp
+    projections — scan speed, no shuffle — and every pattern is
+    portable to DuckDB's RE2 for the oracle. Degenerate (all-ASCII)
+    corpora score 0 counts and ratio 1.0, which is itself the signal a
+    curation gate keys on.
+    """
+    t = _col(c)
+    n = F.length(t)
+
+    def ratio(pattern: str) -> Column:
+        return F.when(
+            n > 0,
+            F.round((n - F.length(F.regexp_replace(t, pattern, ""))) / n, 4),
+        ).otherwise(F.lit(0.0))
+
+    return [
+        F.length(F.regexp_replace(t, "[^�]", "")).cast("long")
+        .alias("replacement_count"),
+        F.length(
+            F.regexp_replace(t, "[^\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+        ).cast("long").alias("control_count"),
+        ratio("[^\x20-\x7e]").alias("non_ascii_ratio"),
+        ratio("[0-9]").alias("digit_ratio"),
+        ratio("[ \t\n\r]").alias("ws_ratio"),
+    ]
+
+
 def rolling_hash(c: Column | str) -> Column:
     """Polynomial rolling hash over the normalized character stream:
     ``h = (h*131 + ascii(ch)) mod 1e9+7``. Identical arithmetic is

@@ -896,6 +896,13 @@ _VERIFY_FIRST = [
     "x_contamination_matrix",
     "x_split_leakage",
     "x_dedup_keep_longest",
+    # round-4 additions
+    "x_chunk_dedup_reassemble",
+    "x_source_quota",
+    "x_bigram_logprob",
+    "x_quality_classifier",
+    "x_shard_tokens",
+    "x_encoding_quality",
 ]
 
 #: Verified-every-round scalar/one-liner queries that can safely sit

@@ -1975,3 +1975,200 @@ def x_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn") == 1).alias("is_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: substring-level dedup, domain quotas, bigram LM,
+# classifier serving, token-balanced sharding, encoding quality
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_chunk_dedup_reassemble",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DTOKS} AS t FROM documents
+    ), c AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(floor((len(t)-1)/8) AS BIGINT) + 1)) AS chunk_id
+      FROM toks WHERE len(t) > 0
+    ), chunks AS (
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(len(list_slice(t, chunk_id*8+1, chunk_id*8+8)) AS BIGINT) AS n_chunk_tokens,
+             array_to_string(list_slice(t, chunk_id*8+1, chunk_id*8+8), ' ') AS chunk_text
+      FROM c
+    ), ranked AS (
+      SELECT chunks.*, row_number() OVER (PARTITION BY chunk_text
+                                          ORDER BY doc_id, chunk_id) AS rn
+      FROM chunks
+    ), kept AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+             CAST(SUM(n_chunk_tokens) AS BIGINT) AS kept_tokens,
+             string_agg(chunk_text, ' ' ORDER BY chunk_id) AS deduped_text
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ), tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM chunks GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_chunks,
+           COALESCE(k.kept_chunks, 0) AS kept_chunks,
+           COALESCE(k.kept_tokens, 0) AS kept_tokens,
+           COALESCE(k.deduped_text, '') AS deduped_text
+    FROM tot t LEFT JOIN kept k ON k.doc_id = t.doc_id
+    """,
+    survey_ref="north-star:substring-dedup",
+)
+def x_chunk_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact-substring dedup with document reassembly
+    (operators/dedup.py:chunk_dedup_reassemble): repeated 8-token
+    blocks survive only at their first corpus-wide occurrence; each doc
+    is stitched back from its surviving chunks."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return dedup.chunk_dedup_reassemble(d, window=8)
+
+
+@query(
+    "x_source_quota",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS quota_rank
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, CAST(quota_rank AS BIGINT) AS quota_rank
+    FROM ranked WHERE quota_rank <= 10
+    """,
+    survey_ref="north-star:domain-quota",
+)
+def x_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (top-10 by length): the domain-cap
+    curation gate, executed as the salted two-phase top-k
+    (operators/sampling.py:group_quota_topk) so a hot domain never
+    lands on one reducer; values match the naive single window the
+    oracle runs."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return sampling.group_quota_topk(
+        d.select("source", "doc_id", "n_chars"),
+        group_col="source", rank_col="n_chars", k=10,
+    )
+
+
+@query(
+    "x_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DTOKS} AS t FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(t) AS token FROM toks
+    ), uni AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni
+    ), big AS (
+      SELECT doc_id,
+             unnest([struct_pack(w1 := t[CAST(i AS INT)], w2 := t[CAST(i AS INT)+1])
+                     for i in range(1, len(t))]) AS bg
+      FROM toks WHERE len(t) >= 2
+    ), bgf AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big
+    ), bic AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM bgf GROUP BY 1, 2
+    ), scored AS (
+      SELECT bgf.doc_id,
+             ln(0.75 * bic.c2 / u1.c + 0.25 * u2.c / (SELECT n FROM tot)) AS lp
+      FROM bgf
+      JOIN bic USING (w1, w2)
+      JOIN uni u1 ON u1.token = bgf.w1
+      JOIN uni u2 ON u2.token = bgf.w2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(AVG(lp), 4) AS mean_logprob
+    FROM scored GROUP BY 1
+    """,
+    survey_ref="north-star:perplexity-filter",
+)
+def x_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram log-probability per doc (KenLM-shaped
+    perplexity filter; operators/text.py:bigram_logprob)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return text.bigram_logprob(d, lam=0.75)
+
+
+@query(
+    "x_quality_classifier",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DTOKS}) AS token FROM documents
+    ), w AS (
+      SELECT doc_id,
+             ((CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 1024)
+              * 2654435761 % 1000003) / 1000003.0 * 2 - 1 AS w
+      FROM tok
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(1.0 / (1.0 + exp(-(AVG(w) + 0.0))), 4) AS score
+    FROM w GROUP BY 1
+    """,
+    survey_ref="north-star:quality-classifier",
+)
+def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped hashed linear classifier serving plan
+    (operators/text.py:hashed_classifier_score) — explode, codegen'd
+    hash+weight projection, doc-key mean with map-side combine."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return text.hashed_classifier_score(d, buckets=1024)
+
+
+@query(
+    "x_shard_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_DTOKS}) AS BIGINT) AS n_tokens FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS token_offset,
+           CAST(floor(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096)
+             AS BIGINT) AS shard
+    FROM t
+    """,
+    survey_ref="north-star:token-balanced-shards",
+)
+def x_shard_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment (operators/packing.py:
+    shard_by_token_budget): global exclusive prefix sum via range
+    exchange + broadcast partition totals; the oracle runs the naive
+    single-partition window DuckDB can afford."""
+    from ..operators import packing
+
+    d = testdata.load(spark, sf_dir, "documents")
+    return packing.shard_by_token_budget(d, budget=4096)
+
+
+@query(
+    "x_encoding_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[^\\x{FFFD}]', '', 'g')) AS BIGINT)
+             AS replacement_count,
+           CAST(length(regexp_replace(text, '[^\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS BIGINT)
+             AS control_count,
+           CASE WHEN length(text) > 0 THEN
+             round((length(text) - length(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'))) * 1.0 / length(text), 4)
+           ELSE 0.0 END AS non_ascii_ratio,
+           CASE WHEN length(text) > 0 THEN
+             round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text), 4)
+           ELSE 0.0 END AS digit_ratio,
+           CASE WHEN length(text) > 0 THEN
+             round((length(text) - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g'))) * 1.0 / length(text), 4)
+           ELSE 0.0 END AS ws_ratio
+    FROM documents
+    """,
+    survey_ref="north-star:encoding-quality",
+)
+def x_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake/encoding signals (operators/text.py:encoding_quality):
+    per-row regexp projections at scan speed."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return d.select("doc_id", *text.encoding_quality("text"))

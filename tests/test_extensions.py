@@ -590,3 +590,166 @@ def test_incremental_embedding_neardup_membership(spark):
     assert got[101] == 100      # min prior id wins: same-batch 100
     assert 102 not in got
     assert 5 not in got and 900 not in got  # history itself never flagged
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operators
+# ---------------------------------------------------------------------------
+
+def test_chunk_dedup_removes_repeated_block_keeps_unique(spark):
+    # window=2, token counts multiples of 2 so chunks align
+    boiler = "legal header boiler plate"     # 2 chunks, shared
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta"),
+            (2, boiler + " epsilon zeta eta theta"),
+            (3, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.chunk_dedup_reassemble(df, window=2).collect()
+    }
+    # doc 1 keeps everything (first occurrence of the boilerplate)
+    assert out[1]["deduped_text"] == boiler + " alpha beta gamma delta"
+    assert out[1]["kept_chunks"] == out[1]["n_chunks"] == 4
+    # doc 2 loses the boilerplate, keeps its unique tail
+    assert out[2]["deduped_text"] == "epsilon zeta eta theta"
+    assert out[2]["kept_chunks"] == 2 and out[2]["n_chunks"] == 4
+    # doc 3 is fully boilerplate -> empty but still present
+    assert out[3]["kept_chunks"] == 0 and out[3]["deduped_text"] == ""
+    assert out[3]["kept_tokens"] == 0
+
+
+def test_chunk_dedup_within_doc_repetition_collapses(spark):
+    df = spark.createDataFrame(
+        [(1, "spam ham spam ham spam ham")], "doc_id long, text string"
+    )
+    row = dedup.chunk_dedup_reassemble(df, window=2).collect()[0]
+    assert row["n_chunks"] == 3 and row["kept_chunks"] == 1
+    assert row["deduped_text"] == "spam ham"
+
+
+def test_group_quota_matches_naive_window(spark, docs):
+    from pyspark.sql import Window
+
+    from snowflake_data_pipeline_demo_spark.operators import sampling
+
+    got = sampling.group_quota_topk(
+        docs.select("source", "doc_id", "n_chars"),
+        group_col="source", rank_col="n_chars", k=7, salt_buckets=4,
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    want = (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("quota_rank", F.row_number().over(w).cast("long"))
+        .filter("quota_rank <= 7")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    caps = got.groupBy("source").count().collect()
+    assert all(r["count"] <= 7 for r in caps)
+
+
+def test_bigram_logprob_rewards_repetition(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "go go go go go go go go"),  # one bigram dominates
+            (2, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.bigram_logprob(df).collect()}
+    assert out[1]["n_bigrams"] == 7 and out[2]["n_bigrams"] == 7
+    assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
+
+
+def test_hashed_classifier_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "delta")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["score"]
+        for r in text.hashed_classifier_score(df).collect()
+    }
+    assert out[1] == out[2]          # order-invariant (mean over bag)
+    assert out[1] != out[3]
+    assert all(0.0 < s < 1.0 for s in out.values())
+
+
+def test_shard_by_token_budget_boundaries(spark, docs):
+    from snowflake_data_pipeline_demo_spark.operators import packing
+
+    budget = 500
+    rows = sorted(
+        packing.shard_by_token_budget(docs, budget=budget).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    run = 0
+    for r in rows:
+        assert r["token_offset"] == run
+        assert r["shard"] == run // budget
+        run += r["n_tokens"]
+    # balance: every shard but the last holds >= budget - max_doc tokens
+    per_shard = {}
+    for r in rows:
+        per_shard[r["shard"]] = per_shard.get(r["shard"], 0) + r["n_tokens"]
+    max_doc = max(r["n_tokens"] for r in rows)
+    last = max(per_shard)
+    for s, tot in per_shard.items():
+        if s != last:
+            assert tot >= budget - max_doc
+            assert tot <= budget + max_doc
+
+
+def test_write_token_balanced_shards(spark, docs, tmp_path):
+    import os
+
+    from snowflake_data_pipeline_demo_spark.operators import packing
+
+    path = str(tmp_path / "shards")
+    assign = packing.write_token_balanced_shards(docs, path, budget=2000)
+    shards = {r["shard"] for r in assign.select("shard").distinct().collect()}
+    dirs = {
+        int(d.split("=")[1])
+        for d in os.listdir(path) if d.startswith("shard=")
+    }
+    assert dirs == shards
+    # one file per shard directory (repartition(shard) before partitionBy)
+    for d in dirs:
+        files = [
+            f for f in os.listdir(os.path.join(path, f"shard={d}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"shard={d} has {len(files)} files"
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+
+
+def test_encoding_quality_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "plain ascii 123"),
+            (2, "bad � decode �"),
+            (3, "ctrl\x01chars\x02here"),
+            (4, "café naïve"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *text.encoding_quality("text")).collect()
+    }
+    assert out[2]["replacement_count"] == 2
+    assert out[3]["control_count"] == 2
+    assert out[1]["replacement_count"] == 0
+    assert out[1]["digit_ratio"] == round(3 / 15, 4)
+    assert out[4]["non_ascii_ratio"] == round(2 / 10, 4)
+    assert out[1]["non_ascii_ratio"] == 0.0
+    assert out[5]["ws_ratio"] == 0.0

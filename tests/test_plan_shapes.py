@@ -222,3 +222,23 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_encoding_quality_is_pure_projection(spark):
+    p = _plan(spark, "x_encoding_quality")
+    assert "Exchange" not in p
+
+
+def test_classifier_serving_stays_in_hash_aggregate(spark):
+    # the doc-key mean must combine map-side; a SortAggregate here means
+    # the weight expression fell out of codegen
+    p = _plan(spark, "x_quality_classifier")
+    assert "SortAggregate" not in p
+
+
+def test_source_quota_runs_two_phase_window(spark):
+    # salted form = two Window nodes (per-salt rank, then bounded
+    # per-group rank); a refactor back to one global window per group
+    # re-creates the hot-domain straggler
+    p = _plan(spark, "x_source_quota")
+    assert p.count("Window (") == 2
