@@ -79,6 +79,9 @@ HEADLINE = [
     "x_quality_classifier",
     "x_shard_tokens",
     "x_encoding_quality",
+    "x_cluster_quota",
+    "x_length_quantiles",
+    "x_bpe_pairs",
 ]
 
 

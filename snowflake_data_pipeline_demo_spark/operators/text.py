@@ -580,6 +580,46 @@ def encoding_quality(c: Column | str):
     ]
 
 
+def bpe_pair_counts(df, text_col: str = "text", top_k: int = 50):
+    """One iteration of the BPE trainer's inner loop (Sennrich et al.
+    2016, public paper): count every ADJACENT CHARACTER PAIR inside
+    words across the corpus and return the ``top_k`` most frequent —
+    the argmax pair is the next merge. The full trainer is a driver
+    loop: apply the merge to the symbol sequences and re-run; each
+    iteration is this same plan over the updated symbol table, so the
+    per-iteration cost (the only thing that scales with corpus size)
+    is what's measured here.
+
+    Output: (pair, cnt, rank) — rank 1..top_k by (count DESC, pair
+    ASC), a total order so the cut is deterministic.
+
+    Scale shape: explode tokens, then explode pair POSITIONS
+    (``sequence(1, len-1)``) and slice with substring at the top level
+    of the projection — codegen'd, same idiom as exploded_shingles;
+    never a per-row array-of-pairs lambda (CodegenFallback). The count
+    is one hash-agg on the 2-char pair key (map-side combined: the
+    shuffle carries at most |alphabet|^2 rows per task). The final
+    top-k is a single-partition sort of |alphabet|^2 rows — bytes.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.explode(tokens(text_col)).alias("token")).filter(
+        F.length("token") >= 2
+    )
+    pairs = tok.select(
+        F.explode(
+            F.sequence(F.lit(1), F.length("token") - 1)
+        ).alias("i"),
+        "token",
+    ).select(F.substring(F.col("token"), F.col("i"), F.lit(2)).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 def rolling_hash(c: Column | str) -> Column:
     """Polynomial rolling hash over the normalized character stream:
     ``h = (h*131 + ascii(ch)) mod 1e9+7``. Identical arithmetic is

@@ -903,6 +903,9 @@ _VERIFY_FIRST = [
     "x_quality_classifier",
     "x_shard_tokens",
     "x_encoding_quality",
+    "x_cluster_quota",
+    "x_length_quantiles",
+    "x_bpe_pairs",
 ]
 
 #: Verified-every-round scalar/one-liner queries that can safely sit

@@ -2172,3 +2172,115 @@ def x_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row regexp projections at scan speed."""
     d = testdata.load(spark, sf_dir, "documents")
     return d.select("doc_id", *text.encoding_quality("text"))
+
+
+@query(
+    "x_cluster_quota",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centv
+      FROM embeddings WHERE vec_id < 8
+    ), ac AS (
+      SELECT e.vec_id, c.centroid_id,
+             round({_ddot('e.embedding', 'c.centv')}
+               / ({_dnorm('e.embedding')} * {_dnorm('c.centv')}), 4) AS ccos,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round({_ddot('e.embedding', 'c.centv')}
+                 / ({_dnorm('e.embedding')} * {_dnorm('c.centv')}), 4) DESC,
+               c.centroid_id) AS rn
+      FROM embeddings e, cent c
+    ), a1 AS (
+      SELECT vec_id, centroid_id, ccos AS centroid_cos FROM ac WHERE rn = 1
+    ), ranked AS (
+      SELECT vec_id, centroid_id, centroid_cos,
+             row_number() OVER (PARTITION BY centroid_id
+               ORDER BY centroid_cos DESC, vec_id ASC) AS quota_rank
+      FROM a1
+    )
+    SELECT vec_id, centroid_id, centroid_cos, CAST(quota_rank AS BIGINT) AS quota_rank
+    FROM ranked WHERE quota_rank <= 20
+    """,
+    survey_ref="north-star:cluster-balance",
+)
+def x_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced sampling: assign embeddings to their nearest
+    centroid (shuffle-free inlined-literal argmax,
+    similarity.ivf_assign) then cap each cluster at its 20 most
+    central members via the salted two-phase quota
+    (sampling.group_quota_topk) — the cluster-proportional mixture
+    control a curation run applies before training."""
+    e = testdata.load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = similarity.ivf_assign(e, cent, with_score=True).select(
+        "vec_id", "centroid_id", "centroid_cos"
+    )
+    return sampling.group_quota_topk(
+        assigned, group_col="centroid_id", rank_col="centroid_cos",
+        k=20, id_col="vec_id",
+    )
+
+
+@query(
+    "x_length_quantiles",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 4) AS p25,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.75), 4) AS p75,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99
+    FROM documents GROUP BY source
+    """,
+    survey_ref="north-star:corpus-profile",
+)
+def x_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length quantiles (exact linear-interpolation
+    percentiles — Spark `percentile` and DuckDB `quantile_cont` share
+    the algorithm): the distribution report curation thresholds are
+    read off of. Exact percentile sorts per group — fine at
+    group-count scale; a 100 TB corpus-wide profile swaps in
+    `percentile_approx` (t-digest, mergeable map-side) at the same
+    call site."""
+    d = testdata.load(spark, sf_dir, "documents")
+    qs = F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))")
+    agg = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"), qs.alias("_q")
+    )
+    return agg.select(
+        "source", "n_docs",
+        *[
+            F.round(F.col("_q")[i], 4).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p90", "p99"])
+        ],
+    )
+
+
+@query(
+    "x_bpe_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_DTOKS}) AS token FROM documents
+    ), p AS (
+      SELECT unnest([substr(token, CAST(i AS INT), 2)
+                     for i in range(1, length(token))]) AS pair
+      FROM tok WHERE length(token) >= 2
+    ), c AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY pair
+    ), r AS (
+      SELECT pair, cnt,
+             row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank
+      FROM c
+    )
+    SELECT pair, cnt, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 50
+    """,
+    survey_ref="north-star:bpe-trainer",
+)
+def x_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE trainer inner loop: corpus-wide adjacent character-pair
+    counts, top-50 (operators/text.py:bpe_pair_counts) — the argmax
+    row is the next merge."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(d, top_k=50)

@@ -753,3 +753,51 @@ def test_encoding_quality_signals(spark):
     assert out[4]["non_ascii_ratio"] == round(2 / 10, 4)
     assert out[1]["non_ascii_ratio"] == 0.0
     assert out[5]["ws_ratio"] == 0.0
+
+
+def test_bpe_pair_counts_crafted(spark):
+    df = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "aaab")], "doc_id long, text string"
+    )
+    rows = {r["pair"]: r for r in text.bpe_pair_counts(df, top_k=10).collect()}
+    # 3 tokens "aaab": pairs per token = aa, aa, ab
+    assert rows["aa"]["cnt"] == 6 and rows["aa"]["rank"] == 1
+    assert rows["ab"]["cnt"] == 3 and rows["ab"]["rank"] == 2
+    assert len(rows) == 2
+
+
+def test_cluster_quota_caps_and_centers(spark, emb):
+    from snowflake_data_pipeline_demo_spark.operators import sampling, similarity
+
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = similarity.ivf_assign(emb, cent, with_score=True).select(
+        "vec_id", "centroid_id", "centroid_cos"
+    )
+    out = sampling.group_quota_topk(
+        assigned, group_col="centroid_id", rank_col="centroid_cos",
+        k=5, id_col="vec_id",
+    )
+    per = {r["centroid_id"]: r["count"]
+           for r in out.groupBy("centroid_id").count().collect()}
+    assert all(c <= 5 for c in per.values())
+    # each centroid vector is its own cluster's most central member
+    firsts = {
+        r["centroid_id"]: r["vec_id"]
+        for r in out.filter("quota_rank = 1").collect()
+    }
+    for cid, vid in firsts.items():
+        assert cid == vid
+
+
+def test_length_quantiles_exact_interpolation(spark):
+    df = spark.createDataFrame(
+        [(i, "s", n) for i, n in enumerate([10, 20, 30, 40])],
+        "doc_id long, source string, n_chars long",
+    )
+    from snowflake_data_pipeline_demo_spark.plans.queries import QUERIES  # noqa: F401
+
+    qs = F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))")
+    row = df.groupBy("source").agg(qs.alias("q")).collect()[0]
+    assert row["q"] == [17.5, 25.0, 32.5]  # linear interpolation, exact

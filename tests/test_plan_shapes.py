@@ -242,3 +242,18 @@ def test_source_quota_runs_two_phase_window(spark):
     # re-creates the hot-domain straggler
     p = _plan(spark, "x_source_quota")
     assert p.count("Window (") == 2
+
+
+def test_bpe_pair_counting_stays_in_hash_aggregate(spark):
+    p = _plan(spark, "x_bpe_pairs")
+    assert "SortAggregate" not in p
+
+
+def test_cluster_quota_assignment_is_joinless(spark):
+    # ivf_assign inlines centroids as literals: the assignment must not
+    # plan a join (the cross-join + max_by alternative shuffles the
+    # corpus); the only joins allowed come from the quota phases
+    p = _plan(spark, "x_cluster_quota")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Window (") == 2
