@@ -82,6 +82,9 @@ HEADLINE = [
     "x_cluster_quota",
     "x_length_quantiles",
     "x_bpe_pairs",
+    "x_bpe_train",
+    "x_token_ids",
+    "x_global_shuffle",
 ]
 
 

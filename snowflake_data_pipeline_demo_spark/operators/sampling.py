@@ -114,3 +114,35 @@ def group_quota_topk(df: DataFrame, group_col: str = "source",
         )
         .filter(F.col("quota_rank") <= k)
     )
+
+
+def deterministic_global_shuffle(df: DataFrame,
+                                 id_col: str = "doc_id") -> DataFrame:
+    """Assign every row its position in a DETERMINISTIC global shuffle:
+    ``shuffle_key = md5(id)`` defines a pseudo-random total order
+    (ties impossible — md5 of distinct ids collides only
+    astronomically, and ``id_col`` breaks even those), and
+    ``shuffle_rank`` is the row's 0-based position in it. The "shuffle
+    the corpus before training" step, reproducible across runs,
+    retries, and cluster layouts — unlike ``orderBy(rand())``.
+
+    Output: (id, shuffle_key, shuffle_rank).
+
+    Scale shape: the rank is the two-phase global prefix sum over a
+    constant 1 (packing.global_running_offset) — one range exchange on
+    the hash key (uniform by construction: no skew, no hot range) plus
+    a broadcast of per-partition counts. A writer that wants shuffled
+    SHARDS rather than ranks skips the prefix sum entirely:
+    repartitionByRange(shuffle_key) + sortWithinPartitions is the same
+    exchange without the offset join.
+    """
+    from .packing import global_running_offset
+
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(F.col(id_col).cast("string")).alias("shuffle_key"),
+        F.lit(1).alias("_one"),
+    )
+    return global_running_offset(
+        keyed, ["shuffle_key", id_col], "_one", out_col="shuffle_rank"
+    ).select(id_col, "shuffle_key", "shuffle_rank")

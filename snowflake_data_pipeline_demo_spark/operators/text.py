@@ -620,6 +620,125 @@ def bpe_pair_counts(df, text_col: str = "text", top_k: int = 50):
     )
 
 
+def bpe_train(df, text_col: str = "text", n_merges: int = 4):
+    """Train ``n_merges`` BPE merges on the corpus (Sennrich et al.
+    2016, public paper) and return the merge table: one row per merge,
+    ``(merge_rank, pair, cnt)`` with ``pair`` = the two symbols joined
+    by a space, picked by (weighted count DESC, pair ASC).
+
+    Faithful to the classic trainer's structure: train on the UNIQUE
+    word table weighted by frequency (vocabulary-scale — corpus text is
+    touched exactly once to build it), symbols start as characters, and
+    each round merges the argmax adjacent pair. Merge application uses
+    a single left-to-right non-overlapping padded-space replace (the
+    deterministic variant both Spark and DuckDB's RE2 implement
+    identically — no lookarounds, so the oracle can unroll the loop
+    stage for stage).
+
+    Scale shape: the corpus-scale work is ONE token hash-agg (word
+    frequencies). Every iteration then runs on the unique-word table:
+    pair explode + map-side-combined weighted count, argmax collected
+    driver-side (one row — BPE is inherently a driver loop), and a
+    per-row replace. ``localCheckpoint`` cuts lineage each round (the
+    iterative-loop rule from the components implementation: plans grow
+    geometrically otherwise).
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("freq"))
+    )
+    seqs = words.select(
+        "freq",
+        F.array_join(
+            F.filter(F.split(F.col("word"), ""), lambda x: x != ""), " "
+        ).alias("seq"),
+    ).localCheckpoint(eager=False)
+    merges: list[tuple[int, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        arr = F.split(F.col("seq"), " ")
+        pairs = (
+            # guard BEFORE the explode: sequence(1, 0) DESCENDS in
+            # Spark (it is not empty), so single-symbol sequences must
+            # be filtered out, not relied on to produce zero rows
+            seqs.select("freq", arr.alias("_a"))
+            .filter(F.size("_a") >= 2)
+            .select(
+                "freq", "_a",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("_a") - 1)
+                ).alias("i"),
+            )
+            .select(
+                "freq",
+                F.concat_ws(
+                    " ",
+                    F.element_at("_a", F.col("i")),
+                    F.element_at("_a", F.col("i") + 1),
+                ).alias("pair"),
+            )
+            .groupBy("pair").agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        merges.append((rank, pair, cnt))
+        merged = pair.replace(" ", "")
+        seqs = seqs.select(
+            "freq",
+            F.trim(
+                F.regexp_replace(
+                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                    f" {pair} ", f" {merged} ",
+                )
+            ).alias("seq"),
+        ).localCheckpoint(eager=False)
+    return df.sparkSession.createDataFrame(
+        merges, "merge_rank long, pair string, cnt long"
+    )
+
+
+def tokens_to_ids(df, vocab_size: int = 1000, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Map every document to its vocabulary-id sequence — the
+    "tokenize to ids" step a training pipeline runs last: vocabulary =
+    the ``vocab_size`` most frequent tokens (count DESC, token ASC),
+    id = 0-based rank; everything else maps to the OOV id
+    (``vocab_size``). Output: (id, n_tokens, ids array<long> in
+    document order).
+
+    Scale shape: one token hash-agg builds the vocabulary; its ranking
+    window sorts vocabulary-scale rows (bytes). Scoring left-joins the
+    posexploded token stream to the vocab on the token key (broadcast
+    when the vocab is bounded, as here; AQE skew-split otherwise) and
+    reassembles per doc with one doc-key agg — the array is sorted by
+    position inside the agg, not with a second window.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = (
+        counts.withColumn("vid", F.row_number().over(w).cast("long") - 1)
+        .filter(F.col("vid") < vocab_size)
+        .select("token", "vid")
+    )
+    scored = tok.join(F.broadcast(vocab), "token", "left").select(
+        F.col(id_col), "pos",
+        F.coalesce("vid", F.lit(int(vocab_size)).cast("long")).alias("vid"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "vid"))),
+            lambda s: s["vid"],
+        ).alias("ids"),
+    )
+
+
 def rolling_hash(c: Column | str) -> Column:
     """Polynomial rolling hash over the normalized character stream:
     ``h = (h*131 + ascii(ch)) mod 1e9+7``. Identical arithmetic is

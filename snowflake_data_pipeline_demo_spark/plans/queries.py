@@ -906,6 +906,9 @@ _VERIFY_FIRST = [
     "x_cluster_quota",
     "x_length_quantiles",
     "x_bpe_pairs",
+    "x_bpe_train",
+    "x_token_ids",
+    "x_global_shuffle",
 ]
 
 #: Verified-every-round scalar/one-liner queries that can safely sit

@@ -2284,3 +2284,152 @@ def x_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     row is the next merge."""
     d = testdata.load(spark, sf_dir, "documents")
     return text.bpe_pair_counts(d, top_k=50)
+
+
+@query(
+    "x_bpe_train",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_DTOKS}) AS word FROM documents
+    ), words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY word
+    ), s0 AS (
+      SELECT freq,
+             array_to_string([substr(word, CAST(i AS INT), 1)
+                              for i in range(1, length(word)+1)], ' ') AS seq
+      FROM words
+    )
+    , p1 AS (
+      SELECT pair, SUM(freq) AS cnt FROM (
+        SELECT freq, unnest([l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1]
+                             for i in range(1, len(l))]) AS pair
+        FROM (SELECT freq, string_split(seq, ' ') AS l FROM s0)
+      ) GROUP BY pair
+    ), t1 AS (
+      SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM p1
+      ORDER BY cnt DESC, pair ASC LIMIT 1
+    ), s1 AS (
+      SELECT freq,
+             trim(replace(' ' || seq || ' ',
+                          ' ' || (SELECT pair FROM t1) || ' ',
+                          ' ' || replace((SELECT pair FROM t1), ' ', '') || ' ')) AS seq
+      FROM s0
+    )
+    , p2 AS (
+      SELECT pair, SUM(freq) AS cnt FROM (
+        SELECT freq, unnest([l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1]
+                             for i in range(1, len(l))]) AS pair
+        FROM (SELECT freq, string_split(seq, ' ') AS l FROM s1)
+      ) GROUP BY pair
+    ), t2 AS (
+      SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM p2
+      ORDER BY cnt DESC, pair ASC LIMIT 1
+    ), s2 AS (
+      SELECT freq,
+             trim(replace(' ' || seq || ' ',
+                          ' ' || (SELECT pair FROM t2) || ' ',
+                          ' ' || replace((SELECT pair FROM t2), ' ', '') || ' ')) AS seq
+      FROM s1
+    )
+    , p3 AS (
+      SELECT pair, SUM(freq) AS cnt FROM (
+        SELECT freq, unnest([l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1]
+                             for i in range(1, len(l))]) AS pair
+        FROM (SELECT freq, string_split(seq, ' ') AS l FROM s2)
+      ) GROUP BY pair
+    ), t3 AS (
+      SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM p3
+      ORDER BY cnt DESC, pair ASC LIMIT 1
+    ), s3 AS (
+      SELECT freq,
+             trim(replace(' ' || seq || ' ',
+                          ' ' || (SELECT pair FROM t3) || ' ',
+                          ' ' || replace((SELECT pair FROM t3), ' ', '') || ' ')) AS seq
+      FROM s2
+    )
+    , p4 AS (
+      SELECT pair, SUM(freq) AS cnt FROM (
+        SELECT freq, unnest([l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT)+1]
+                             for i in range(1, len(l))]) AS pair
+        FROM (SELECT freq, string_split(seq, ' ') AS l FROM s3)
+      ) GROUP BY pair
+    ), t4 AS (
+      SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM p4
+      ORDER BY cnt DESC, pair ASC LIMIT 1
+    ), s4 AS (
+      SELECT freq,
+             trim(replace(' ' || seq || ' ',
+                          ' ' || (SELECT pair FROM t4) || ' ',
+                          ' ' || replace((SELECT pair FROM t4), ' ', '') || ' ')) AS seq
+      FROM s3
+    )
+    SELECT CAST(1 AS BIGINT) AS merge_rank, pair, cnt FROM t1
+    UNION ALL SELECT 2, pair, cnt FROM t2
+    UNION ALL SELECT 3, pair, cnt FROM t3
+    UNION ALL SELECT 4, pair, cnt FROM t4
+    """,
+    survey_ref="north-star:bpe-trainer",
+)
+def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four BPE merge rounds trained on the corpus word-frequency table
+    (operators/text.py:bpe_train); the oracle unrolls the driver loop
+    as four identical SQL stages — possible because merge application
+    is a literal padded-space replace with identical left-to-right
+    non-overlapping semantics in both engines."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return text.bpe_train(d, n_merges=4)
+
+
+@query(
+    "x_token_ids",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DTOKS} AS t FROM documents
+    ), tokp AS (
+      SELECT doc_id,
+             unnest([struct_pack(pos := i, tok := t[CAST(i AS INT)])
+                     for i in range(1, len(t)+1)]) AS pt
+      FROM toks WHERE len(t) > 0
+    ), tp AS (
+      SELECT doc_id, pt.pos AS pos, pt.tok AS token FROM tokp
+    ), counts AS (
+      SELECT token, COUNT(*) AS cnt FROM tp GROUP BY token
+    ), vocab AS (
+      SELECT token,
+             CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) - 1 AS vid
+      FROM counts QUALIFY vid < 1000
+    ), scored AS (
+      SELECT tp.doc_id, tp.pos, CAST(COALESCE(v.vid, 1000) AS BIGINT) AS vid
+      FROM tp LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           list(vid ORDER BY pos) AS ids
+    FROM scored GROUP BY doc_id
+    """,
+    survey_ref="north-star:tokenize-to-ids",
+)
+def x_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids against a frequency-ranked vocabulary with OOV
+    fallback (operators/text.py:tokens_to_ids) — the pipeline's last
+    step before sequence packing."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return text.tokens_to_ids(d, vocab_size=1000)
+
+
+@query(
+    "x_global_shuffle",
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+             AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+    survey_ref="north-star:global-shuffle",
+)
+def x_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pre-training corpus shuffle: md5-keyed total order
+    with a two-phase global rank (operators/sampling.py:
+    deterministic_global_shuffle) — reproducible across runs, never a
+    single-partition window."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return sampling.deterministic_global_shuffle(d)

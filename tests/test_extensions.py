@@ -801,3 +801,61 @@ def test_length_quantiles_exact_interpolation(spark):
     qs = F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))")
     row = df.groupBy("source").agg(qs.alias("q")).collect()[0]
     assert row["q"] == [17.5, 25.0, 32.5]  # linear interpolation, exact
+
+
+def test_bpe_train_matches_python_reference(spark):
+    corpus = [(1, "low lower lowest low low"), (2, "newer newest new low")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [
+        (r["merge_rank"], r["pair"], r["cnt"])
+        for r in sorted(text.bpe_train(df, n_merges=5).collect())
+    ]
+
+    # independent reference: same deterministic variant (padded-space
+    # single-pass replace, argmax by (count desc, pair asc))
+    from collections import Counter
+
+    words = Counter(
+        w for _, t in corpus for w in t.lower().split()
+    )
+    seqs = {" ".join(w): f for w, f in words.items()}
+    want = []
+    for rank in range(1, 6):
+        counts = Counter()
+        for seq, f in seqs.items():
+            syms = seq.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                counts[f"{a} {b}"] += f
+        if not counts:
+            break
+        pair, cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, pair, cnt))
+        merged = pair.replace(" ", "")
+        seqs = {
+            (" " + s + " ").replace(f" {pair} ", f" {merged} ").strip(): f
+            for s, f in seqs.items()
+        }
+    assert got == want
+
+
+def test_tokens_to_ids_order_and_oov(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "bb zz")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.tokens_to_ids(df, vocab_size=2).collect()}
+    # vocab: aa (3 hits) -> 0, bb (2) -> 1; cc/zz -> OOV id 2
+    assert out[1]["ids"] == [0, 1, 0, 2]
+    assert out[2]["ids"] == [1, 2]
+    assert out[1]["n_tokens"] == 4
+
+
+def test_global_shuffle_is_permutation_and_stable(spark, docs):
+    from snowflake_data_pipeline_demo_spark.operators import sampling
+
+    a = sampling.deterministic_global_shuffle(docs).collect()
+    n = docs.count()
+    ranks = sorted(r["shuffle_rank"] for r in a)
+    assert ranks == list(range(n))          # exact permutation
+    b = {r["doc_id"]: r["shuffle_rank"]
+         for r in sampling.deterministic_global_shuffle(docs).collect()}
+    assert all(r["shuffle_rank"] == b[r["doc_id"]] for r in a)  # stable
