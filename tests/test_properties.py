@@ -214,3 +214,114 @@ def test_repetition_agg_twin_matches_array_form(spark, texts):
     b = {r["doc_id"]: tuple(r[c] for c in cols)
          for r in T.repetition_metrics_agg(df).collect()}
     assert a == b
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1, max_size=40,
+    ),
+    st.integers(1, 5),
+)
+@_SLOW
+def test_group_quota_topk_matches_naive_window(spark, rows, k):
+    """The salted two-phase quota equals the naive per-group window for
+    any (group, score) multiset and any k — the correctness claim the
+    skew-proof rewrite rests on."""
+    from pyspark.sql import Window
+
+    from snowflake_data_pipeline_demo_spark.operators.sampling import (
+        group_quota_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{g}", s) for i, (g, s) in enumerate(rows)],
+        "doc_id long, source string, n_chars long",
+    ).repartition(4)
+    got = group_quota_topk(df, k=k, salt_buckets=3).collect()
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    want = (
+        df.withColumn("quota_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("quota_rank") <= k)
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=15))
+@_SLOW
+def test_shard_offsets_are_exclusive_prefix_sums(spark, sizes):
+    from snowflake_data_pipeline_demo_spark.operators.packing import (
+        shard_by_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n long"
+    ).repartition(3)
+    got = {
+        r["doc_id"]: (r["token_offset"], r["shard"])
+        for r in shard_by_token_budget(
+            df, budget=16, tokens_col="n"
+        ).collect()
+    }
+    acc = 0
+    for i, n in enumerate(sizes):
+        assert got[i] == (acc, acc // 16)
+        acc += n
+
+
+@given(st.sets(st.integers(0, 10_000), min_size=1, max_size=40))
+@_SLOW
+def test_global_shuffle_permutation_property(spark, ids):
+    from snowflake_data_pipeline_demo_spark.operators.sampling import (
+        deterministic_global_shuffle,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in ids], "doc_id long"
+    ).repartition(4)
+    got = deterministic_global_shuffle(df).collect()
+    assert sorted(r["shuffle_rank"] for r in got) == list(range(len(ids)))
+    # rank order == lexicographic md5 order
+    by_rank = sorted(got, key=lambda r: r["shuffle_rank"])
+    keys = [r["shuffle_key"] for r in by_rank]
+    assert keys == sorted(keys)
+
+
+@given(st.lists(st.text(alphabet="ab ", max_size=12), min_size=1, max_size=6))
+@_SLOW
+def test_chunk_dedup_keeps_each_chunk_exactly_once(spark, texts):
+    """Every distinct chunk text survives exactly once corpus-wide, and
+    each doc's reassembled text is the in-order concatenation of a
+    subset of its original chunks."""
+    from snowflake_data_pipeline_demo_spark.operators.chunking import (
+        chunk_by_tokens,
+    )
+    from snowflake_data_pipeline_demo_spark.operators.dedup import (
+        chunk_dedup_reassemble,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = chunk_dedup_reassemble(df, window=2).collect()
+    chunks = chunk_by_tokens(df, window=2, stride=2).collect()
+    distinct = {r["chunk_text"] for r in chunks}
+    assert sum(r["kept_chunks"] for r in out) == len(distinct)
+    orig = {
+        d: [r["chunk_text"] for r in sorted(
+            (c for c in chunks if c["doc_id"] == d),
+            key=lambda c: c["chunk_id"],
+        )]
+        for d in {c["doc_id"] for c in chunks}
+    }
+    for r in out:
+        # reassembled text = in-order concat of a subset of the doc's
+        # chunks: strip chunks greedily left-to-right, nothing remains
+        remaining = r["deduped_text"]
+        for c in orig[r["doc_id"]]:
+            if remaining == c or remaining.startswith(c + " "):
+                remaining = remaining[len(c):].lstrip()
+        assert remaining == ""
