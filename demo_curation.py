@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Run-book for the training-data surface: curate a document corpus
-end to end — dedup -> decontaminate -> quality-filter -> semantic
-dedup -> importance-weight -> chunk -> pack -> split — printing what
-a curation run reports at every scale.
+end to end — dedup -> boilerplate (chunk) dedup -> decontaminate ->
+quality-filter -> domain quota -> semantic dedup -> importance-weight
+-> tokenize-to-ids -> chunk -> pack -> shuffle -> shard -> split —
+printing what a curation run reports at every scale.
 
 Usage: python demo_curation.py [sf_dir]   (default /root/testdata/sf0.01)
 """
@@ -33,8 +34,23 @@ def main() -> None:
 
     # materialize the kept set and carry it through chunk -> pack -> split
     deduped = dedup.drop_exact_dups(corpus)
+
+    # boilerplate removal: cross-doc chunk-level exact-substring dedup
+    reassembled = dedup.chunk_dedup_reassemble(deduped, window=8)
+    removed = reassembled.agg(
+        F.sum(F.col("n_chunks") - F.col("kept_chunks")).alias("n")
+    ).first()["n"]
+    print(f"== chunk dedup: {removed} duplicated 8-token chunks removed")
+
     clean = decontam.decontaminate(deduped, eval_docs)
     kept = clean.filter(text.gopher_flags("text", min_required=1)["keep"]).cache()
+
+    # domain caps: at most 200 docs per source, longest first
+    quota = sampling.group_quota_topk(
+        kept.select("source", "doc_id", "n_chars"), k=200
+    )
+    print("== per-source quota survivors:")
+    quota.groupBy("source").count().orderBy("source").show(5)
 
     # semantic dedup over the embeddings table (cluster-bounded, BLAS
     # assignment) — at scale this joins back to kept doc ids; here the
@@ -55,12 +71,29 @@ def main() -> None:
     text.dsir_importance(kept, eval_docs) \
         .orderBy(F.desc("importance")).limit(5).show()
 
+    # tokenizer surface: id sequences against the corpus vocabulary
+    ids = text.tokens_to_ids(kept, vocab_size=1000)
+    oov = ids.agg(
+        F.round(
+            F.sum(F.size(F.filter("ids", lambda x: x == 1000)))
+            / F.sum("n_tokens"), 4
+        ).alias("oov")
+    ).first()["oov"]
+    print(f"== tokenize-to-ids: corpus OOV rate vs 1000-token vocab: {oov}")
+
     chunks = chunking.chunk_by_tokens(kept, window=32, stride=24)
     packed = packing.pack_sequences(chunks, seq_len=64)
     n_chunks = chunks.count()
     max_pack = packed.agg(F.max("pack_id")).first()[0]
     n_packs = (max_pack + 1) if max_pack is not None else 0
     print(f"== chunks: {n_chunks}, packed 64-token sequences: {n_packs}")
+
+    # pre-training shuffle + token-balanced shards: the writer's order
+    shuffled = sampling.deterministic_global_shuffle(kept)
+    shards = packing.shard_by_token_budget(kept, budget=50_000)
+    n_shards = shards.agg((F.max("shard") + 1).alias("n")).first()["n"]
+    print(f"== shuffle+shard: {shuffled.count()} docs in deterministic "
+          f"order across {n_shards} ~50k-token shards")
 
     print("== deterministic splits:")
     kept.withColumn("split", sampling.split_label("doc_id", 90, 5)) \
