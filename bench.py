@@ -85,6 +85,8 @@ HEADLINE = [
     "x_bpe_train",
     "x_token_ids",
     "x_global_shuffle",
+    "x_drop_reasons",
+    "x_mixture_budget",
 ]
 
 

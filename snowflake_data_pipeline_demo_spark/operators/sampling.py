@@ -146,3 +146,48 @@ def deterministic_global_shuffle(df: DataFrame,
     return global_running_offset(
         keyed, ["shuffle_key", id_col], "_one", out_col="shuffle_rank"
     ).select(id_col, "shuffle_key", "shuffle_rank")
+
+
+def mixture_budget(df: DataFrame, weights: dict[str, float],
+                   source_col: str = "source", text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Solve the mixture budget: given target mixture ``weights`` (per
+    source, summing to 1) and the corpus's actual per-source token
+    counts, compute the LARGEST total token budget achievable without
+    oversampling any source (``n_star = min over s of tokens_s /
+    w_s``), and each source's take and sampling rate under it — the
+    numbers :func:`weighted_mixture` is then run with.
+
+    Output: (source, tokens, weight, take_tokens, rate 4dp); sources
+    absent from ``weights`` are excluded (explicit spec, like
+    weighted_mixture).
+
+    Scale shape: one source-key token agg over the corpus (map-side
+    combined), a broadcast join against the literal weight table, and
+    a one-row broadcast min — the whole solve is lazy and
+    source-count-sized after the first agg.
+    """
+    from .text import token_count
+
+    spark = df.sparkSession
+    per = (
+        df.select(F.col(source_col), token_count(text_col).alias("_n"))
+        .groupBy(source_col)
+        .agg(F.sum("_n").cast("long").alias("tokens"))
+    )
+    wtab = spark.createDataFrame(
+        sorted(weights.items()), f"{source_col} string, weight double"
+    )
+    capped = per.join(F.broadcast(wtab), source_col).select(
+        source_col, "tokens", "weight",
+        (F.col("tokens") / F.col("weight")).alias("_cap"),
+    )
+    n_star = capped.agg(F.min("_cap").alias("_n_star"))
+    return capped.join(F.broadcast(n_star)).select(
+        source_col, "tokens", "weight",
+        F.floor(F.col("weight") * F.col("_n_star")).cast("long")
+        .alias("take_tokens"),
+        F.round(
+            F.floor(F.col("weight") * F.col("_n_star")) / F.col("tokens"), 4
+        ).alias("rate"),
+    )

@@ -909,6 +909,8 @@ _VERIFY_FIRST = [
     "x_bpe_train",
     "x_token_ids",
     "x_global_shuffle",
+    "x_drop_reasons",
+    "x_mixture_budget",
 ]
 
 #: Verified-every-round scalar/one-liner queries that can safely sit

@@ -2433,3 +2433,110 @@ def x_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window."""
     d = testdata.load(spark, sf_dir, "documents")
     return sampling.deterministic_global_shuffle(d)
+
+
+@query(
+    "x_drop_reasons",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT * FROM documents WHERE doc_id % 97 != 0
+    ), fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM corpus
+    ), dup AS (
+      SELECT doc_id, doc_id != MIN(doc_id) OVER (PARTITION BY f) AS is_dup
+      FROM fp
+    ), toks AS (
+      SELECT doc_id, {_DTOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 3
+                    THEN [concat_ws(' ', t[CAST(i AS INT)],
+                                    t[CAST(i AS INT)+1], t[CAST(i AS INT)+2])
+                          for i in range(1, len(t)-1)]
+                    ELSE [array_to_string(t, ' ')] END) AS s
+      FROM toks
+    ), ev AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT doc_id, COUNT(DISTINCT s) AS n_hits
+      FROM sh JOIN ev USING (s) WHERE doc_id % 97 != 0 GROUP BY 1
+    ), m AS (
+      SELECT doc_id, len(t) AS n,
+             CASE WHEN len(t) > 0 THEN
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(t, w -> CAST(length(w) AS BIGINT))),
+                 (x, y) -> x + y) / CAST(len(t) AS DOUBLE)
+             ELSE 0.0 END AS mwl,
+             len(list_filter(list_distinct(t),
+                 w -> list_contains(['the','be','to','of','and','that',
+                                     'have','with'], w))) AS n_req,
+             CASE WHEN len(t) > 0
+                  THEN len(list_distinct(t)) / CAST(len(t) AS DOUBLE)
+                  ELSE 0.0 END AS uniq
+      FROM toks WHERE doc_id % 97 != 0
+    ), g AS (
+      SELECT doc_id,
+             (n >= 10 AND n <= 5000) AND (mwl >= 2.0 AND mwl <= 12.0)
+               AND n_req >= 1 AND uniq >= 0.2 AS q_keep
+      FROM m
+    )
+    SELECT c.doc_id,
+           CASE WHEN d.is_dup THEN 'exact_dup'
+                WHEN COALESCE(h.n_hits, 0) >= 2 THEN 'contaminated'
+                WHEN NOT g.q_keep THEN 'low_quality'
+                ELSE 'kept' END AS drop_reason
+    FROM corpus c
+    JOIN dup d USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    JOIN g USING (doc_id)
+    """,
+    survey_ref="north-star:curation-audit",
+)
+def x_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document drop-reason audit: the first failing funnel gate
+    (exact_dup -> contaminated -> low_quality) or 'kept'
+    (operators/curation.py:drop_reasons)."""
+    from ..operators import curation
+
+    d = testdata.load(spark, sf_dir, "documents")
+    eval_docs = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return curation.drop_reasons(corpus, eval_docs, min_required=1)
+
+
+#: target mixture for the budget solve: weight ~ 1 + (source index % 3),
+#: normalized over the 20 synthetic sources (sum = 39)
+_MIXTURE_WEIGHTS = {f"src{i}": (1 + i % 3) / 39.0 for i in range(20)}
+
+
+@query(
+    "x_mixture_budget",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, CAST(SUM(len({_DTOKS})) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, tokens,
+             (1 + CAST(substr(source, 4) AS INT) % 3) / 39.0 AS weight
+      FROM per
+    ), c AS (
+      SELECT source, tokens, weight, tokens / weight AS cap FROM w
+    ), n AS (
+      SELECT MIN(cap) AS n_star FROM c
+    )
+    SELECT source, tokens, weight,
+           CAST(floor(weight * (SELECT n_star FROM n)) AS BIGINT) AS take_tokens,
+           round(floor(weight * (SELECT n_star FROM n)) / tokens, 4) AS rate
+    FROM c
+    """,
+    survey_ref="north-star:mixture-budget",
+)
+def x_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture budget solve: the largest total token budget achievable
+    under the target per-source weights without oversampling any
+    source, with each source's take and rate
+    (operators/sampling.py:mixture_budget)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return sampling.mixture_budget(d, _MIXTURE_WEIGHTS)

@@ -859,3 +859,55 @@ def test_global_shuffle_is_permutation_and_stable(spark, docs):
     b = {r["doc_id"]: r["shuffle_rank"]
          for r in sampling.deterministic_global_shuffle(docs).collect()}
     assert all(r["shuffle_rank"] == b[r["doc_id"]] for r in a)  # stable
+
+
+def test_drop_reasons_first_failing_gate(spark):
+    from snowflake_data_pipeline_demo_spark.operators import curation
+
+    eval_docs = spark.createDataFrame(
+        [(100, "secret eval question answer pair here today now ok fine")],
+        "doc_id long, text string",
+    )
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good),                       # exact dup of 1 -> exact_dup
+            (3, "secret eval question answer pair here today now ok fine"
+                " plus the extra tail"),      # shares eval 3-grams
+            (4, "x y"),                       # too short -> low_quality
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["drop_reason"]
+        for r in curation.drop_reasons(
+            corpus, eval_docs, min_required=1
+        ).collect()
+    }
+    assert out == {
+        1: "kept", 2: "exact_dup", 3: "contaminated", 4: "low_quality"
+    }
+
+
+def test_mixture_budget_solve(spark):
+    from snowflake_data_pipeline_demo_spark.operators import sampling
+
+    # sources with 8 and 2 tokens; weights 0.5/0.5 -> n_star = 4 (the
+    # 2-token source binds: 2/0.5), takes = 2 and 2, rates 0.25 and 1.0
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h", "big"),
+            (2, "a b", "small"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: r
+        for r in sampling.mixture_budget(
+            df, {"big": 0.5, "small": 0.5}
+        ).collect()
+    }
+    assert out["big"]["tokens"] == 8 and out["small"]["tokens"] == 2
+    assert out["big"]["take_tokens"] == 2 and out["small"]["take_tokens"] == 2
+    assert out["big"]["rate"] == 0.25 and out["small"]["rate"] == 1.0
