@@ -87,6 +87,7 @@ HEADLINE = [
     "x_global_shuffle",
     "x_drop_reasons",
     "x_mixture_budget",
+    "x_pack_boundaries",
 ]
 
 

@@ -166,3 +166,29 @@ def write_token_balanced_shards(df: DataFrame, path: str,
         .parquet(path)
     )
     return assign
+
+
+def pack_boundaries(packed: DataFrame, seq_len: int = 64) -> DataFrame:
+    """Loader-side packing artifact: per training sequence, the sorted
+    list of chunk-START offsets inside it — what an attention-mask /
+    document-boundary builder consumes so packed neighbors don't attend
+    across documents. Input is :func:`pack_sequences` output.
+
+    Output: (pack_id, n_chunks, boundaries array<long> ascending,
+    n_tokens = tokens STARTING in this pack).
+
+    Scale shape: one pack-key hash agg; the boundary array is sorted
+    inside the aggregate (array_sort over collected offsets), never a
+    second window pass. Packs hold O(seq_len) chunk starts, so rows
+    stay bounded regardless of corpus size.
+    """
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.array_sort(
+                F.collect_list(F.col("pack_offset").cast("long"))
+            ).alias("boundaries"),
+            F.sum("n_chunk_tokens").cast("long").alias("n_tokens"),
+        )
+    )

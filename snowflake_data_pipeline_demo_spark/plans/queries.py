@@ -911,6 +911,7 @@ _VERIFY_FIRST = [
     "x_global_shuffle",
     "x_drop_reasons",
     "x_mixture_budget",
+    "x_pack_boundaries",
 ]
 
 #: Verified-every-round scalar/one-liner queries that can safely sit

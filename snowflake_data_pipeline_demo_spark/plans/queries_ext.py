@@ -2540,3 +2540,50 @@ def x_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sampling.py:mixture_budget)."""
     d = testdata.load(spark, sf_dir, "documents")
     return sampling.mixture_budget(d, _MIXTURE_WEIGHTS)
+
+
+@query(
+    "x_pack_boundaries",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DTOKS} AS t FROM documents
+    ), c AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(floor((len(t)-1)/24) AS BIGINT) + 1))
+               AS chunk_id
+      FROM toks WHERE len(t) > 0
+    ), ch AS (
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(len(list_slice(t, chunk_id*24+1, chunk_id*24+32)) AS BIGINT)
+               AS n_chunk_tokens
+      FROM c
+    ), o AS (
+      SELECT doc_id, chunk_id, n_chunk_tokens,
+             CAST(COALESCE(SUM(n_chunk_tokens) OVER (
+               ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS token_offset
+      FROM ch
+    ), p AS (
+      SELECT CAST(floor(token_offset / 64) AS BIGINT) AS pack_id,
+             CAST(token_offset % 64 AS BIGINT) AS pack_offset,
+             n_chunk_tokens
+      FROM o
+    )
+    SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           list(pack_offset ORDER BY pack_offset) AS boundaries,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens
+    FROM p GROUP BY pack_id
+    """,
+    survey_ref="north-star:sequence-packing",
+)
+def x_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack document-boundary offsets for attention-mask
+    construction (operators/packing.py:pack_boundaries) — one pack-key
+    agg over the pack_sequences output, array sorted in the agg."""
+    from ..operators import packing
+
+    d = testdata.load(spark, sf_dir, "documents")
+    chunks = chunking.chunk_by_tokens(d, window=32, stride=24)
+    packed = packing.pack_sequences(chunks, seq_len=64)
+    return packing.pack_boundaries(packed, seq_len=64)

@@ -911,3 +911,16 @@ def test_mixture_budget_solve(spark):
     assert out["big"]["tokens"] == 8 and out["small"]["tokens"] == 2
     assert out["big"]["take_tokens"] == 2 and out["small"]["take_tokens"] == 2
     assert out["big"]["rate"] == 0.25 and out["small"]["rate"] == 1.0
+
+
+def test_pack_boundaries_cover_every_chunk_once(spark, docs):
+    from snowflake_data_pipeline_demo_spark.operators import chunking, packing
+
+    chunks = chunking.chunk_by_tokens(docs, window=32, stride=24)
+    packed = packing.pack_sequences(chunks, seq_len=64)
+    bounds = packing.pack_boundaries(packed, seq_len=64).collect()
+    assert sum(r["n_chunks"] for r in bounds) == chunks.count()
+    for r in bounds:
+        b = r["boundaries"]
+        assert b == sorted(b) and len(b) == r["n_chunks"]
+        assert all(0 <= x < 64 for x in b)
