@@ -32,25 +32,38 @@ def main() -> None:
     funnel = curation.curation_funnel(corpus, eval_docs, min_required=1).orderBy("stage_id")
     funnel.show(truncate=False)
 
-    # materialize the kept set and carry it through chunk -> pack -> split
+    # materialize the kept set and carry it through every later stage
     deduped = dedup.drop_exact_dups(corpus)
 
-    # boilerplate removal: cross-doc chunk-level exact-substring dedup
+    # boilerplate removal: cross-doc chunk-level exact-substring dedup;
+    # downstream stages consume the REASSEMBLED text (docs fully made
+    # of boilerplate drop out here)
     reassembled = dedup.chunk_dedup_reassemble(deduped, window=8)
     removed = reassembled.agg(
         F.sum(F.col("n_chunks") - F.col("kept_chunks")).alias("n")
     ).first()["n"]
     print(f"== chunk dedup: {removed} duplicated 8-token chunks removed")
+    body = (
+        deduped.select("doc_id", "source")
+        .join(
+            reassembled.filter(F.col("kept_tokens") > 0)
+            .select("doc_id", F.col("deduped_text").alias("text")),
+            "doc_id",
+        )
+    )
 
-    clean = decontam.decontaminate(deduped, eval_docs)
-    kept = clean.filter(text.gopher_flags("text", min_required=1)["keep"]).cache()
+    clean = decontam.decontaminate(body, eval_docs)
+    kept = clean.filter(text.gopher_flags("text", min_required=1)["keep"])
 
-    # domain caps: at most 200 docs per source, longest first
+    # domain caps: at most 200 docs per source, longest first — the
+    # quota'd set is what flows into tokenize/chunk/pack/shard/split
     quota = sampling.group_quota_topk(
-        kept.select("source", "doc_id", "n_chars"), k=200
+        kept.select("source", "doc_id", F.length("text").alias("n_chars")),
+        k=200,
     )
     print("== per-source quota survivors:")
     quota.groupBy("source").count().orderBy("source").show(5)
+    kept = kept.join(quota.select("doc_id"), "doc_id", "left_semi").cache()
 
     # semantic dedup over the embeddings table (cluster-bounded, BLAS
     # assignment) — at scale this joins back to kept doc ids; here the
@@ -88,12 +101,17 @@ def main() -> None:
     n_packs = (max_pack + 1) if max_pack is not None else 0
     print(f"== chunks: {n_chunks}, packed 64-token sequences: {n_packs}")
 
-    # pre-training shuffle + token-balanced shards: the writer's order
+    # pre-training shuffle + token-balanced shards: shards are cut IN
+    # SHUFFLE ORDER (the prefix sum runs over the shuffle key), so the
+    # written layout is the deterministic shuffled stream
     shuffled = sampling.deterministic_global_shuffle(kept)
-    shards = packing.shard_by_token_budget(kept, budget=50_000)
+    shards = packing.shard_by_token_budget(
+        kept.join(shuffled.select("doc_id", "shuffle_key"), "doc_id"),
+        budget=50_000, id_col="shuffle_key",
+    )
     n_shards = shards.agg((F.max("shard") + 1).alias("n")).first()["n"]
-    print(f"== shuffle+shard: {shuffled.count()} docs in deterministic "
-          f"order across {n_shards} ~50k-token shards")
+    print(f"== shuffle+shard: {shards.count()} docs in deterministic "
+          f"shuffled order across {n_shards} ~50k-token shards")
 
     print("== deterministic splits:")
     kept.withColumn("split", sampling.split_label("doc_id", 90, 5)) \

@@ -82,10 +82,16 @@ def drop_reasons(corpus: DataFrame, eval_docs: DataFrame,
     """
     from .text import content_fingerprint
 
-    fp = corpus.select(F.col(id_col), content_fingerprint(text_col).alias("_fp"))
-    keeper = fp.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
-    dup = fp.join(keeper, "_fp").select(
-        F.col(id_col), (F.col(id_col) != F.col("_keep")).alias("_is_dup")
+    # same representative policy as the funnel: exact_dedup_clusters'
+    # min-id keeper — reusing it keeps the audit's verdicts from
+    # drifting if the dedup policy ever changes
+    clusters = exact_dedup_clusters(corpus, text_col, id_col).select(
+        F.col("fp").alias("_fp"), "keep_id"
+    )
+    dup = corpus.select(
+        F.col(id_col), content_fingerprint(text_col).alias("_fp")
+    ).join(clusters, "_fp").select(
+        F.col(id_col), (F.col(id_col) != F.col("keep_id")).alias("_is_dup")
     )
     cont = ngram_contamination(
         corpus, eval_docs, text_col, id_col, min_hits=min_hits

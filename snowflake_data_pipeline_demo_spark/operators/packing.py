@@ -168,7 +168,7 @@ def write_token_balanced_shards(df: DataFrame, path: str,
     return assign
 
 
-def pack_boundaries(packed: DataFrame, seq_len: int = 64) -> DataFrame:
+def pack_boundaries(packed: DataFrame) -> DataFrame:
     """Loader-side packing artifact: per training sequence, the sorted
     list of chunk-START offsets inside it — what an attention-mask /
     document-boundary builder consumes so packed neighbors don't attend

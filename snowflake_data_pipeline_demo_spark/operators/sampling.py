@@ -19,13 +19,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def hash_bucket(id_col: Column | str, buckets: int = 100) -> Column:
-    """Uniform bucket in [0, buckets) from the first 4 hex digits of
-    md5(id) — 16 bits of hash is plenty for percent-level splits and
-    keeps the modulus portable (fits any engine's int64)."""
+def hash_bucket(id_col: Column | str, buckets: int = 100,
+                hex_digits: int = 4) -> Column:
+    """Uniform bucket in [0, buckets) from the first ``hex_digits`` hex
+    digits of md5(id) — 16 bits is plenty for percent-level splits;
+    feature-hashing callers (text.hashed_token_bucket) widen to 8. The
+    digit count must stay <= 15 so the value fits any engine's int64
+    (oracle portability)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10)
+        F.conv(F.substring(F.md5(c.cast("string")), 1, hex_digits), 16, 10)
         .cast("long") % buckets
     )
 
@@ -158,9 +161,13 @@ def mixture_budget(df: DataFrame, weights: dict[str, float],
     w_s``), and each source's take and sampling rate under it — the
     numbers :func:`weighted_mixture` is then run with.
 
-    Output: (source, tokens, weight, take_tokens, rate 4dp); sources
-    absent from ``weights`` are excluded (explicit spec, like
-    weighted_mixture).
+    Output: (source, tokens, weight, take_tokens, rate 4dp) — one row
+    per WEIGHT entry. Corpus sources absent from ``weights`` are
+    excluded (explicit spec, like weighted_mixture); a weight entry
+    whose source is absent from the corpus appears with tokens=0 and
+    BINDS THE BUDGET TO ZERO — the spec demands tokens from a source
+    that has none, and silently dropping it would report an
+    unachievable budget as achievable.
 
     Scale shape: one source-key token agg over the corpus (map-side
     combined), a broadcast join against the literal weight table, and
@@ -178,16 +185,24 @@ def mixture_budget(df: DataFrame, weights: dict[str, float],
     wtab = spark.createDataFrame(
         sorted(weights.items()), f"{source_col} string, weight double"
     )
-    capped = per.join(F.broadcast(wtab), source_col).select(
-        source_col, "tokens", "weight",
-        (F.col("tokens") / F.col("weight")).alias("_cap"),
+    capped = wtab.join(per, source_col, "left").select(
+        source_col,
+        F.coalesce("tokens", F.lit(0).cast("long")).alias("tokens"),
+        "weight",
+        (
+            F.coalesce("tokens", F.lit(0).cast("long")) / F.col("weight")
+        ).alias("_cap"),
     )
     n_star = capped.agg(F.min("_cap").alias("_n_star"))
     return capped.join(F.broadcast(n_star)).select(
         source_col, "tokens", "weight",
         F.floor(F.col("weight") * F.col("_n_star")).cast("long")
         .alias("take_tokens"),
-        F.round(
-            F.floor(F.col("weight") * F.col("_n_star")) / F.col("tokens"), 4
-        ).alias("rate"),
+        F.when(
+            F.col("tokens") > 0,
+            F.round(
+                F.floor(F.col("weight") * F.col("_n_star"))
+                / F.col("tokens"), 4
+            ),
+        ).otherwise(F.lit(0.0)).alias("rate"),
     )

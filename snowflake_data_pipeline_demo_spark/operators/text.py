@@ -494,12 +494,12 @@ _CLS_PRIME = 1_000_003
 
 def hashed_token_bucket(token: Column, buckets: int = 1024) -> Column:
     """Feature-hash a token into [0, buckets) via the first 8 hex digits
-    of md5 — the fastText-style hashing-trick bucket, portable to any
-    engine with md5."""
-    return (
-        F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
-        % buckets
-    )
+    of md5 — the fastText-style hashing-trick bucket; delegates to
+    sampling.hash_bucket so the engine-portable hashing idiom lives in
+    one place."""
+    from .sampling import hash_bucket
+
+    return hash_bucket(token, buckets, hex_digits=8)
 
 
 def classifier_weight(bucket: Column) -> Column:
@@ -552,8 +552,9 @@ def hashed_classifier_score(df, text_col: str = "text",
 def encoding_quality(c: Column | str):
     """Encoding/mojibake quality signals as a list of named columns:
     replacement-character count (U+FFFD — the scar a bad decode leaves),
-    control-character count (C0 minus tab/newline), printable-ASCII
-    ratio, digit ratio, and whitespace ratio. All are per-row regexp
+    control-character count (C0 minus tab/newline), NON-printable-ASCII
+    ratio (fraction of characters outside 0x20-0x7E), digit ratio, and
+    whitespace ratio. All are per-row regexp
     projections — scan speed, no shuffle — and every pattern is
     portable to DuckDB's RE2 for the oracle. Degenerate (all-ASCII)
     corpora score 0 counts and ratio 1.0, which is itself the signal a
@@ -626,14 +627,18 @@ def bpe_train(df, text_col: str = "text", n_merges: int = 4):
     ``(merge_rank, pair, cnt)`` with ``pair`` = the two symbols joined
     by a space, picked by (weighted count DESC, pair ASC).
 
-    Faithful to the classic trainer's structure: train on the UNIQUE
-    word table weighted by frequency (vocabulary-scale — corpus text is
-    touched exactly once to build it), symbols start as characters, and
-    each round merges the argmax adjacent pair. Merge application uses
-    a single left-to-right non-overlapping padded-space replace (the
-    deterministic variant both Spark and DuckDB's RE2 implement
-    identically — no lookarounds, so the oracle can unroll the loop
-    stage for stage).
+    Faithful to the classic trainer: train on the UNIQUE word table
+    weighted by frequency (vocabulary-scale — corpus text is touched
+    exactly once to build it), symbols start as characters, and each
+    round merges the argmax adjacent pair GREEDILY LEFT-TO-RIGHT
+    exactly as the reference implementation's re-scan does ("a a a a"
+    under merge (a,a) -> "aa aa", not "aa a a"). Merge application is
+    a string fold over the symbol array (:func:`_apply_bpe_merge`):
+    when the accumulator's last symbol is ``x`` and the next symbol is
+    ``y``, the pair collapses to ``xy`` — equivalent to the i+=2 scan
+    because the merged symbol is textually distinct from ``x`` and so
+    never re-matches. The same fold is expressible as DuckDB's
+    list_reduce, so the oracle can unroll the loop stage for stage.
 
     Scale shape: the corpus-scale work is ONE token hash-agg (word
     frequencies). Every iteration then runs on the unique-word table:
@@ -683,18 +688,37 @@ def bpe_train(df, text_col: str = "text", n_merges: int = 4):
             break
         pair, cnt = top[0]["pair"], int(top[0]["cnt"])
         merges.append((rank, pair, cnt))
-        merged = pair.replace(" ", "")
+        x, y = pair.split(" ")
         seqs = seqs.select(
-            "freq",
-            F.trim(
-                F.regexp_replace(
-                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
-                    f" {pair} ", f" {merged} ",
-                )
-            ).alias("seq"),
+            "freq", _apply_bpe_merge(F.col("seq"), x, y).alias("seq")
         ).localCheckpoint(eager=False)
     return df.sparkSession.createDataFrame(
         merges, "merge_rank long, pair string, cnt long"
+    )
+
+
+def _apply_bpe_merge(seq: Column, x: str, y: str) -> Column:
+    """Apply one BPE merge (x, y) -> xy to a space-joined symbol
+    sequence, greedy left-to-right non-overlapping (the classic
+    trainer's scan). String fold: append each symbol to the
+    accumulator, collapsing when the accumulator ends in symbol ``x``
+    and the incoming symbol is ``y``. Runs per row of the
+    vocabulary-scale word table — an interpreted HOF is fine here; the
+    corpus-scale hot path never executes it."""
+    m = x + y
+    return F.aggregate(
+        F.split(seq, " "),
+        F.lit(""),
+        lambda acc, s: (
+            F.when(acc == "", s)
+            .when(
+                ((acc == x) | acc.endswith(" " + x)) & (s == y),
+                F.concat(
+                    F.substring(acc, 1, F.length(acc) - len(x)), F.lit(m)
+                ),
+            )
+            .otherwise(F.concat(acc, F.lit(" "), s))
+        ),
     )
 
 

@@ -2308,12 +2308,20 @@ def x_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), t1 AS (
       SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM p1
       ORDER BY cnt DESC, pair ASC LIMIT 1
+    ), m1 AS (
+      SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y,
+             replace(pair, ' ', '') AS m,
+             length(string_split(pair, ' ')[1]) AS lx
+      FROM t1
     ), s1 AS (
       SELECT freq,
-             trim(replace(' ' || seq || ' ',
-                          ' ' || (SELECT pair FROM t1) || ' ',
-                          ' ' || replace((SELECT pair FROM t1), ' ', '') || ' ')) AS seq
-      FROM s0
+             list_reduce(list_prepend('', string_split(seq, ' ')),
+               (acc, s) -> CASE
+                 WHEN acc = '' THEN s
+                 WHEN (acc = x OR right(acc, lx + 1) = ' ' || x) AND s = y
+                   THEN left(acc, length(acc) - lx) || m
+                 ELSE acc || ' ' || s END) AS seq
+      FROM s0, m1
     )
     , p2 AS (
       SELECT pair, SUM(freq) AS cnt FROM (
@@ -2324,12 +2332,20 @@ def x_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), t2 AS (
       SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM p2
       ORDER BY cnt DESC, pair ASC LIMIT 1
+    ), m2 AS (
+      SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y,
+             replace(pair, ' ', '') AS m,
+             length(string_split(pair, ' ')[1]) AS lx
+      FROM t2
     ), s2 AS (
       SELECT freq,
-             trim(replace(' ' || seq || ' ',
-                          ' ' || (SELECT pair FROM t2) || ' ',
-                          ' ' || replace((SELECT pair FROM t2), ' ', '') || ' ')) AS seq
-      FROM s1
+             list_reduce(list_prepend('', string_split(seq, ' ')),
+               (acc, s) -> CASE
+                 WHEN acc = '' THEN s
+                 WHEN (acc = x OR right(acc, lx + 1) = ' ' || x) AND s = y
+                   THEN left(acc, length(acc) - lx) || m
+                 ELSE acc || ' ' || s END) AS seq
+      FROM s1, m2
     )
     , p3 AS (
       SELECT pair, SUM(freq) AS cnt FROM (
@@ -2340,12 +2356,20 @@ def x_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), t3 AS (
       SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM p3
       ORDER BY cnt DESC, pair ASC LIMIT 1
+    ), m3 AS (
+      SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y,
+             replace(pair, ' ', '') AS m,
+             length(string_split(pair, ' ')[1]) AS lx
+      FROM t3
     ), s3 AS (
       SELECT freq,
-             trim(replace(' ' || seq || ' ',
-                          ' ' || (SELECT pair FROM t3) || ' ',
-                          ' ' || replace((SELECT pair FROM t3), ' ', '') || ' ')) AS seq
-      FROM s2
+             list_reduce(list_prepend('', string_split(seq, ' ')),
+               (acc, s) -> CASE
+                 WHEN acc = '' THEN s
+                 WHEN (acc = x OR right(acc, lx + 1) = ' ' || x) AND s = y
+                   THEN left(acc, length(acc) - lx) || m
+                 ELSE acc || ' ' || s END) AS seq
+      FROM s2, m3
     )
     , p4 AS (
       SELECT pair, SUM(freq) AS cnt FROM (
@@ -2356,12 +2380,20 @@ def x_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), t4 AS (
       SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM p4
       ORDER BY cnt DESC, pair ASC LIMIT 1
+    ), m4 AS (
+      SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y,
+             replace(pair, ' ', '') AS m,
+             length(string_split(pair, ' ')[1]) AS lx
+      FROM t4
     ), s4 AS (
       SELECT freq,
-             trim(replace(' ' || seq || ' ',
-                          ' ' || (SELECT pair FROM t4) || ' ',
-                          ' ' || replace((SELECT pair FROM t4), ' ', '') || ' ')) AS seq
-      FROM s3
+             list_reduce(list_prepend('', string_split(seq, ' ')),
+               (acc, s) -> CASE
+                 WHEN acc = '' THEN s
+                 WHEN (acc = x OR right(acc, lx + 1) = ' ' || x) AND s = y
+                   THEN left(acc, length(acc) - lx) || m
+                 ELSE acc || ' ' || s END) AS seq
+      FROM s3, m4
     )
     SELECT CAST(1 AS BIGINT) AS merge_rank, pair, cnt FROM t1
     UNION ALL SELECT 2, pair, cnt FROM t2
@@ -2586,4 +2618,4 @@ def x_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = testdata.load(spark, sf_dir, "documents")
     chunks = chunking.chunk_by_tokens(d, window=32, stride=24)
     packed = packing.pack_sequences(chunks, seq_len=64)
-    return packing.pack_boundaries(packed, seq_len=64)
+    return packing.pack_boundaries(packed)

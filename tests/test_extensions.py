@@ -804,38 +804,63 @@ def test_length_quantiles_exact_interpolation(spark):
 
 
 def test_bpe_train_matches_python_reference(spark):
-    corpus = [(1, "low lower lowest low low"), (2, "newer newest new low")]
+    # 'aaaa' exercises adjacent-occurrence merging: under merge (a,a)
+    # the classic greedy scan gives 'aa aa', never 'aa a a'
+    corpus = [
+        (1, "low lower lowest low low aaaa aaaa"),
+        (2, "newer newest new low aaaa"),
+    ]
     df = spark.createDataFrame(corpus, "doc_id long, text string")
     got = [
         (r["merge_rank"], r["pair"], r["cnt"])
         for r in sorted(text.bpe_train(df, n_merges=5).collect())
     ]
 
-    # independent reference: same deterministic variant (padded-space
-    # single-pass replace, argmax by (count desc, pair asc))
+    # independent reference: the classic trainer (Sennrich et al.) —
+    # overlap-counted pair stats, argmax by (count desc, pair asc),
+    # greedy left-to-right i+=2 merge scan
     from collections import Counter
 
-    words = Counter(
-        w for _, t in corpus for w in t.lower().split()
-    )
-    seqs = {" ".join(w): f for w, f in words.items()}
+    def apply(syms, x, y):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    words = Counter(w for _, t in corpus for w in t.lower().split())
+    seqs = {w: (list(w), f) for w, (f) in words.items()}
     want = []
     for rank in range(1, 6):
         counts = Counter()
-        for seq, f in seqs.items():
-            syms = seq.split(" ")
+        for syms, f in seqs.values():
             for a, b in zip(syms, syms[1:]):
                 counts[f"{a} {b}"] += f
         if not counts:
             break
         pair, cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         want.append((rank, pair, cnt))
-        merged = pair.replace(" ", "")
-        seqs = {
-            (" " + s + " ").replace(f" {pair} ", f" {merged} ").strip(): f
-            for s, f in seqs.items()
-        }
+        x, y = pair.split(" ")
+        seqs = {w: (apply(syms, x, y), f) for w, (syms, f) in seqs.items()}
     assert got == want
+    assert any(p == "a a" for _, p, _ in got)  # the adjacency case ran
+
+
+def test_bpe_merge_fold_handles_adjacent_runs(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b a a b"), (3, "a")], "id long, seq string"
+    )
+    out = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", text._apply_bpe_merge(F.col("seq"), "a", "a").alias("m")
+        ).collect()
+    }
+    assert out == {1: "aa aa", 2: "a b aa b", 3: "a"}
 
 
 def test_tokens_to_ids_order_and_oov(spark):
@@ -912,13 +937,26 @@ def test_mixture_budget_solve(spark):
     assert out["big"]["take_tokens"] == 2 and out["small"]["take_tokens"] == 2
     assert out["big"]["rate"] == 0.25 and out["small"]["rate"] == 1.0
 
+    # a weight entry whose source is absent from the corpus binds the
+    # budget to zero — not silently dropped
+    out2 = {
+        r["source"]: r
+        for r in sampling.mixture_budget(
+            df, {"big": 0.5, "missing": 0.5}
+        ).collect()
+    }
+    assert set(out2) == {"big", "missing"}
+    assert out2["missing"]["tokens"] == 0
+    assert all(r["take_tokens"] == 0 for r in out2.values())
+    assert out2["missing"]["rate"] == 0.0
+
 
 def test_pack_boundaries_cover_every_chunk_once(spark, docs):
     from snowflake_data_pipeline_demo_spark.operators import chunking, packing
 
     chunks = chunking.chunk_by_tokens(docs, window=32, stride=24)
     packed = packing.pack_sequences(chunks, seq_len=64)
-    bounds = packing.pack_boundaries(packed, seq_len=64).collect()
+    bounds = packing.pack_boundaries(packed).collect()
     assert sum(r["n_chunks"] for r in bounds) == chunks.count()
     for r in bounds:
         b = r["boundaries"]
