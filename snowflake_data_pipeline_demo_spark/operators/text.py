@@ -731,8 +731,12 @@ def tokens_to_ids(df, vocab_size: int = 1000, text_col: str = "text",
     (``vocab_size``). Output: (id, n_tokens, ids array<long> in
     document order).
 
-    Scale shape: one token hash-agg builds the vocabulary; its ranking
-    window sorts vocabulary-scale rows (bytes). Scoring left-joins the
+    Scale shape: one token hash-agg builds the counts; the vocabulary
+    is a distributed top-k (orderBy+limit -> TakeOrderedAndProject)
+    FIRST, so the id-assignment window ranks at most ``vocab_size``
+    rows — never a one-partition window over every distinct token (a
+    web-scale corpus has billions; the truncated vocab is dim-scale by
+    construction, same rule as oov_rate). Scoring left-joins the
     posexploded token stream to the vocab on the token key (broadcast
     when the vocab is bounded, as here; AQE skew-split otherwise) and
     reassembles per doc with one doc-key agg — the array is sorted by
@@ -746,8 +750,8 @@ def tokens_to_ids(df, vocab_size: int = 1000, text_col: str = "text",
     counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     vocab = (
-        counts.withColumn("vid", F.row_number().over(w).cast("long") - 1)
-        .filter(F.col("vid") < vocab_size)
+        counts.orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_size)
+        .withColumn("vid", F.row_number().over(w).cast("long") - 1)
         .select("token", "vid")
     )
     scored = tok.join(F.broadcast(vocab), "token", "left").select(
