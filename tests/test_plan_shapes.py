@@ -257,3 +257,12 @@ def test_cluster_quota_assignment_is_joinless(spark):
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
     assert p.count("Window (") == 2
+
+
+def test_token_ids_vocab_is_distributed_topk(spark):
+    # the vocabulary cut must be TakeOrdered (distributed top-k), and
+    # the id-rank window then sees <= vocab_size rows; a refactor back
+    # to ranking every distinct token in one partition is the web-scale
+    # vocabulary trap
+    p = _plan(spark, "x_token_ids")
+    assert "TakeOrdered" in p
