@@ -88,6 +88,9 @@ HEADLINE = [
     "x_drop_reasons",
     "x_mixture_budget",
     "x_pack_boundaries",
+    "x_ann_recall",
+    "x_corpus_report",
+    "x_interleave_sources",
 ]
 
 

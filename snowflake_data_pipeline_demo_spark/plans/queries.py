@@ -912,6 +912,9 @@ _VERIFY_FIRST = [
     "x_drop_reasons",
     "x_mixture_budget",
     "x_pack_boundaries",
+    "x_ann_recall",
+    "x_corpus_report",
+    "x_interleave_sources",
 ]
 
 #: Verified-every-round scalar/one-liner queries that can safely sit

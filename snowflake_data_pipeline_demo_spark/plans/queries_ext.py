@@ -2619,3 +2619,149 @@ def x_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunking.chunk_by_tokens(d, window=32, stride=24)
     packed = packing.pack_sequences(chunks, seq_len=64)
     return packing.pack_boundaries(packed)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 tail: evaluation & reporting compositions (oracles reuse the
+# already-registered operator oracles as CTE bodies — same SQL, composed)
+# ---------------------------------------------------------------------------
+
+from .queries import QUERIES as _REGISTRY  # noqa: E402
+
+
+@query(
+    "x_ann_recall",
+    oracle=f"""
+    WITH exact AS ({_REGISTRY["x_sim_cosine_topk"].oracle}),
+    approx AS ({_REGISTRY["x_sim_ivf_ann"].oracle}),
+    hits AS (
+      SELECT e.query_id, COUNT(*) AS n_hit
+      FROM exact e JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    ), base AS (
+      SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1
+    )
+    SELECT b.query_id, CAST(b.n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(COALESCE(h.n_hit, 0) * 1.0 / b.n_exact, 4) AS recall
+    FROM base b LEFT JOIN hits h USING (query_id)
+    """,
+    survey_ref="north-star:ann-evaluation",
+)
+def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index evaluation: recall@5 of the IVF index (nlist=8,
+    nprobe=2) against the exact cosine top-5, per query — the index
+    quality gate a similarity deployment monitors. Both sides are the
+    already-oracle-gated operators; the report is two id-scale aggs
+    and a join."""
+    e = testdata.load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(e, q, k=5)
+    approx = similarity.ivf_topk(e, q, cent, k=5, nprobe=2)
+    hits = (
+        exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    )
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 4
+        ).alias("recall"),
+    )
+
+
+@query(
+    "x_corpus_report",
+    oracle=f"""
+    WITH q AS ({_REGISTRY["x_text_quality"].oracle}),
+    l AS ({_REGISTRY["x_lang_id"].oracle}),
+    t AS (
+      SELECT doc_id, source, CAST(len({_DTOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS tokens,
+           round(AVG(q.quality), 4) AS avg_quality,
+           round(AVG(CASE WHEN l.lang_pred = 'en' THEN 1.0 ELSE 0.0 END), 4)
+             AS pct_en
+    FROM t JOIN q USING (doc_id) JOIN l USING (doc_id)
+    GROUP BY t.source
+    """,
+    survey_ref="north-star:corpus-profile",
+)
+def x_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report: doc/token volume, mean quality
+    score, predicted-English share — the per-domain dashboard a
+    curation run publishes. All inputs are scan-time projections; the
+    report is one source-key agg."""
+    d = testdata.load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source",
+        text.token_count("text").alias("n_tokens"),
+        text.quality_score("text").alias("quality"),
+        text.lang_id("text").alias("lang_pred"),
+    )
+    return base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(
+            F.avg(F.when(F.col("lang_pred") == "en", 1.0).otherwise(0.0)), 4
+        ).alias("pct_en"),
+    )
+
+
+@query(
+    "x_interleave_sources",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rr_round
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rr_round AS BIGINT) AS rr_round,
+           CAST(row_number() OVER (ORDER BY rr_round, source, doc_id) - 1
+             AS BIGINT) AS interleave_rank
+    FROM r
+    """,
+    survey_ref="north-star:curriculum-interleave",
+)
+def x_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin source interleaving: each source's docs are shuffled
+    deterministically (md5 order) and dealt one per round, so the
+    global reading order cycles through sources — the curriculum
+    loader's anti-clumping order. The per-source round is a PARTITIONED
+    window; the global rank runs the same two-phase prefix sum as the
+    corpus shuffle (the oracle's naive global row_number is the
+    values-equal single-node form)."""
+    from pyspark.sql import Window
+
+    from ..operators.packing import global_running_offset
+
+    d = testdata.load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    rounds = d.select(
+        "doc_id", "source",
+        (F.row_number().over(w).cast("long") - 1).alias("rr_round"),
+    )
+    return global_running_offset(
+        rounds.withColumn("_one", F.lit(1)),
+        ["rr_round", "source", "doc_id"], "_one",
+        out_col="interleave_rank",
+    ).select("doc_id", "source", "rr_round", "interleave_rank")
