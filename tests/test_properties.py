@@ -325,3 +325,31 @@ def test_chunk_dedup_keeps_each_chunk_exactly_once(spark, texts):
             if remaining == c or remaining.startswith(c + " "):
                 remaining = remaining[len(c):].lstrip()
         assert remaining == ""
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "ab", "aa"]), min_size=1, max_size=10),
+    st.sampled_from([("a", "a"), ("a", "b"), ("b", "a"), ("aa", "b")]),
+)
+@_SLOW
+def test_bpe_merge_fold_matches_classic_scan(spark, syms, pair):
+    """The string-fold merge application equals the reference trainer's
+    greedy left-to-right i+=2 scan for arbitrary symbol sequences."""
+    from snowflake_data_pipeline_demo_spark.operators.text import (
+        _apply_bpe_merge,
+    )
+
+    x, y = pair
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    want = " ".join(out)
+    df = spark.createDataFrame([(" ".join(syms),)], "seq string")
+    got = df.select(_apply_bpe_merge(F.col("seq"), x, y).alias("m")) \
+        .collect()[0]["m"]
+    assert got == want, f"{syms} under {pair}: {got!r} != {want!r}"
