@@ -2664,21 +2664,20 @@ def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = similarity.cosine_topk(e, q, k=5)
     approx = similarity.ivf_topk(e, q, cent, k=5, nprobe=2)
-    hits = (
-        exact.join(
-            approx.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-        )
-        .groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    # single pass over the exact subtree: left-join the approx hits and
+    # count both sides in ONE agg (a separate base-vs-hits join would
+    # execute the corpus-wide exact scorer twice)
+    marked = approx.select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
-    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
-    return base.join(hits, "query_id", "left").select(
-        "query_id",
-        F.col("n_exact").cast("long").alias("n_exact"),
-        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
-        F.round(
-            F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 4
-        ).alias("recall"),
+    return (
+        exact.join(marked, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("_hit").cast("long").alias("n_hit"),
+            F.round(F.count("_hit") / F.count("*"), 4).alias("recall"),
+        )
     )
 
 

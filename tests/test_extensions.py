@@ -964,7 +964,7 @@ def test_pack_boundaries_cover_every_chunk_once(spark, docs):
         assert all(0 <= x < 64 for x in b)
 
 
-def test_interleave_rank_cycles_sources(spark, docs):
+def test_interleave_rank_cycles_sources(spark):
     from snowflake_data_pipeline_demo_spark.plans.queries import QUERIES
 
     out = QUERIES["x_interleave_sources"].builder(
@@ -987,7 +987,7 @@ def test_interleave_rank_cycles_sources(spark, docs):
     assert 0 in full_rounds  # round 0 always has one doc of every source
 
 
-def test_ann_recall_report_consistency(spark, emb):
+def test_ann_recall_report_consistency(spark):
     from snowflake_data_pipeline_demo_spark.plans.queries import QUERIES
 
     rows = QUERIES["x_ann_recall"].builder(
