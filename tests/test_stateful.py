@@ -281,3 +281,55 @@ def test_semantic_dedup_batch_fn_incremental_and_replay_safe(spark, tmp_path):
 
     fn(b1, 1)  # crash-replay of a committed batch: converged, no change
     assert clean.read().count() == 3
+
+
+def test_stream_metrics_surface(spark, tmp_path):
+    """stream_metrics lifts recentProgress into a queryable frame with
+    per-batch rows, rates, durations, and the event watermark;
+    watermark_lag_seconds derives the alerting lag."""
+    import json
+
+    from snowflake_data_pipeline_demo_spark.streaming.metrics import (
+        stream_metrics, watermark_lag_seconds,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T10:00:{i:02d}", "value": 1.0}
+        for i in range(20)
+    ]
+    (src / "f1.json").write_text("\n".join(json.dumps(r) for r in rows[:10]))
+    (src / "f2.json").write_text("\n".join(json.dumps(r) for r in rows[10:]))
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "5 seconds"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, bid: df.count())
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    m = stream_metrics(spark, q)
+    got = m.orderBy("batch_id").collect()
+    assert len(got) >= 2                      # one row per micro-batch
+    assert sum(r["num_input_rows"] for r in got) == 20
+    assert all(r["batch_duration_ms"] >= 0 for r in got)
+    # the second batch carries the watermark advanced by the first
+    lag = watermark_lag_seconds(m).filter(
+        F.col("watermark").isNotNull()
+    ).collect()
+    assert lag, "no batch reported a watermark"
+    assert all(r["watermark_lag_s"] is not None for r in lag)
