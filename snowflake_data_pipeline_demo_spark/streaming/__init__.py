@@ -1,4 +1,5 @@
 from .history import COPY_HISTORY_SCHEMA, TASK_HISTORY_SCHEMA
+from .metrics import stream_metrics, watermark_lag_seconds
 from .stream_data import stream_data
 from .pipe import Pipe
 from .streams import TableStream
@@ -8,4 +9,5 @@ from .pipeline import CitibikePipeline
 __all__ = [
     "COPY_HISTORY_SCHEMA", "TASK_HISTORY_SCHEMA", "stream_data", "Pipe",
     "TableStream", "Task", "TaskRunner", "CitibikePipeline",
+    "stream_metrics", "watermark_lag_seconds",
 ]
