@@ -266,3 +266,12 @@ def test_token_ids_vocab_is_distributed_topk(spark):
     # vocabulary trap
     p = _plan(spark, "x_token_ids")
     assert "TakeOrdered" in p
+
+
+def test_corpus_report_is_one_hash_agg_over_scan(spark):
+    # volume/quality/lang are scan-time projections; the report must be
+    # one source-key HashAggregate — a SortAggregate or a join here
+    # means a signal expression fell out of the single-pass shape
+    p = _plan(spark, "x_corpus_report")
+    assert "SortAggregate" not in p
+    assert "Join" not in p
