@@ -91,6 +91,8 @@ HEADLINE = [
     "x_ann_recall",
     "x_corpus_report",
     "x_interleave_sources",
+    "x_dedup_cluster_sizes",
+    "x_length_filter",
 ]
 
 

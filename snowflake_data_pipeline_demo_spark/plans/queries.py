@@ -915,6 +915,8 @@ _VERIFY_FIRST = [
     "x_ann_recall",
     "x_corpus_report",
     "x_interleave_sources",
+    "x_dedup_cluster_sizes",
+    "x_length_filter",
 ]
 
 #: Verified-every-round scalar/one-liner queries that can safely sit

@@ -2764,3 +2764,75 @@ def x_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["rr_round", "source", "doc_id"], "_one",
         out_col="interleave_rank",
     ).select("doc_id", "source", "rr_round", "interleave_rank")
+
+
+@query(
+    "x_dedup_cluster_sizes",
+    oracle=f"""
+    WITH base AS ({_REGISTRY["x_dedup_pipeline_components"].oracle}),
+    sizes AS (
+      SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM base GROUP BY component_id
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    survey_ref="north-star:dedup-report",
+)
+def x_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram over the full production dedup
+    pipeline — the duplication-profile report (how much of the corpus
+    is singletons vs 2-copies vs viral) a dedup run publishes. Two
+    id-scale hash aggs over the component labels."""
+    from .queries import _materialize
+
+    d = testdata.load(spark, sf_dir, "documents")
+    sigs = _materialize(dedup.minhash_signatures(d, num_hashes=16))
+    pairs = _materialize(dedup.lsh_candidate_pairs(sigs, bands=4))
+    est = dedup.minhash_jaccard_estimate(sigs, pairs)
+    edges = est.filter(F.col("jaccard_est") >= 0.5).select("id_a", "id_b")
+    comp = dedup.components_from_pairs(
+        d.select("doc_id"), edges, algorithm="bigstar"
+    )
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+
+
+@query(
+    "x_length_filter",
+    oracle="""
+    WITH qs AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.10) AS p10,
+             quantile_cont(n_chars, 0.99) AS p99
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           (d.n_chars >= qs.p10 AND d.n_chars <= qs.p99) AS in_band
+    FROM documents d JOIN qs USING (source)
+    """,
+    survey_ref="north-star:corpus-profile",
+)
+def x_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-band gate: flag docs outside their source's
+    [p10, p99] length band — the distribution-aware outlier filter
+    curation applies after profiling (x_length_quantiles). One
+    source-key percentile agg broadcast back onto the scan."""
+    d = testdata.load(spark, sf_dir, "documents")
+    qs = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.10D)").alias("p10"),
+        F.expr("percentile(n_chars, 0.99D)").alias("p99"),
+    )
+    return d.join(F.broadcast(qs), "source").select(
+        "doc_id", "source", "n_chars",
+        (
+            (F.col("n_chars") >= F.col("p10"))
+            & (F.col("n_chars") <= F.col("p99"))
+        ).alias("in_band"),
+    )
