@@ -2435,7 +2435,7 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tp LEFT JOIN vocab v USING (token)
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           list(vid ORDER BY pos) AS ids
+           array_to_string(list(vid ORDER BY pos), ',') AS ids
     FROM scored GROUP BY doc_id
     """,
     survey_ref="north-star:tokenize-to-ids",
@@ -2443,9 +2443,17 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize-to-ids against a frequency-ranked vocabulary with OOV
     fallback (operators/text.py:tokens_to_ids) — the pipeline's last
-    step before sequence packing."""
+    step before sequence packing.
+
+    Registry lane serializes the array<long> ``ids`` to a ','-joined
+    string: the driver's canonicalizer sorts raw pandas object columns
+    and cannot hash Python lists (CORRECTNESS_r04: TypeError unhashable
+    type 'list'). The operator itself still returns the array."""
     d = testdata.load(spark, sf_dir, "documents")
-    return text.tokens_to_ids(d, vocab_size=1000)
+    out = text.tokens_to_ids(d, vocab_size=1000)
+    return out.withColumn(
+        "ids", F.array_join(F.col("ids").cast("array<string>"), ",")
+    )
 
 
 @query(
@@ -2603,7 +2611,8 @@ def x_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM o
     )
     SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-           list(pack_offset ORDER BY pack_offset) AS boundaries,
+           array_to_string(list(pack_offset ORDER BY pack_offset), ',')
+             AS boundaries,
            CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens
     FROM p GROUP BY pack_id
     """,
@@ -2612,13 +2621,22 @@ def x_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pack document-boundary offsets for attention-mask
     construction (operators/packing.py:pack_boundaries) — one pack-key
-    agg over the pack_sequences output, array sorted in the agg."""
+    agg over the pack_sequences output, array sorted in the agg.
+
+    Registry lane serializes the array<long> ``boundaries`` to a
+    ','-joined string so the driver's canonicalizer can hash it
+    (CORRECTNESS_r04: TypeError unhashable type 'list'); the operator
+    itself still returns the array."""
     from ..operators import packing
 
     d = testdata.load(spark, sf_dir, "documents")
     chunks = chunking.chunk_by_tokens(d, window=32, stride=24)
     packed = packing.pack_sequences(chunks, seq_len=64)
-    return packing.pack_boundaries(packed)
+    out = packing.pack_boundaries(packed)
+    return out.withColumn(
+        "boundaries",
+        F.array_join(F.col("boundaries").cast("array<string>"), ","),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,19 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
                 s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         elif s.dtype == object:
+            # The DRIVER's canonicalizer sorts raw object columns and
+            # crashes on unhashable values (lists/dicts/ndarrays) —
+            # CORRECTNESS_r04 x_token_ids/x_pack_boundaries. Mirror that
+            # strictness here instead of silently str-mapping, so a
+            # registry query that would fail the driver fails locally.
+            bad = s.map(lambda v: isinstance(v, (list, dict, set))
+                        or type(v).__name__ == "ndarray")
+            if bad.any():
+                raise TypeError(
+                    f"column {c!r} contains unhashable container values "
+                    "(driver canonicalizer would crash) — serialize to a "
+                    "string in both the Spark query and the oracle"
+                )
             df[c] = s.map(lambda v: str(v) if v is not None else None)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 

@@ -42,3 +42,26 @@ def test_oracle_keys_subset_of_queries():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
+
+
+@pytest.mark.parametrize("name", list(_registry().keys()))
+def test_registry_schema_is_driver_hashable(spark, name):
+    """The driver's canonicalizer (pandas sort_values over raw object
+    columns) crashes on container values — every ORACLE-GATED registry
+    query must emit only atomic columns (CORRECTNESS_r04 regression:
+    x_token_ids/x_pack_boundaries shipped array<long>). Rows-only
+    queries are exempt: the driver never canonicalizes them."""
+    from pyspark.sql import types as T
+
+    q = _registry()[name]
+    if q.oracle is None:
+        return
+    df = q.builder(spark, SF_ORACLE)
+    bad = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-atomic columns {bad} would crash the driver's "
+        "canonicalizer — serialize to string in query AND oracle"
+    )
