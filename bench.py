@@ -93,6 +93,9 @@ HEADLINE = [
     "x_interleave_sources",
     "x_dedup_cluster_sizes",
     "x_length_filter",
+    "x_paragraph_dedup",
+    "x_distinct_tokens_hll",
+    "x_cluster_quota_trained",
 ]
 
 
@@ -143,15 +146,37 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else SF_DIR
+    # r04 lesson: the driver keeps only the TAIL of stdout and parses the
+    # last JSON line — the full two-map payload overflowed that buffer
+    # and the round's warm number was lost (BENCH_r04 parsed: null).
+    # Emit (1) the full detail to a file, (2) cold detail as an EARLIER
+    # stdout line (expendable if the tail truncates), and (3) LAST a
+    # compact line: totals + warm per-query at 2dp, no whitespace.
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "cold_total": cold_total,
         "cold_queries": cold,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
-    }))
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps({"cold_total": cold_total, "cold_queries": cold},
+                     separators=(",", ":")))
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(v, 2) for n, v in timings.items()},
+        "cold_total": cold_total,
+        "sf": sf_val,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -109,7 +109,7 @@ def main() -> None:
         kept.join(shuffled.select("doc_id", "shuffle_key"), "doc_id"),
         budget=50_000, id_col="shuffle_key",
     )
-    n_shards = shards.agg((F.max("shard") + 1).alias("n")).first()["n"]
+    n_shards = shards.agg(F.countDistinct("shard").alias("n")).first()["n"]
     print(f"== shuffle+shard: {shards.count()} docs in deterministic "
           f"shuffled order across {n_shards} ~50k-token shards")
 

@@ -807,6 +807,13 @@ def chunk_dedup_reassemble(df: DataFrame, text_col: str = "text",
     (headers, license blocks, navigation) disappears from every copy
     but the first, while unique prose is untouched.
 
+    CONTRACT — lossy normalization: chunks are cut from the
+    ``tokens()`` stream (lowercased, punctuation/whitespace collapsed),
+    so ``deduped_text`` is a normalized rendering, NOT the original
+    bytes — unlike Lee et al.'s byte-span removal, which preserves the
+    surviving original text. Use :func:`paragraph_dedup` when the
+    surviving spans must keep their original characters.
+
     Output: (id, n_chunks, kept_chunks, kept_tokens, deduped_text) —
     one row per non-empty document; fully-deduplicated docs keep the
     row with kept_chunks=0 and deduped_text=''.
@@ -861,4 +868,91 @@ def chunk_dedup_reassemble(df: DataFrame, text_col: str = "text",
             .alias("kept_tokens"),
             F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
         )
+    )
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    sep: str = "\n\n") -> DataFrame:
+    """Paragraph-boundary exact dedup with reassembly: split every
+    document on ``sep`` (a Java regex; default blank line), fingerprint
+    each paragraph on its whitespace/case-normalized form, keep each
+    distinct paragraph only at its FIRST occurrence corpus-wide (min
+    (doc, position)), and reassemble the survivors with ``sep`` — in
+    their ORIGINAL characters, unlike :func:`chunk_dedup_reassemble`
+    whose output is token-normalized. This is the boilerplate-paragraph
+    remover (repeated license headers, nav blocks, footers) a web-crawl
+    curation run applies before document-level near-dedup.
+
+    Output: (id, n_paragraphs, kept_paragraphs, deduped_text) — one
+    row per document; fully-deduplicated docs keep the row with
+    kept_paragraphs=0 and deduped_text=''.
+
+    Scale shape: the split is a per-row projection; the keeper decision
+    is one hash agg on the 128-bit fingerprint (min(struct(doc,pos))
+    combines map-side; the shuffle carries 16-byte keys + two longs,
+    never paragraph text); the decision joins back on the fingerprint
+    (paragraph text moves once — AQE splits hot boilerplate keys) and
+    reassembly is the per-doc rebuild exchange. Same two-text-move
+    floor as chunk dedup.
+    """
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "_p"),
+        )
+        .filter(F.trim(F.col("_p")) != "")
+        .withColumn(
+            "_fp",
+            F.md5(F.trim(F.regexp_replace(F.lower(F.col("_p")), r"\s+", " "))),
+        )
+    )
+    keeper = paras.groupBy("_fp").agg(
+        F.min(F.struct(id_col, "pos")).alias("_first")
+    )
+    kept = paras.join(keeper, "_fp").filter(
+        (F.col("_first")[id_col] == F.col(id_col))
+        & (F.col("_first")["pos"] == F.col("pos"))
+    )
+    totals = paras.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_paragraphs")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("kept_paragraphs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_p"))),
+                lambda s: s["_p"],
+            ),
+            sep,
+        ).alias("deduped_text"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col, "n_paragraphs",
+        F.coalesce("kept_paragraphs", F.lit(0).cast("long"))
+        .alias("kept_paragraphs"),
+        F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
+    )
+
+
+def cluster_size_histogram(components: DataFrame,
+                           component_col: str = "component_id") -> DataFrame:
+    """Duplication-profile report over a COMPONENTS FRAME: cluster-size
+    histogram (cluster_size, n_clusters, n_docs). Two id-scale hash
+    aggs over the labels — nothing touches text.
+
+    The input is the persisted artifact of a dedup run
+    (:func:`components_from_pairs` output written to a table), NOT a
+    recomputation: report queries must never re-execute their subject
+    (SCALE.md) — at 100 TB the components table is the cheap id-scale
+    thing you read, the pipeline that produced it is the expensive
+    thing you ran once. The registry lane re-runs the pipeline inline
+    only because each correctness lane is self-contained.
+    """
+    sizes = components.groupBy(component_col).agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
     )

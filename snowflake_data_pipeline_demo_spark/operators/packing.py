@@ -133,12 +133,25 @@ def shard_by_token_budget(df: DataFrame, budget: int = 4096,
     offs = global_running_offset(
         base, [id_col], tokens_col, out_col="token_offset"
     )
-    return offs.select(
+    raw = offs.select(
         id_col,
         F.col(tokens_col).cast("long").alias("n_tokens"),
         "token_offset",
-        (F.col("token_offset") / budget).cast("long").alias("shard"),
+        (F.col("token_offset") / budget).cast("long").alias("_raw_shard"),
     )
+    # densify: a doc larger than budget would otherwise skip raw bucket
+    # values, producing sparse shard=N directories (and any max(shard)+1
+    # shard count overcounts). The rank window runs over the DISTINCT
+    # bucket values — n_shards rows, bounded by total_tokens/budget, not
+    # corpus rows — then broadcasts back onto the assignment.
+    from pyspark.sql import Window
+
+    buckets = raw.select("_raw_shard").distinct()
+    dense = buckets.withColumn(
+        "shard",
+        (F.row_number().over(Window.orderBy("_raw_shard")) - 1).cast("long"),
+    )
+    return raw.join(F.broadcast(dense), "_raw_shard").drop("_raw_shard")
 
 
 def write_token_balanced_shards(df: DataFrame, path: str,

@@ -552,13 +552,13 @@ def hashed_classifier_score(df, text_col: str = "text",
 def encoding_quality(c: Column | str):
     """Encoding/mojibake quality signals as a list of named columns:
     replacement-character count (U+FFFD — the scar a bad decode leaves),
-    control-character count (C0 minus tab/newline), NON-printable-ASCII
+    control-character count (C0 minus tab/LF/CR), NON-printable-ASCII
     ratio (fraction of characters outside 0x20-0x7E), digit ratio, and
     whitespace ratio. All are per-row regexp
     projections — scan speed, no shuffle — and every pattern is
-    portable to DuckDB's RE2 for the oracle. Degenerate (all-ASCII)
-    corpora score 0 counts and ratio 1.0, which is itself the signal a
-    curation gate keys on.
+    portable to DuckDB's RE2 for the oracle. Degenerate (all
+    printable-ASCII) corpora score 0 counts and non_ascii_ratio 0.0 —
+    the clean-corpus floor a curation gate alerts above.
     """
     t = _col(c)
     n = F.length(t)
@@ -777,4 +777,69 @@ def rolling_hash(c: Column | str) -> Column:
         F.filter(chars, lambda x: x != ""),
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % ROLLING_MOD,
+    )
+
+
+def distinct_tokens_hll(df, text_col: str = "text",
+                        group_col: str = "source",
+                        rsd: float = 0.02):
+    """Per-group distinct-token and distinct-bigram cardinality, three
+    ways: exact count-distinct, an HLL++ sketch estimate
+    (``approx_count_distinct``), and a boolean that the estimate landed
+    inside the documented error envelope (|est-exact|/exact <= 5*rsd —
+    generous vs the 2-3 sigma theory bound so the gate never flakes).
+
+    At 100 TB the EXACT lane is the wrong tool: count(DISTINCT token)
+    shuffles every (group, token) pair to a reducer. The HLL lane is
+    the scale path — each task builds a fixed-size sketch and only
+    sketches merge map-side and across the exchange, so the shuffle is
+    O(groups x sketch_bytes) regardless of corpus size. Sketches are
+    also mergeable ACROSS runs/shards, which is why corpus reports
+    persist them. The exact lane exists here as the verification twin
+    (and is what the DuckDB oracle computes); production reads the
+    estimate columns.
+
+    Output: (group, exact_tokens, hll_tokens, tokens_hll_ok,
+    exact_bigrams, hll_bigrams, bigrams_hll_ok).
+
+    Shape: unigrams and bigrams are per-row array projections (no
+    window, no pre-aggregation shuffle — bigrams stitch inside the
+    token array), exploded straight into the group agg where BOTH the
+    exact and sketch aggregates partial-combine map-side.
+    """
+    base = df.select(F.col(group_col), tokens(text_col).alias("_t"))
+    unig = base.select(group_col, F.explode("_t").alias("tok")).select(
+        group_col, "tok", F.lit(None).cast("string").alias("bg")
+    )
+    big = base.select(
+        group_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("_t") - 1, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("_t", i), F.element_at("_t", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    ).select(group_col, F.lit(None).cast("string").alias("tok"), "bg")
+    grams = unig.unionByName(big)
+    agg = grams.groupBy(group_col).agg(
+        F.countDistinct("tok").cast("long").alias("exact_tokens"),
+        F.approx_count_distinct("tok", rsd).alias("hll_tokens"),
+        F.countDistinct("bg").cast("long").alias("exact_bigrams"),
+        F.approx_count_distinct("bg", rsd).alias("hll_bigrams"),
+    )
+
+    def ok(est: str, exact: str) -> Column:
+        return (
+            F.abs(F.col(est) - F.col(exact))
+            / F.greatest(F.col(exact), F.lit(1))
+            <= 5 * rsd
+        )
+
+    return agg.select(
+        group_col, "exact_tokens", "hll_tokens",
+        ok("hll_tokens", "exact_tokens").alias("tokens_hll_ok"),
+        "exact_bigrams", "hll_bigrams",
+        ok("hll_bigrams", "exact_bigrams").alias("bigrams_hll_ok"),
     )

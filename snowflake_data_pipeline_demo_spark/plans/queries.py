@@ -862,61 +862,69 @@ from . import queries_ext  # noqa: E402,F401
 #: that window; long-verified scalar one-liners drift past position 50
 #: (their green rows live in CORRECTNESS_r01..r03).
 _VERIFY_FIRST = [
-    # flagship stays first: it is also the entry() smoke query.
-    "flagship_secure_report",
-    # round-3 additions with DuckDB oracles, never driver-verified
-    "x_asof_join",
-    "x_range_join",
-    "x_decontaminate",
-    "x_chunk_tokens",
-    "x_pack_sequences",
-    "x_quality_gopher",
-    "x_tfidf_topk",
-    "x_unigram_logprob",
-    "x_curation_funnel",
-    "x_sample_mixture",
-    "x_repetition_metrics",
-    "x_multimodal_resize",
-    "x_dedup_incremental",
-    "x_dedup_minhash_incremental",
-    "x_skew_salted_agg",
-    # round-3 production twins (rows-only driver check — no DuckDB oracle)
-    "x_sim_lsh_ann_prod",
-    "x_sim_ivf_kmeans",
-    # round-4 additions
-    "x_repetition_metrics_prod",
-    "x_dedup_components_bigstar",
-    "x_dsir_importance",
-    "x_dup_ngram_coverage",
-    "x_semdedup",
-    "x_semdedup_prod",
-    "x_embed_dedup_incremental",
-    "x_dedup_pipeline_components",
-    "x_oov_rate",
-    "x_contamination_matrix",
-    "x_split_leakage",
-    "x_dedup_keep_longest",
-    # round-4 additions
-    "x_chunk_dedup_reassemble",
-    "x_source_quota",
-    "x_bigram_logprob",
-    "x_quality_classifier",
-    "x_shard_tokens",
-    "x_encoding_quality",
-    "x_cluster_quota",
-    "x_length_quantiles",
-    "x_bpe_pairs",
-    "x_bpe_train",
+    # -- r05 rotation policy (VERDICT r04 ask #3): the window holds the
+    # -- queries FIXED this round, the queries NEW this round, any query
+    # -- whose code changed this round, then the reference-parity set
+    # -- whose last driver verdict is r03 — so every registry entry has
+    # -- a driver-green row dated within the last two rounds. Everything
+    # -- green in r04 and unchanged (flagship, the r04 additions) drifts
+    # -- past 50 on purpose; flagship is additionally smoke-checked by
+    # -- entry() every round.
+    # red in r04, fixed this round (array->string serialization)
     "x_token_ids",
-    "x_global_shuffle",
-    "x_drop_reasons",
-    "x_mixture_budget",
     "x_pack_boundaries",
-    "x_ann_recall",
-    "x_corpus_report",
-    "x_interleave_sources",
-    "x_dedup_cluster_sizes",
-    "x_length_filter",
+    # new this round
+    "x_paragraph_dedup",
+    "x_distinct_tokens_hll",
+    "x_cluster_quota_trained",
+    # code changed this round (shard ids densified)
+    "x_shard_tokens",
+    # §2 reference-parity set, last driver-green r03
+    "secure_view_masked_rows",
+    "p2_date_range_filter",
+    "p6_in_subquery",
+    "p7_distinct",
+    "p8_iff_projection",
+    "j1_star_join_revenue",
+    "j2_role_playing_join",
+    "j4_computed_key_join",
+    "j5_onless_inner_join",
+    "j6_theta_like_join",
+    "j7_merge_insert_only",
+    "a2_count_distinct",
+    "a5_groupby_ordinals",
+    "a6_dashboard_subqueries",
+    "a7_distinct_days",
+    "f4_to_date_auto",
+    "f5_object_construct_roundtrip",
+    "f6_variant_extract",
+    "f7_variant_native",
+    "f13_md5",
+    "f_datetime_kit",
+    "o5_top16",
+    "u1_union_distinct",
+    "s6_stage_select",
+    "s7_metadata_filename",
+    # extension operators last driver-green r03
+    "x_text_stats",
+    "x_text_quality",
+    "x_lang_id",
+    "x_dedup_exact",
+    "x_dedup_minhash_lsh",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_simhash",
+    "x_dedup_embedding_neardup",
+    "x_sim_cosine_topk",
+    "x_sim_lsh_ann",
+    "x_multimodal_metadata",
+    "x_multimodal_byte_histogram",
+    "x_multimodal_frame_sample",
+    "x_dedup_components",
+    "x_sim_ivf_ann",
+    "x_sessionize",
+    "x_window_rollup",
+    "x_sample_stratified",
+    "x_dedup_minhash_xxhash",
 ]
 
 #: Verified-every-round scalar/one-liner queries that can safely sit

@@ -2123,23 +2123,26 @@ def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (
       SELECT doc_id, CAST(len({_DTOKS}) AS BIGINT) AS n_tokens FROM documents
+    ), o AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS token_offset
+      FROM t
     )
-    SELECT doc_id, n_tokens,
-           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-             AS token_offset,
-           CAST(floor(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096)
+    SELECT doc_id, n_tokens, token_offset,
+           CAST(dense_rank() OVER (ORDER BY floor(token_offset / 4096)) - 1
              AS BIGINT) AS shard
-    FROM t
+    FROM o
     """,
     survey_ref="north-star:token-balanced-shards",
 )
 def x_shard_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced shard assignment (operators/packing.py:
     shard_by_token_budget): global exclusive prefix sum via range
-    exchange + broadcast partition totals; the oracle runs the naive
-    single-partition window DuckDB can afford."""
+    exchange + broadcast partition totals, shard ids densified so an
+    over-budget doc can't leave directory gaps; the oracle runs the
+    naive single-partition window DuckDB can afford."""
     from ..operators import packing
 
     d = testdata.load(spark, sf_dir, "documents")
@@ -2813,13 +2816,7 @@ def x_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dedup.components_from_pairs(
         d.select("doc_id"), edges, algorithm="bigstar"
     )
-    sizes = comp.groupBy("component_id").agg(
-        F.count("*").cast("long").alias("cluster_size")
-    )
-    return sizes.groupBy("cluster_size").agg(
-        F.count("*").cast("long").alias("n_clusters"),
-        F.sum("cluster_size").cast("long").alias("n_docs"),
-    )
+    return dedup.cluster_size_histogram(comp)
 
 
 @query(
@@ -2853,4 +2850,159 @@ def x_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") >= F.col("p10"))
             & (F.col("n_chars") <= F.col("p99"))
         ).alias("in_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: paragraph-boundary dedup, HLL cardinality,
+# trained cluster-balanced mixture
+# ---------------------------------------------------------------------------
+
+#: deterministic multi-paragraph synthesis shared by the paragraph-dedup
+#: lane and its oracle: every source doc lands in TWO synthesized docs
+#: (gid = id%50 and gid = (7*id+3)%50 — never equal: 6d+3 is odd, 50
+#: even), so every paragraph genuinely duplicates corpus-wide. The
+#: testdata corpus is single-line (TESTDATA.md), so the fixture builds
+#: the multi-paragraph shape the operator exists for.
+_DSYNTH = """
+    SELECT gid, string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+    FROM (
+      SELECT doc_id % 50 AS gid, doc_id, text FROM documents
+      UNION ALL
+      SELECT (doc_id * 7 + 3) % 50 AS gid, doc_id, text FROM documents
+    ) GROUP BY gid
+"""
+
+
+def _synth_paragraph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = testdata.load(spark, sf_dir, "documents")
+    u = d.select(
+        (F.col("doc_id") % 50).alias("gid"), "doc_id", "text"
+    ).unionByName(
+        d.select(
+            ((F.col("doc_id") * 7 + 3) % 50).alias("gid"), "doc_id", "text"
+        )
+    )
+    return u.groupBy("gid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n\n",
+        ).alias("text")
+    )
+
+
+@query(
+    "x_paragraph_dedup",
+    oracle=f"""
+    WITH synth AS ({_DSYNTH}
+    ), split AS (
+      SELECT gid, string_split(text, chr(10) || chr(10)) AS ps FROM synth
+    ), paras AS (
+      SELECT gid, pt.pos AS pos, pt.para AS para FROM (
+        SELECT gid,
+               unnest([struct_pack(pos := i - 1, para := ps[CAST(i AS INT)])
+                       for i in range(1, len(ps) + 1)]) AS pt
+        FROM split
+      ) WHERE trim(pt.para) != ''
+    ), fp AS (
+      SELECT gid, pos, para,
+             md5(trim(regexp_replace(lower(para), '\\s+', ' ', 'g'))) AS f
+      FROM paras
+    ), ranked AS (
+      SELECT gid, pos, para,
+             row_number() OVER (PARTITION BY f ORDER BY gid, pos) AS rn
+      FROM fp
+    ), totals AS (
+      SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_paragraphs FROM paras GROUP BY gid
+    ), rebuilt AS (
+      SELECT gid, CAST(COUNT(*) AS BIGINT) AS kept_paragraphs,
+             string_agg(para, chr(10) || chr(10) ORDER BY pos) AS deduped_text
+      FROM ranked WHERE rn = 1 GROUP BY gid
+    )
+    SELECT t.gid, t.n_paragraphs,
+           COALESCE(r.kept_paragraphs, 0) AS kept_paragraphs,
+           COALESCE(r.deduped_text, '') AS deduped_text
+    FROM totals t LEFT JOIN rebuilt r USING (gid)
+    """,
+    survey_ref="north-star:paragraph-dedup",
+)
+def x_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-boundary exact dedup with original-character
+    reassembly (operators/dedup.py:paragraph_dedup) over a
+    deterministic multi-paragraph fixture — repeated paragraphs
+    (license blocks, navigation) survive only at their first
+    corpus-wide occurrence, and unlike chunk dedup the survivors keep
+    their original bytes."""
+    synth = _synth_paragraph_docs(spark, sf_dir)
+    return dedup.paragraph_dedup(synth, id_col="gid")
+
+
+@query(
+    "x_distinct_tokens_hll",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, {_DTOKS} AS t FROM documents
+    ), unig AS (
+      SELECT source, unnest(t) AS tok FROM toks
+    ), big AS (
+      SELECT source, unnest([concat_ws(' ', t[CAST(i AS INT)],
+                                       t[CAST(i AS INT) + 1])
+                             for i in range(1, len(t))]) AS bg
+      FROM toks WHERE len(t) >= 2
+    ), ua AS (
+      SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_tokens
+      FROM unig GROUP BY source
+    ), ba AS (
+      SELECT source, CAST(COUNT(DISTINCT bg) AS BIGINT) AS exact_bigrams
+      FROM big GROUP BY source
+    )
+    SELECT ua.source, ua.exact_tokens, TRUE AS tokens_hll_ok,
+           COALESCE(ba.exact_bigrams, 0) AS exact_bigrams,
+           TRUE AS bigrams_hll_ok
+    FROM ua LEFT JOIN ba USING (source)
+    """,
+    survey_ref="north-star:hll-cardinality",
+)
+def x_distinct_tokens_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token/-bigram cardinality: the EXACT lane is
+    hash-verified against the oracle, and the HLL++ sketch lane
+    (operators/text.py:distinct_tokens_hll) is graded through its
+    documented error envelope — the oracle asserts the bound booleans
+    are TRUE, which only holds if Spark's estimate landed within
+    5*rsd of exact. The raw estimates are engine-specific (DuckDB's
+    sketch differs), so the lane drops them; production reads the
+    estimate columns and skips the exact lane entirely."""
+    d = testdata.load(spark, sf_dir, "documents")
+    out = text.distinct_tokens_hll(d, rsd=0.02)
+    return out.select(
+        "source", "exact_tokens", "tokens_hll_ok",
+        "exact_bigrams", "bigrams_hll_ok",
+    )
+
+
+@query(
+    "x_cluster_quota_trained",
+    oracle=None,  # k-means training is iterative — not SQL-expressible;
+    # the pinned-centroid twin (x_cluster_quota) is the hash-gated lane
+    survey_ref="north-star:cluster-balance",
+)
+def x_cluster_quota_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced mixture on TRAINED centroids: spherical k-means
+    (similarity.kmeans_centroids — sample-scale, driver numpy) trains
+    the topic space, the Arrow-matmul assigner places every vector, and
+    the salted two-phase quota caps each cluster at its 20 most central
+    members. Same composition as x_cluster_quota but with the fixed-id
+    stand-in centroids replaced by the trained ones — the form a real
+    curation run uses."""
+    e = testdata.load(spark, sf_dir, "embeddings")
+    cent = similarity.kmeans_centroids(e, nlist=8, iters=5, sample=2048)
+    assigned = similarity.ivf_assign_pandas(e, cent, with_score=True).select(
+        "vec_id", "centroid_id", "centroid_cos"
+    )
+    return sampling.group_quota_topk(
+        assigned, group_col="centroid_id", rank_col="centroid_cos",
+        k=20, id_col="vec_id",
     )

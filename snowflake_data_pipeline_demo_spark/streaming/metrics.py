@@ -57,14 +57,20 @@ def watermark_lag_seconds(metrics: DataFrame) -> DataFrame:
     """Append ``watermark_lag_s`` = progress wall-clock minus the event
     watermark, per batch — the "how far behind real time is the
     stream" number alerting keys on. Null when the query has no
-    watermark (stateless sinks)."""
+    watermark (stateless sinks) AND on a watermarked query's early
+    batches, where Spark reports the epoch sentinel
+    ``1970-01-01T00:00:00.000Z`` before the first event advances it —
+    treating that as a real watermark would read as a ~1.7e9-second lag
+    and fire any alert keyed on this column."""
+    wm = F.to_timestamp("watermark")
     return metrics.withColumn(
         "watermark_lag_s",
         F.when(
-            F.col("watermark").isNotNull(),
+            F.col("watermark").isNotNull()
+            & (wm > F.to_timestamp(F.lit("1970-01-01T00:00:00Z"))),
             (
                 F.unix_micros(F.to_timestamp("ts"))
-                - F.unix_micros(F.to_timestamp("watermark"))
+                - F.unix_micros(wm)
             ) / 1_000_000.0,
         ),
     )

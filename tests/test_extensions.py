@@ -1000,3 +1000,95 @@ def test_ann_recall_report_consistency(spark):
     # matches the bound the IVF recall test asserts
     mean = sum(r["recall"] for r in rows) / len(rows)
     assert mean >= 0.5
+
+
+def test_paragraph_dedup_keeps_first_occurrence_original_bytes(spark):
+    """Repeated paragraphs survive only at their first corpus-wide
+    (doc, position); survivors keep their ORIGINAL characters (casing,
+    punctuation) — normalization is used only for the fingerprint."""
+    from snowflake_data_pipeline_demo_spark.operators import dedup
+
+    boiler = "COPYRIGHT  2024 Example Corp."
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\n\nunique alpha text"),
+            (2, f"copyright 2024   example corp.\n\nunique beta text"),
+            (3, boiler),                      # fully boilerplate
+            (4, "unique gamma text\n\n\n\nunique delta text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.paragraph_dedup(docs).collect()}
+    # doc 1 keeps the boilerplate (first occurrence), original bytes
+    assert got[1]["deduped_text"] == f"{boiler}\n\nunique alpha text"
+    assert got[1]["n_paragraphs"] == 2 and got[1]["kept_paragraphs"] == 2
+    # doc 2's normalized-equal variant is dropped; unique prose survives
+    assert got[2]["deduped_text"] == "unique beta text"
+    assert got[2]["kept_paragraphs"] == 1
+    # doc 3 is fully deduplicated but keeps its row
+    assert got[3]["kept_paragraphs"] == 0 and got[3]["deduped_text"] == ""
+    # empty paragraphs from repeated separators are not counted
+    assert got[4]["n_paragraphs"] == 2 and got[4]["kept_paragraphs"] == 2
+
+
+def test_distinct_tokens_hll_bounds_and_exact(spark):
+    from snowflake_data_pipeline_demo_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + f"tok{i}", "s0") for i in range(50)]
+        + [(100 + i, "one two", "s1") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in T.distinct_tokens_hll(docs).collect()}
+    # s0: alpha beta gamma delta + 50 unique toks = 54 distinct tokens;
+    # bigrams: 3 shared + (delta tokI) x50 = 53
+    assert got["s0"]["exact_tokens"] == 54
+    assert got["s0"]["exact_bigrams"] == 53
+    assert got["s1"]["exact_tokens"] == 2
+    assert got["s1"]["exact_bigrams"] == 1
+    for r in got.values():
+        assert r["tokens_hll_ok"] and r["bigrams_hll_ok"]
+
+
+def test_shard_ids_dense_when_doc_exceeds_budget(spark):
+    """A doc larger than the budget must not leave gaps in shard ids
+    (sparse shard=N directories + max(shard)+1 overcounts)."""
+    from snowflake_data_pipeline_demo_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w " * 10),        # 10 tokens
+            (2, "w " * 500),       # 500 tokens >> budget
+            (3, "w " * 10),
+            (4, "w " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        packing.shard_by_token_budget(docs, budget=100).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    shards = sorted({r["shard"] for r in rows})
+    assert shards == list(range(len(shards))), f"sparse shard ids: {shards}"
+    # ordering by token_offset still maps monotonically onto shards
+    by_off = sorted(rows, key=lambda r: r["token_offset"])
+    assert [r["shard"] for r in by_off] == sorted(r["shard"] for r in rows)
+
+
+def test_cluster_size_histogram_on_persisted_components(spark, tmp_path):
+    """The report builder consumes a PRECOMPUTED components artifact
+    (the persisted-table lane): histogram values match the labels, and
+    no dedup pipeline runs — the input is just the frame."""
+    from snowflake_data_pipeline_demo_spark.operators import dedup
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, component_id long",
+    )
+    p = str(tmp_path / "components")
+    comp.write.parquet(p)                      # the persisted artifact
+    got = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in dedup.cluster_size_histogram(spark.read.parquet(p)).collect()
+    }
+    assert got == {3: (1, 3), 1: (1, 1), 2: (1, 2)}

@@ -275,3 +275,33 @@ def test_corpus_report_is_one_hash_agg_over_scan(spark):
     p = _plan(spark, "x_corpus_report")
     assert "SortAggregate" not in p
     assert "Join" not in p
+
+
+def test_paragraph_dedup_shuffles_keys_not_double_text(spark):
+    """Paragraph dedup's keeper decision must be a hash agg on the md5
+    fingerprint whose min(struct) combines map-side (HashAggregate, no
+    SortAggregate fallback), and the plan must contain no broadcast of
+    the paragraph table (both sides are corpus-scale) and no cartesian."""
+    p = _plan(spark, "x_paragraph_dedup")
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_distinct_tokens_hll_is_single_agg_over_projection(spark):
+    """The HLL/exact cardinality query is explode-projections straight
+    into ONE group agg — no window, no join; both the sketch and the
+    exact distinct partial-aggregate map-side (HashAggregate present,
+    no SortMergeJoin/Broadcast join nodes in the agg subtree)."""
+    p = _plan(spark, "x_distinct_tokens_hll")
+    assert "HashAggregate" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+
+
+def test_trained_cluster_quota_assignment_is_joinless(spark):
+    """The trained-centroid mixture must keep the assignment shuffle-
+    free (Arrow matmul projection, no join against the centroid frame)
+    — its only exchanges are the two-phase quota windows."""
+    p = _plan(spark, "x_cluster_quota_trained")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p

@@ -266,9 +266,16 @@ def test_shard_offsets_are_exclusive_prefix_sums(spark, sizes):
             df, budget=16, tokens_col="n"
         ).collect()
     }
+    raw, acc = [], 0
+    for n in sizes:
+        raw.append(acc // 16)
+        acc += n
+    # shard ids are the DENSE rank of the floor bucket (an over-budget
+    # doc may skip raw bucket values; directories must stay contiguous)
+    rank = {v: i for i, v in enumerate(sorted(set(raw)))}
     acc = 0
     for i, n in enumerate(sizes):
-        assert got[i] == (acc, acc // 16)
+        assert got[i] == (acc, rank[acc // 16])
         acc += n
 
 

@@ -327,9 +327,36 @@ def test_stream_metrics_surface(spark, tmp_path):
     assert len(got) >= 2                      # one row per micro-batch
     assert sum(r["num_input_rows"] for r in got) == 20
     assert all(r["batch_duration_ms"] >= 0 for r in got)
-    # the second batch carries the watermark advanced by the first
+    # the second batch carries the watermark advanced by the first;
+    # epoch-sentinel watermarks (pre-first-advance batches) must NOT
+    # produce a lag — they'd read as ~1.7e9 s and fire any alert
     lag = watermark_lag_seconds(m).filter(
         F.col("watermark").isNotNull()
+        & (F.to_timestamp("watermark")
+           > F.to_timestamp(F.lit("1970-01-01T00:00:00Z")))
     ).collect()
-    assert lag, "no batch reported a watermark"
+    assert lag, "no batch advanced the watermark"
     assert all(r["watermark_lag_s"] is not None for r in lag)
+
+
+def test_watermark_lag_epoch_sentinel_is_null(spark):
+    """A watermarked query's early batches report the epoch watermark
+    '1970-01-01T00:00:00.000Z'; the lag column must treat that as
+    no-watermark (null), not a ~1.7e9-second lag."""
+    from snowflake_data_pipeline_demo_spark.streaming.metrics import (
+        STREAM_METRICS_SCHEMA, watermark_lag_seconds,
+    )
+
+    rows = [
+        (0, "2024-01-01T10:00:00.000Z", 10, 1.0, 1.0, 5,
+         "1970-01-01T00:00:00.000Z", 0),
+        (1, "2024-01-01T10:00:10.000Z", 10, 1.0, 1.0, 5,
+         "2024-01-01T10:00:05.000Z", 0),
+        (2, "2024-01-01T10:00:20.000Z", 0, 0.0, 0.0, 5, None, 0),
+    ]
+    m = spark.createDataFrame(rows, STREAM_METRICS_SCHEMA)
+    got = {r["batch_id"]: r["watermark_lag_s"]
+           for r in watermark_lag_seconds(m).collect()}
+    assert got[0] is None          # epoch sentinel -> no lag
+    assert got[1] == 5.0           # real watermark -> wall-clock delta
+    assert got[2] is None          # no watermark -> no lag
