@@ -37,7 +37,11 @@ def main() -> None:
 
     # boilerplate removal: cross-doc chunk-level exact-substring dedup;
     # downstream stages consume the REASSEMBLED text (docs fully made
-    # of boilerplate drop out here)
+    # of boilerplate drop out here). NOTE the contract: reassembled
+    # text is the tokens() rendering (lowercased, punctuation
+    # collapsed) — fine here because every later stage tokenizes the
+    # same way; a pipeline that must preserve original bytes uses
+    # dedup.paragraph_dedup instead (original-character reassembly)
     reassembled = dedup.chunk_dedup_reassemble(deduped, window=8)
     removed = reassembled.agg(
         F.sum(F.col("n_chunks") - F.col("kept_chunks")).alias("n")
