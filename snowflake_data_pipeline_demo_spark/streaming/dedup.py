@@ -68,3 +68,64 @@ def semantic_dedup_batch_fn(
         clean_table.overwrite_subdir(clean, sub)
 
     return fn
+
+
+def minhash_dedup_batch_fn(
+    clean_table, sigs_table,
+    text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5,
+    hash_family: str = "xxhash64",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` factory: continuous NEAR-dup ingest dedup over
+    a PERSISTED MinHash signature index — the streaming composition of
+    operators/dedup.incremental_neardup. Each micro-batch signs its
+    documents (O(batch) shingling — history text is never re-read),
+    probes the persisted signature table for banded-key collisions,
+    drops docs whose estimated Jaccard vs any prior doc reaches
+    ``threshold``, and appends the NOVEL docs' signatures back to the
+    index — so the index grows only with unique content.
+
+    Scale notes: the probe re-bands the history signature table per
+    batch (a narrow projection over (id, 16 longs) rows — cheap but
+    O(history)); a 100 TB ingest persists the banded keys as their own
+    table (``banded_keys``'s documented role) so the probe is purely
+    an equi-join against the index. The signature table stands in for
+    both here to keep one artifact.
+
+    Exactly-once under crash-replay: both writes are batch-keyed
+    subdir overwrites; the GATE checks the table written LAST
+    (clean_table), so a crash between the index write and the data
+    write replays into identical bytes — the replay excludes the
+    batch's own ids from history (anti-join) so a half-persisted index
+    subdir cannot flag the batch against itself.
+    """
+    from ..operators.dedup import incremental_neardup, minhash_signatures
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        sub = f"batch={batch_id}"
+        if clean_table.subdir_committed(sub):
+            return
+        new_sigs = minhash_signatures(
+            batch_df, text_col, id_col,
+            num_hashes=num_hashes, hash_family=hash_family,
+        )
+        new_ids = new_sigs.select(id_col)
+        history = sigs_table.read().join(new_ids, id_col, "left_anti")
+        flagged = incremental_neardup(
+            new_sigs, history, bands=bands, id_col=id_col,
+            threshold=threshold,
+        )
+        dup_ids = flagged.select(id_col)
+        # materialize BEFORE the index overwrite: both outputs' plans
+        # scan sigs_table, and a crash-replay overwrites the very
+        # subdir that scan lists — without the checkpoint the write
+        # would delete its own input files mid-plan (FAILED_READ_FILE).
+        # localCheckpoint is batch-scale (the micro-batch + its sigs).
+        clean = batch_df.join(dup_ids, id_col, "left_anti").localCheckpoint()
+        novel_sigs = new_sigs.join(
+            dup_ids, id_col, "left_anti"
+        ).localCheckpoint()
+        sigs_table.overwrite_subdir(novel_sigs, sub)
+        clean_table.overwrite_subdir(clean, sub)
+
+    return fn

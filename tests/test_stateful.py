@@ -360,3 +360,74 @@ def test_watermark_lag_epoch_sentinel_is_null(spark):
     assert got[0] is None          # epoch sentinel -> no lag
     assert got[1] == 5.0           # real watermark -> wall-clock delta
     assert got[2] is None          # no watermark -> no lag
+
+
+def test_minhash_dedup_batch_fn_persisted_index_and_replay(spark, tmp_path):
+    """Continuous MinHash ingest dedup over a persisted signature
+    index: a batch-1 near-copy of a batch-0 doc is dropped against the
+    index, novel content passes and extends the index, and replaying a
+    committed batch is a no-op — including after a simulated crash
+    between the index write and the data write."""
+    from pyspark.sql import types as T
+
+    from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+    from snowflake_data_pipeline_demo_spark.streaming.dedup import (
+        minhash_dedup_batch_fn,
+    )
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sig_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ])
+    clean = Table(spark, str(tmp_path / "clean_docs"), doc_schema)
+    sigs = Table(spark, str(tmp_path / "sig_index"), sig_schema)
+    fn = minhash_dedup_batch_fn(clean, sigs, threshold=0.5)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    b0 = spark.createDataFrame(
+        [(1, base), (2, "completely different material about spark "
+                        "shuffle exchange partitions and hash joins")],
+        doc_schema,
+    )
+    fn(b0, 0)
+    assert {r["doc_id"] for r in clean.read().collect()} == {1, 2}
+    assert sigs.read().count() == 2
+
+    b1 = spark.createDataFrame(
+        [(10, base + " extra"),            # near-copy of history doc 1
+         (11, "entirely novel prose regarding watermark state stores "
+              "and streaming checkpoints under replay semantics")],
+        doc_schema,
+    )
+    fn(b1, 1)
+    assert {r["doc_id"] for r in clean.read().collect()} == {1, 2, 11}
+    assert {r["doc_id"] for r in sigs.read().collect()} == {1, 2, 11}
+
+    # committed-batch replay: converged, no change
+    fn(b1, 1)
+    assert clean.read().count() == 3 and sigs.read().count() == 3
+
+    # crash window: index subdir written, data subdir not committed —
+    # replay must converge to the same bytes, not self-flag the batch
+    b2 = spark.createDataFrame(
+        [(20, "fresh unseen content about broadcast joins and adaptive "
+              "query execution plans at scale")],
+        doc_schema,
+    )
+    sigs_only = minhash_dedup_batch_fn(clean, sigs, threshold=0.5)
+    # simulate the crash by doing just the index write of batch 2
+    from snowflake_data_pipeline_demo_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    sigs.overwrite_subdir(
+        minhash_signatures(b2, hash_family="xxhash64"), "batch=2"
+    )
+    assert not clean.subdir_committed("batch=2")
+    sigs_only(b2, 2)                        # the replay
+    assert {r["doc_id"] for r in clean.read().collect()} == {1, 2, 11, 20}
+    assert {r["doc_id"] for r in sigs.read().collect()} == {1, 2, 11, 20}
