@@ -843,3 +843,28 @@ def distinct_tokens_hll(df, text_col: str = "text",
         "exact_bigrams", "hll_bigrams",
         ok("hll_bigrams", "exact_bigrams").alias("bigrams_hll_ok"),
     )
+
+
+def length_quantiles_sketch(df, group_col: str = "source",
+                            value_col: str = "n_chars",
+                            qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+                            accuracy: int = 10_000):
+    """Per-group percentile profile via ``percentile_approx`` — the
+    sketch twin of the exact `percentile` lane (x_length_quantiles).
+    Same column contract: (group, n_docs, p25..p99).
+
+    Why the sketch is the 100 TB path: exact percentile SORTS every
+    group's values on one reducer (the whole group's rows through one
+    exchange); the approx aggregate keeps a fixed-size quantile summary
+    per task that merges map-side and across shards/runs, so the
+    shuffle is O(groups x summary) regardless of corpus size. The
+    guarantee is a RANK error <= n/accuracy (Greenwald-Khanna-style
+    bound), not a value error — the unit test checks it by rank, the
+    way the bound is stated.
+    """
+    aggs = [F.count("*").cast("long").alias("n_docs")] + [
+        F.percentile_approx(value_col, q, accuracy)
+        .cast("double").alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    return df.groupBy(group_col).agg(*aggs)

