@@ -287,15 +287,18 @@ def test_paragraph_dedup_shuffles_keys_not_double_text(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
-def test_distinct_tokens_hll_is_single_agg_over_projection(spark):
-    """The HLL/exact cardinality query is explode-projections straight
-    into ONE group agg — no window, no join; both the sketch and the
-    exact distinct partial-aggregate map-side (HashAggregate present,
-    no SortMergeJoin/Broadcast join nodes in the agg subtree)."""
+def test_distinct_tokens_hll_is_split_aggs_plus_broadcast(spark):
+    """The HLL/exact cardinality query is two explode-projection group
+    aggs (unigram, bigram) stitched by a BROADCAST join on the
+    dim-scale group key — never a SortMergeJoin, never a window, and
+    never an Expand over a unioned gram stream (the union form plans
+    countDistinct x2 as Expand and measured 1.65x slower)."""
     p = _plan(spark, "x_distinct_tokens_hll")
     assert "HashAggregate" in p
+    assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "Window" not in p
+    assert "Expand" not in p
 
 
 def test_trained_cluster_quota_assignment_is_joinless(spark):
