@@ -360,3 +360,47 @@ def test_bpe_merge_fold_matches_classic_scan(spark, syms, pair):
     got = df.select(_apply_bpe_merge(F.col("seq"), x, y).alias("m")) \
         .collect()[0]["m"]
     assert got == want, f"{syms} under {pair}: {got!r} != {want!r}"
+
+
+@given(st.lists(
+    st.lists(st.integers(0, 5), min_size=1, max_size=4),
+    min_size=1, max_size=8,
+))
+@_SLOW
+def test_paragraph_dedup_invariants(spark, doc_paras):
+    """For any corpus built from a small paragraph pool: (1) every
+    distinct normalized paragraph survives in EXACTLY one document,
+    (2) the survivor is its first (doc, pos) occurrence, (3) per-doc
+    counts are consistent and reassembly preserves original order."""
+    from snowflake_data_pipeline_demo_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    pool = [f"paragraph number {i} content" for i in range(6)]
+    rows = [
+        (d, "\n\n".join(pool[p] for p in paras))
+        for d, paras in enumerate(doc_paras)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+
+    # replay the keep-first rule in plain python
+    seen: set = set()
+    for d, paras in enumerate(doc_paras):
+        expect_kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                expect_kept.append(pool[p])
+        r = got[d]
+        assert r["n_paragraphs"] == len(paras)
+        assert r["kept_paragraphs"] == len(expect_kept)
+        assert r["deduped_text"] == "\n\n".join(expect_kept)
+
+    # global: every distinct paragraph appears exactly once
+    all_kept = [
+        p for r in got.values() if r["deduped_text"]
+        for p in r["deduped_text"].split("\n\n")
+    ]
+    assert len(all_kept) == len(set(all_kept))
+    assert set(all_kept) == {pool[p] for ps in doc_paras for p in ps}
