@@ -875,7 +875,11 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
                     sep: str = "\n\n") -> DataFrame:
     """Paragraph-boundary exact dedup with reassembly: split every
-    document on ``sep`` (a Java regex; default blank line), fingerprint
+    document on ``sep`` (a LITERAL separator string — default blank
+    line — quoted with \\Q..\\E before it reaches the regex split, so
+    the same string is used verbatim for splitting AND for the
+    reassembly join; regex separators would make round-tripping
+    ill-defined since the matched text is lost at split), fingerprint
     each paragraph on its whitespace/case-normalized form, keep each
     distinct paragraph only at its FIRST occurrence corpus-wide (min
     (doc, position)), and reassemble the survivors with ``sep`` — in
@@ -899,7 +903,9 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     paras = (
         df.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "_p"),
+            F.posexplode(
+                F.split(F.col(text_col), "\\Q" + sep + "\\E")
+            ).alias("pos", "_p"),
         )
         .filter(F.trim(F.col("_p")) != "")
         .withColumn(

@@ -813,15 +813,22 @@ def distinct_tokens_hll(df, text_col: str = "text",
     """
     base = df.select(F.col(group_col), tokens(text_col).alias("_t"))
     unig = base.select(group_col, F.explode("_t").alias("tok"))
+    # sequence(1, 0) DESCENDS in Spark ([1, 0], not empty), so a doc
+    # with <2 tokens would index element_at(_t, 2) and throw — guard
+    # with F.when exactly like shingles (dedup.py) and
+    # repetition_metrics do; such docs contribute no bigrams.
     big = base.select(
         group_col,
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("_t") - 1, F.lit(0))),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("_t", i), F.element_at("_t", i + 1)
+            F.when(
+                F.size("_t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("_t", i), F.element_at("_t", i + 1)
+                    ),
                 ),
-            )
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("bg"),
     )
     ua = unig.groupBy(group_col).agg(

@@ -1031,12 +1031,53 @@ def test_paragraph_dedup_keeps_first_occurrence_original_bytes(spark):
     assert got[4]["n_paragraphs"] == 2 and got[4]["kept_paragraphs"] == 2
 
 
+def test_paragraph_dedup_separator_is_literal_not_regex(spark):
+    """The separator is a LITERAL string on both the split and the
+    reassembly side (quoted \\Q..\\E before the regex split) — a sep
+    full of regex metachars must round-trip unchanged (r05 advice:
+    regex-interpreted split + literal join corrupted deduped_text)."""
+    from snowflake_data_pipeline_demo_spark.operators import dedup
+
+    sep = "|.*|"  # every char is a regex metachar trap
+    docs = spark.createDataFrame(
+        [(1, f"first para{sep}second para"),
+         (2, f"second para{sep}third para")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r
+           for r in dedup.paragraph_dedup(docs, sep=sep).collect()}
+    assert got[1]["n_paragraphs"] == 2
+    assert got[1]["deduped_text"] == f"first para{sep}second para"
+    # doc 2 loses the duplicate "second para", keeps its own bytes
+    assert got[2]["deduped_text"] == "third para"
+
+
+def test_paragraph_fixture_twins_agree(spark):
+    """x_paragraph_dedup's fixture is maintained twice — _DSYNTH
+    (DuckDB SQL) and _synth_paragraph_docs (Spark) — and nothing but
+    this test ties them together (r05 advice): a drift in gid formula,
+    ordering, or separator would fail the oracle gate for fixture
+    reasons rather than operator reasons."""
+    from oracle_utils import compare
+    from snowflake_data_pipeline_demo_spark.plans.queries_ext import (
+        _DSYNTH,
+        _synth_paragraph_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    problems = compare(_synth_paragraph_docs(spark, sf), _DSYNTH, sf)
+    assert not problems, problems
+
+
 def test_distinct_tokens_hll_bounds_and_exact(spark):
     from snowflake_data_pipeline_demo_spark.operators import text as T
 
     docs = spark.createDataFrame(
         [(i, "alpha beta gamma delta " + f"tok{i}", "s0") for i in range(50)]
-        + [(100 + i, "one two", "s1") for i in range(5)],
+        + [(100 + i, "one two", "s1") for i in range(5)]
+        # degenerate docs: single token, empty, whitespace-only — the
+        # sequence(1, 0)-descends hazard (r05 judge repro) lived here
+        + [(200, "single", "s2"), (201, "", "s2"), (202, "   ", "s2")],
         "doc_id long, text string, source string",
     )
     got = {r["source"]: r for r in T.distinct_tokens_hll(docs).collect()}
@@ -1046,6 +1087,9 @@ def test_distinct_tokens_hll_bounds_and_exact(spark):
     assert got["s0"]["exact_bigrams"] == 53
     assert got["s1"]["exact_tokens"] == 2
     assert got["s1"]["exact_bigrams"] == 1
+    # group of only degenerate docs: one token, zero bigrams, no crash
+    assert got["s2"]["exact_tokens"] == 1
+    assert got["s2"]["exact_bigrams"] == 0
     for r in got.values():
         assert r["tokens_hll_ok"] and r["bigrams_hll_ok"]
 
