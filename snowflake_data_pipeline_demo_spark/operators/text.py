@@ -887,3 +887,49 @@ def length_quantiles_sketch(df, group_col: str = "source",
         for q in qs
     ]
     return df.groupBy(group_col).agg(*aggs)
+
+
+def token_hll_shard_sketches(df, shard_col: Column | str,
+                             group_col: str = "source",
+                             text_col: str = "text",
+                             lg_config_k: int = 14):
+    """Per-(group, shard) HLL token sketches as PERSISTABLE state —
+    ``hll_sketch_agg`` (Apache DataSketches HllSketch, Spark 3.5+)
+    returns the sketch BYTES, not just an estimate, so a run can write
+    its shard sketches to a table and a later run can merge them with
+    sketches it never saw. This is the property the 100 TB corpus
+    report is built on: each ingest run aggregates only its own shard
+    (O(shard) work, fixed-size state), and the report is a cheap
+    ``hll_union_agg`` over ALL runs' persisted sketches — no run ever
+    re-reads another run's text. See :func:`hll_merge_estimate` for
+    the merge side and tests/test_extensions.py for the cross-run
+    round-trip proof.
+
+    Output: (group, shard, sketch binary).
+    """
+    return (
+        df.select(
+            F.col(group_col), _col(shard_col).alias("shard"),
+            F.explode(tokens(text_col)).alias("_tok"),
+        )
+        .groupBy(group_col, "shard")
+        .agg(F.hll_sketch_agg("_tok", lg_config_k).alias("sketch"))
+    )
+
+
+def hll_merge_estimate(sketches, group_col: str = "source"):
+    """Merge persisted HLL shard sketches into a per-group distinct
+    estimate: ``hll_union_agg`` over the sketch bytes, then
+    ``hll_sketch_estimate``. The input can union sketch frames from
+    ANY number of runs/tables — merging is associative and lossless
+    (union of HllSketches is exact over the sketch state), which is
+    what makes the per-shard persistence in
+    :func:`token_hll_shard_sketches` a durable incremental index
+    rather than a one-shot aggregate.
+
+    Output: (group, est_tokens long).
+    """
+    return sketches.groupBy(group_col).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("long").alias("est_tokens")
+    )

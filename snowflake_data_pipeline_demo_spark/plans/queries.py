@@ -862,69 +862,70 @@ from . import queries_ext  # noqa: E402,F401
 #: that window; long-verified scalar one-liners drift past position 50
 #: (their green rows live in CORRECTNESS_r01..r03).
 _VERIFY_FIRST = [
-    # -- r05 rotation policy (VERDICT r04 ask #3): the window holds the
-    # -- queries FIXED this round, the queries NEW this round, any query
-    # -- whose code changed this round, then the reference-parity set
-    # -- whose last driver verdict is r03 — so every registry entry has
-    # -- a driver-green row dated within the last two rounds. Everything
-    # -- green in r04 and unchanged (flagship, the r04 additions) drifts
-    # -- past 50 on purpose; flagship is additionally smoke-checked by
-    # -- entry() every round.
-    # red in r04, fixed this round (array->string serialization)
-    "x_token_ids",
-    "x_pack_boundaries",
-    # new this round
-    "x_paragraph_dedup",
+    # -- r06 rotation cut (policy: fixed this round, new this round,
+    # -- code changed this round, then the oldest-verified remainder).
+    # -- Last-green ledger going into r06: five entries at r03 (fronted
+    # -- below), 47 at r04, 50 at r05. The window carries 2 fixed + 4
+    # -- new + 5 r03-stale + 39 of the 47 r04 entries; the 8 deferred
+    # -- r04 entries (flagship_secure_report — smoke-checked by entry()
+    # -- every round — plus the three rows-only prod twins and four
+    # -- stable scalar projections listed at the end of _VERIFY_LAST)
+    # -- MUST front the r07 window.
+    # fixed this round (single-token bigram guard) / code changed
+    # (literal \Q..\E separator)
     "x_distinct_tokens_hll",
-    "x_cluster_quota_trained",
-    # code changed this round (shard ids densified)
-    "x_shard_tokens",
-    # §2 reference-parity set, last driver-green r03
-    "secure_view_masked_rows",
-    "p2_date_range_filter",
-    "p6_in_subquery",
-    "p7_distinct",
-    "p8_iff_projection",
-    "j1_star_join_revenue",
-    "j2_role_playing_join",
-    "j4_computed_key_join",
-    "j5_onless_inner_join",
-    "j6_theta_like_join",
-    "j7_merge_insert_only",
-    "a2_count_distinct",
-    "a5_groupby_ordinals",
-    "a6_dashboard_subqueries",
-    "a7_distinct_days",
-    "f4_to_date_auto",
-    "f5_object_construct_roundtrip",
-    "f6_variant_extract",
-    "f7_variant_native",
-    "f13_md5",
-    "f_datetime_kit",
-    "o5_top16",
-    "u1_union_distinct",
-    "s6_stage_select",
-    "s7_metadata_filename",
-    # extension operators last driver-green r03
-    "x_text_stats",
-    "x_text_quality",
-    "x_lang_id",
-    "x_dedup_exact",
-    "x_dedup_minhash_lsh",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_simhash",
-    "x_dedup_embedding_neardup",
-    "x_sim_cosine_topk",
-    "x_sim_lsh_ann",
-    "x_multimodal_metadata",
-    "x_multimodal_byte_histogram",
-    "x_multimodal_frame_sample",
-    "x_dedup_components",
-    "x_sim_ivf_ann",
-    "x_sessionize",
-    "x_window_rollup",
-    "x_sample_stratified",
-    "x_dedup_minhash_xxhash",
+    "x_paragraph_dedup",
+    # new this round
+    "x_length_quantiles_sketch",
+    "x_shard_manifest_audit",
+    "x_stream_minhash_dedup",
+    "x_hll_cross_run_merge",
+    # last driver-green r03 (deferred from r05 by design)
+    "x_vocab_topk",
+    "x_embed_quantize",
+    "x_profile_lengths",
+    "x_sample_hash_split",
+    "x_text_redact",
+    # last driver-green r04 (39 of 47)
+    "x_ann_recall",
+    "x_asof_join",
+    "x_bigram_logprob",
+    "x_bpe_pairs",
+    "x_bpe_train",
+    "x_chunk_dedup_reassemble",
+    "x_chunk_tokens",
+    "x_cluster_quota",
+    "x_contamination_matrix",
+    "x_corpus_report",
+    "x_curation_funnel",
+    "x_decontaminate",
+    "x_dedup_cluster_sizes",
+    "x_dedup_components_bigstar",
+    "x_dedup_incremental",
+    "x_dedup_keep_longest",
+    "x_dedup_minhash_incremental",
+    "x_dedup_pipeline_components",
+    "x_drop_reasons",
+    "x_dsir_importance",
+    "x_dup_ngram_coverage",
+    "x_embed_dedup_incremental",
+    "x_global_shuffle",
+    "x_interleave_sources",
+    "x_length_quantiles",
+    "x_mixture_budget",
+    "x_multimodal_resize",
+    "x_oov_rate",
+    "x_pack_sequences",
+    "x_quality_classifier",
+    "x_quality_gopher",
+    "x_range_join",
+    "x_repetition_metrics",
+    "x_sample_mixture",
+    "x_semdedup",
+    "x_sim_ivf_kmeans",
+    "x_skew_salted_agg",
+    "x_source_quota",
+    "x_split_leakage",
 ]
 
 #: Verified-every-round scalar/one-liner queries that can safely sit
@@ -947,10 +948,16 @@ _VERIFY_LAST = [
     "a7_distinct_days",
     "f_datetime_kit",
     "f6_variant_extract",
-    "x_embed_quantize",
-    "x_profile_lengths",
-    "x_sample_hash_split",
-    "x_text_redact",
+    # r04-green entries deferred from the r06 window — front these in
+    # the r07 cut (rotation policy):
+    "flagship_secure_report",
+    "x_repetition_metrics_prod",
+    "x_semdedup_prod",
+    "x_sim_lsh_ann_prod",
+    "x_encoding_quality",
+    "x_length_filter",
+    "x_tfidf_topk",
+    "x_unigram_logprob",
 ]
 
 

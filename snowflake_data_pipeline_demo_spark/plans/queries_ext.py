@@ -3006,3 +3006,254 @@ def x_cluster_quota_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, group_col="centroid_id", rank_col="centroid_cos",
         k=20, id_col="vec_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: sketch-profile registration, shard-manifest audit,
+# streaming MinHash ingest dedup, cross-run HLL sketch merge
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_length_quantiles_sketch",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok,
+           TRUE AS p90_ok, TRUE AS p99_ok
+    FROM documents GROUP BY source
+    """,
+    survey_ref="north-star:corpus-profile-sketch",
+)
+def x_length_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-SKETCH corpus profile (operators/text.py:
+    length_quantiles_sketch), graded through its rank-error contract
+    the way x_distinct_tokens_hll grades HLL: the raw
+    percentile_approx values are engine-specific, so the lane instead
+    verifies — per group and per quantile — that the reported value's
+    RANK band [#{x < v} + 1, #{x <= v}] intersects the target rank
+    q*n within the documented tolerance (n/accuracy rank error, padded
+    5x + 2 so the gate never flakes while still catching a broken
+    sketch). The oracle asserts the booleans are all TRUE plus the
+    exact group sizes.
+
+    Scale shape: the sketch agg is O(groups x summary) shuffle
+    (mergeable map-side — the 100 TB path the exact x_length_quantiles
+    lane can't take); the rank check joins the dim-scale group profile
+    back via broadcast and costs one conditional re-aggregation, and
+    exists only in this verification lane."""
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    accuracy = 10_000
+    d = testdata.load(spark, sf_dir, "documents")
+    sk = text.length_quantiles_sketch(d, qs=qs, accuracy=accuracy)
+    joined = d.select("source", "n_chars").join(F.broadcast(sk), "source")
+    tol = F.col("n_docs") * (5.0 / accuracy) + F.lit(2.0)
+    checks = []
+    for q in qs:
+        p = f"p{int(q * 100)}"
+        cnt_lt = F.sum(
+            F.when(F.col("n_chars") < F.col(p), 1).otherwise(0)
+        )
+        cnt_le = F.sum(
+            F.when(F.col("n_chars") <= F.col(p), 1).otherwise(0)
+        )
+        target = F.lit(q) * F.col("n_docs")
+        checks.append(
+            ((cnt_lt + 1 <= target + tol) & (cnt_le >= target - tol))
+            .alias(f"{p}_ok")
+        )
+    return (
+        joined.groupBy("source", "n_docs", *[f"p{int(q*100)}" for q in qs])
+        .agg(*checks)
+        .select("source", "n_docs",
+                *[f"p{int(q*100)}_ok" for q in qs])
+    )
+
+
+@query(
+    "x_shard_manifest_audit",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text),
+               '[^a-z0-9]+'), x -> x != '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS token_offset
+      FROM t
+    ), a AS (
+      SELECT doc_id, n_tokens,
+             CAST(dense_rank() OVER (ORDER BY floor(token_offset / 4096)) - 1
+               AS BIGINT) AS shard
+      FROM o
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM a GROUP BY shard
+    """,
+    survey_ref="north-star:shard-manifest-audit",
+)
+def x_shard_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END shard-writer audit: actually WRITE the corpus as
+    token-balanced shard directories (operators/packing.py:
+    write_token_balanced_shards — one file per shard=N dir), then READ
+    THE FILES BACK and report per-shard (n_docs, token sum, doc-id
+    span) recomputed from the read-back text. The oracle derives the
+    same numbers from the logical spec (prefix-sum cut every 4096
+    tokens, densified ids) — so a hash match proves the physical
+    layout round-trips the spec: no dropped/duplicated docs, no
+    gapped shard dirs, text bytes intact. Promoted from a unit test
+    (r05 verdict ask #8) so the driver grades the written artifact,
+    not just the assignment frame."""
+    import tempfile
+
+    from ..operators import packing
+
+    d = testdata.load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="shard_audit_") + "/shards"
+    packing.write_token_balanced_shards(d, path, budget=4096)
+    back = spark.read.parquet(path)
+    return (
+        back.select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            text.token_count("text").alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+    )
+
+
+@query(
+    "x_stream_minhash_dedup",
+    oracle=None,  # continuous ingest over a persisted signature index —
+    # cross-batch stateful, not SQL-expressible; the batch MinHash lanes
+    # (x_dedup_minhash_lsh, x_dedup_incremental) are the hash-gated
+    # verification of the underlying operators
+    survey_ref="north-star:streaming-minhash-dedup",
+)
+def x_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash ingest dedup driven end-to-end (streaming/
+    dedup.py:minhash_dedup_batch_fn): the corpus arrives as three
+    deterministic micro-batches (doc_id mod 3); batch 1 additionally
+    RE-INGESTS batch 0's documents under fresh ids (the at-least-once
+    upstream retry case) — every re-ingested doc must be dropped
+    against the PERSISTED signature index, and the index must grow
+    with novel content only. Output: one summary row per batch
+    (n_in, n_kept, n_dropped, index_size after) — dim-scale counts of
+    batch-keyed parquet tables, deterministic across runs (xxhash64
+    signatures, exact-duplicate re-ingest estimates Jaccard 1.0).
+
+    Scale shape is the operator's (O(batch) signing, banded equi-join
+    probe against the index, batch-keyed idempotent writes); the lane
+    only adds count() actions per batch."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.catalog import Table
+    from ..streaming.dedup import minhash_dedup_batch_fn
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sig_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ])
+    tmp = tempfile.mkdtemp(prefix="stream_minhash_")
+    clean = Table(spark, f"{tmp}/clean", doc_schema)
+    sigs = Table(spark, f"{tmp}/sigs", sig_schema)
+    fn = minhash_dedup_batch_fn(clean, sigs, threshold=0.5)
+
+    d = testdata.load(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = d.filter(F.col("doc_id") % 3 == 0)
+    b1 = d.filter(F.col("doc_id") % 3 == 1).unionByName(
+        b0.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    b2 = d.filter(F.col("doc_id") % 3 == 2)
+
+    rows = []
+    kept_before = 0
+    for i, b in enumerate((b0, b1, b2)):
+        fn(b, i)
+        n_in = b.count()
+        kept_now = clean.read().count()
+        n_kept = kept_now - kept_before
+        kept_before = kept_now
+        rows.append((i, n_in, n_kept, n_in - n_kept, sigs.read().count()))
+    return spark.createDataFrame(
+        rows, "batch_id long, n_in long, n_kept long, n_dropped long, "
+              "index_size long",
+    )
+
+
+@query(
+    "x_hll_cross_run_merge",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text),
+               '[^a-z0-9]+'), x -> x != '')) AS tok
+      FROM documents
+    )
+    SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_tokens,
+           TRUE AS merged_ok
+    FROM toks GROUP BY source
+    """,
+    survey_ref="north-star:hll-cross-run-merge",
+)
+def x_hll_cross_run_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-RUN mergeable-sketch proof (r05 verdict ask #5): run A
+    sketches the even-doc_id half of the corpus per (source, shard),
+    PERSISTS the sketch bytes to parquet, and ends; run B — a fresh
+    read of that parquet, no access to run A's text — sketches the odd
+    half and merges both runs' sketches (operators/text.py:
+    token_hll_shard_sketches / hll_merge_estimate, DataSketches HLL via
+    hll_sketch_agg/hll_union_agg). The lane emits the exact per-source
+    distinct-token count (hash-gated) plus a boolean that the MERGED
+    estimate landed within the sketch's error envelope — which can
+    only be true if the persisted bytes really carry mergeable state.
+    At 100 TB this is the entire point of sketch-based reports: each
+    ingest run pays O(its own shard) and the corpus-wide report is a
+    union over all runs' persisted sketches."""
+    import tempfile
+
+    d = testdata.load(spark, sf_dir, "documents")
+    run_a = d.filter(F.col("doc_id") % 2 == 0)
+    run_b = d.filter(F.col("doc_id") % 2 == 1)
+    shard = (F.col("doc_id") % 4).cast("long")
+
+    tmp = tempfile.mkdtemp(prefix="hll_runs_")
+    text.token_hll_shard_sketches(run_a, shard).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/run_a_sketches")
+
+    # ---- run B: merge persisted run-A sketches with its own ----
+    persisted = spark.read.parquet(f"{tmp}/run_a_sketches")
+    merged = text.hll_merge_estimate(
+        persisted.unionByName(text.token_hll_shard_sketches(run_b, shard))
+    )
+    exact = (
+        d.select("source", F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").cast("long").alias("exact_tokens"))
+    )
+    # lgConfigK=14 -> rse ~ 1.04/sqrt(2^14) ~ 0.81%; 5x envelope
+    return exact.join(F.broadcast(merged), "source").select(
+        "source", "exact_tokens",
+        (
+            F.abs(F.col("est_tokens") - F.col("exact_tokens"))
+            / F.greatest(F.col("exact_tokens"), F.lit(1))
+            <= 0.0406
+        ).alias("merged_ok"),
+    )

@@ -1194,3 +1194,50 @@ def test_length_quantiles_sketch_rank_error_bound(spark):
         # rank of the reported value (values are distinct 1..n)
         rank = s.index(int(got)) + 1
         assert abs(rank - q * n) <= n / 100 + 1, (q, got, rank)
+
+
+def test_hll_sketches_merge_across_runs(spark, tmp_path):
+    """The 'merges across shards/runs' claim as a verified capability
+    (r05 verdict ask #5): RUN A sketches half the corpus per shard and
+    persists the sketch BYTES to parquet; RUN B reads those bytes back
+    — never touching run A's text — sketches the other half, and
+    merges. The merged estimate must (a) sit inside the sketch error
+    envelope of the exact corpus-wide distinct count and (b) equal the
+    single-pass estimate over the full corpus exactly — HLL union at
+    equal lgConfigK is lossless over the sketch state, so a byte-level
+    persistence bug cannot hide in the tolerance."""
+    from pyspark.sql import functions as F
+
+    from snowflake_data_pipeline_demo_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 700} tok{(i * 7) % 700} shared common words", "s0")
+         for i in range(400)],
+        "doc_id long, text string, source string",
+    )
+    run_a = docs.filter(F.col("doc_id") % 2 == 0)
+    run_b = docs.filter(F.col("doc_id") % 2 == 1)
+    shard = (F.col("doc_id") % 4).cast("long")
+
+    # ---- run A: sketch own shard, persist, end ----
+    T.token_hll_shard_sketches(run_a, shard).write.parquet(
+        str(tmp_path / "run_a")
+    )
+
+    # ---- run B: fresh read of persisted bytes + own sketches ----
+    merged = T.hll_merge_estimate(
+        spark.read.parquet(str(tmp_path / "run_a")).unionByName(
+            T.token_hll_shard_sketches(run_b, shard)
+        )
+    ).collect()[0]["est_tokens"]
+
+    single_pass = T.hll_merge_estimate(
+        T.token_hll_shard_sketches(docs, shard)
+    ).collect()[0]["est_tokens"]
+    exact = docs.select(
+        F.explode(T.tokens("text")).alias("t")
+    ).agg(F.countDistinct("t")).collect()[0][0]
+
+    assert merged == single_pass, (merged, single_pass)
+    # lgConfigK=14 -> rse ~0.81%; 5x envelope
+    assert abs(merged - exact) / exact <= 0.0406, (merged, exact)
