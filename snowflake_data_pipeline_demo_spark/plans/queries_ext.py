@@ -3183,14 +3183,16 @@ def x_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = d.filter(F.col("doc_id") % 3 == 2)
 
     rows = []
-    kept_before = 0
+    index_size = 0
     for i, b in enumerate((b0, b1, b2)):
         fn(b, i)
         n_in = b.count()
-        kept_now = clean.read().count()
-        n_kept = kept_now - kept_before
-        kept_before = kept_now
-        rows.append((i, n_in, n_kept, n_in - n_kept, sigs.read().count()))
+        # count only the batch's own subdir (O(batch)); the cumulative
+        # index size is the running sum of per-batch novel signatures —
+        # never a re-scan of the whole index per batch.
+        n_kept = spark.read.parquet(f"{tmp}/clean/batch={i}").count()
+        index_size += spark.read.parquet(f"{tmp}/sigs/batch={i}").count()
+        rows.append((i, n_in, n_kept, n_in - n_kept, index_size))
     return spark.createDataFrame(
         rows, "batch_id long, n_in long, n_kept long, n_dropped long, "
               "index_size long",

@@ -105,26 +105,34 @@ def minhash_dedup_batch_fn(
         sub = f"batch={batch_id}"
         if clean_table.subdir_committed(sub):
             return
+        # sign ONCE: without the checkpoint the signature plan (explode
+        # shingles x num_hashes min-agg) re-executes for every consumer
+        # (probe, novel-sig write, dup decision) — measured 3x signing
+        # per batch. localCheckpoint is batch-scale (id + 16 longs).
         new_sigs = minhash_signatures(
             batch_df, text_col, id_col,
             num_hashes=num_hashes, hash_family=hash_family,
-        )
-        new_ids = new_sigs.select(id_col)
+        ).localCheckpoint()
+        # exclude the batch's own ids from history straight off the
+        # batch frame (a superset of the signed ids — docs too short to
+        # shingle never reach the index), so the guard doesn't depend
+        # on the signature plan.
+        new_ids = batch_df.select(id_col)
         history = sigs_table.read().join(new_ids, id_col, "left_anti")
         flagged = incremental_neardup(
             new_sigs, history, bands=bands, id_col=id_col,
             threshold=threshold,
         )
-        dup_ids = flagged.select(id_col)
-        # materialize BEFORE the index overwrite: both outputs' plans
-        # scan sigs_table, and a crash-replay overwrites the very
+        # materialize the DECISION before the index overwrite: dup_ids'
+        # plan scans sigs_table, and a crash-replay overwrites the very
         # subdir that scan lists — without the checkpoint the write
         # would delete its own input files mid-plan (FAILED_READ_FILE).
-        # localCheckpoint is batch-scale (the micro-batch + its sigs).
-        clean = batch_df.join(dup_ids, id_col, "left_anti").localCheckpoint()
-        novel_sigs = new_sigs.join(
-            dup_ids, id_col, "left_anti"
-        ).localCheckpoint()
+        # The checkpoint is an id list (8 bytes/dup); the clean and
+        # novel-sig outputs then derive from checkpointed frames only
+        # and write directly — no batch-text materialization at all.
+        dup_ids = flagged.select(id_col).localCheckpoint()
+        clean = batch_df.join(dup_ids, id_col, "left_anti")
+        novel_sigs = new_sigs.join(dup_ids, id_col, "left_anti")
         sigs_table.overwrite_subdir(novel_sigs, sub)
         clean_table.overwrite_subdir(clean, sub)
 
