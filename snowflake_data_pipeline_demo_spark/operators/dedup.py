@@ -307,6 +307,70 @@ def incremental_neardup(new_sigs: DataFrame, history_sigs: DataFrame,
     )
 
 
+def incremental_neardup_indexed(new_sigs: DataFrame,
+                                history_sigs: DataFrame,
+                                history_bands: DataFrame,
+                                bands: int = 4, id_col: str = "doc_id",
+                                threshold: float = 0.3) -> DataFrame:
+    """:func:`incremental_neardup` with the history side arriving
+    PRE-BANDED — ``history_bands`` is the persisted LSH index
+    ((id, band, key) rows, :func:`banded_keys`'s documented production
+    role). Identical decisions, different cost shape: the plain
+    variant re-bands the whole signature history every ingest (an
+    O(history) projection per batch — fine daily, ruinous at
+    minutes-cadence ingest over a 100 TB corpus), while this one pays
+    O(batch) banding plus one equi-join against the index. The
+    signature history is still consulted, but only as the id-keyed
+    side of the Jaccard-estimate join over the CANDIDATES — bucket
+    collisions, a set sized by true near-dup density, not by history.
+
+    The caller maintains the index by appending each batch's NOVEL
+    banded keys (see streaming/dedup.py:minhash_dedup_batch_fn) — the
+    same grow-with-unique-content contract as the signature table.
+    """
+    probe = banded_keys(new_sigs, bands, id_col)
+    hist_pairs = (
+        history_bands.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+    )
+    batch_pairs = (
+        probe.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+    )
+    pairs = (
+        hist_pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .unionByName(batch_pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        ))
+        .distinct()
+    )
+    est = minhash_jaccard_estimate(
+        history_sigs.unionByName(new_sigs), pairs, id_col
+    )
+    return (
+        est.filter(F.col("jaccard_est") >= threshold)
+        .groupBy(F.col("id_b").alias(id_col))
+        .agg(
+            F.min("id_a").alias("dup_of"),
+            F.round(F.max("jaccard_est"), 4).alias("max_est"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (the LSH verifier; all-pairs-with-overlap)
 # ---------------------------------------------------------------------------

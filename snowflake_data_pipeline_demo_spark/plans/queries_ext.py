@@ -3152,9 +3152,12 @@ def x_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-keyed parquet tables, deterministic across runs (xxhash64
     signatures, exact-duplicate re-ingest estimates Jaccard 1.0).
 
-    Scale shape is the operator's (O(batch) signing, banded equi-join
-    probe against the index, batch-keyed idempotent writes); the lane
-    only adds count() actions per batch."""
+    Scale shape is the operator's INDEXED mode (O(batch) signing, the
+    probe a pure equi-join against the persisted banded-key table —
+    history is never re-banded; batch-keyed idempotent writes across
+    all three artifacts); the lane only adds count() actions per
+    batch. Decisions are identical to the re-banding mode
+    (tests/test_stateful.py pins the equivalence)."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -3170,10 +3173,16 @@ def x_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("doc_id", T.LongType()),
         T.StructField("sig", T.ArrayType(T.LongType())),
     ])
+    band_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("key", T.StringType()),
+    ])
     tmp = tempfile.mkdtemp(prefix="stream_minhash_")
     clean = Table(spark, f"{tmp}/clean", doc_schema)
     sigs = Table(spark, f"{tmp}/sigs", sig_schema)
-    fn = minhash_dedup_batch_fn(clean, sigs, threshold=0.5)
+    bands = Table(spark, f"{tmp}/bands", band_schema)
+    fn = minhash_dedup_batch_fn(clean, sigs, bands, threshold=0.5)
 
     d = testdata.load(spark, sf_dir, "documents").select("doc_id", "text")
     b0 = d.filter(F.col("doc_id") % 3 == 0)

@@ -71,7 +71,7 @@ def semantic_dedup_batch_fn(
 
 
 def minhash_dedup_batch_fn(
-    clean_table, sigs_table,
+    clean_table, sigs_table, bands_table=None,
     text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 16, bands: int = 4, threshold: float = 0.5,
     hash_family: str = "xxhash64",
@@ -85,12 +85,15 @@ def minhash_dedup_batch_fn(
     ``threshold``, and appends the NOVEL docs' signatures back to the
     index — so the index grows only with unique content.
 
-    Scale notes: the probe re-bands the history signature table per
-    batch (a narrow projection over (id, 16 longs) rows — cheap but
-    O(history)); a 100 TB ingest persists the banded keys as their own
-    table (``banded_keys``'s documented role) so the probe is purely
-    an equi-join against the index. The signature table stands in for
-    both here to keep one artifact.
+    Scale notes: with ``bands_table=None`` the probe re-bands the
+    history signature table per batch (a narrow projection over
+    (id, 16 longs) rows — cheap but O(history) per batch). Passing a
+    ``bands_table`` switches to the persisted LSH INDEX: the fn
+    appends each batch's novel banded keys to it and probes via
+    ``incremental_neardup_indexed`` — O(batch) banding plus one
+    equi-join against the index, the shape a minutes-cadence 100 TB
+    ingest needs (at that scale, bucket the index table on ``key`` so
+    the probe shuffles only the batch side).
 
     Exactly-once under crash-replay: both writes are batch-keyed
     subdir overwrites; the GATE checks the table written LAST
@@ -99,7 +102,12 @@ def minhash_dedup_batch_fn(
     batch's own ids from history (anti-join) so a half-persisted index
     subdir cannot flag the batch against itself.
     """
-    from ..operators.dedup import incremental_neardup, minhash_signatures
+    from ..operators.dedup import (
+        banded_keys,
+        incremental_neardup,
+        incremental_neardup_indexed,
+        minhash_signatures,
+    )
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         sub = f"batch={batch_id}"
@@ -116,24 +124,40 @@ def minhash_dedup_batch_fn(
         # exclude the batch's own ids from history straight off the
         # batch frame (a superset of the signed ids — docs too short to
         # shingle never reach the index), so the guard doesn't depend
-        # on the signature plan.
+        # on the signature plan. Applied to BOTH persisted artifacts so
+        # a crash-replay cannot flag the batch against its own
+        # half-persisted writes.
         new_ids = batch_df.select(id_col)
         history = sigs_table.read().join(new_ids, id_col, "left_anti")
-        flagged = incremental_neardup(
-            new_sigs, history, bands=bands, id_col=id_col,
-            threshold=threshold,
-        )
-        # materialize the DECISION before the index overwrite: dup_ids'
-        # plan scans sigs_table, and a crash-replay overwrites the very
-        # subdir that scan lists — without the checkpoint the write
-        # would delete its own input files mid-plan (FAILED_READ_FILE).
-        # The checkpoint is an id list (8 bytes/dup); the clean and
-        # novel-sig outputs then derive from checkpointed frames only
-        # and write directly — no batch-text materialization at all.
+        if bands_table is not None:
+            hist_bands = bands_table.read().join(
+                new_ids, id_col, "left_anti"
+            )
+            flagged = incremental_neardup_indexed(
+                new_sigs, history, hist_bands, bands=bands,
+                id_col=id_col, threshold=threshold,
+            )
+        else:
+            flagged = incremental_neardup(
+                new_sigs, history, bands=bands, id_col=id_col,
+                threshold=threshold,
+            )
+        # materialize the DECISION before the index overwrites: dup_ids'
+        # plan scans sigs_table (and the band index), and a crash-replay
+        # overwrites the very subdirs those scans list — without the
+        # checkpoint the write would delete its own input files mid-plan
+        # (FAILED_READ_FILE). The checkpoint is an id list (8 bytes per
+        # dup); the clean and novel-sig outputs then derive from
+        # checkpointed frames only and write directly — no batch-text
+        # materialization at all.
         dup_ids = flagged.select(id_col).localCheckpoint()
         clean = batch_df.join(dup_ids, id_col, "left_anti")
         novel_sigs = new_sigs.join(dup_ids, id_col, "left_anti")
         sigs_table.overwrite_subdir(novel_sigs, sub)
+        if bands_table is not None:
+            bands_table.overwrite_subdir(
+                banded_keys(novel_sigs, bands, id_col), sub
+            )
         clean_table.overwrite_subdir(clean, sub)
 
     return fn

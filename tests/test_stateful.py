@@ -431,3 +431,79 @@ def test_minhash_dedup_batch_fn_persisted_index_and_replay(spark, tmp_path):
     sigs_only(b2, 2)                        # the replay
     assert {r["doc_id"] for r in clean.read().collect()} == {1, 2, 11, 20}
     assert {r["doc_id"] for r in sigs.read().collect()} == {1, 2, 11, 20}
+
+
+def test_minhash_dedup_indexed_mode_matches_rebanding_mode(spark, tmp_path):
+    """Passing a bands_table switches the ingest probe from re-banding
+    the whole signature history per batch (O(history)) to one
+    equi-join against the persisted banded-key index (O(batch +
+    collisions)) — a cost-shape change that must not change a single
+    decision. Run the same three batches (with an exact-dup re-ingest
+    and a natural near-dup) through both modes and compare the kept-id
+    sets per batch; also check the band index carries exactly the
+    novel docs' keys."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+    from snowflake_data_pipeline_demo_spark.streaming.dedup import (
+        minhash_dedup_batch_fn,
+    )
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sig_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ])
+    band_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("key", T.StringType()),
+    ])
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    other = ("completely different material about spark shuffle "
+             "exchange partitions and broadcast hash joins at scale")
+    batches = [
+        [(1, base), (2, other)],
+        [(3, base), (4, "novel text regarding parquet row group "
+                        "statistics and column chunk encodings")],
+        [(5, base + " exactly"), (6, other)],  # near-dup + exact dup
+    ]
+
+    def run(mode_dir: str, with_index: bool):
+        clean = Table(spark, str(tmp_path / mode_dir / "clean"), doc_schema)
+        sigs = Table(spark, str(tmp_path / mode_dir / "sigs"), sig_schema)
+        bands = (
+            Table(spark, str(tmp_path / mode_dir / "bands"), band_schema)
+            if with_index else None
+        )
+        fn = minhash_dedup_batch_fn(clean, sigs, bands, threshold=0.5)
+        kept = []
+        for i, rows in enumerate(batches):
+            fn(spark.createDataFrame(rows, doc_schema), i)
+            kept.append({
+                r["doc_id"] for r in spark.read.schema(doc_schema)
+                .parquet(str(tmp_path / mode_dir / f"clean/batch={i}"))
+                .collect()
+            })
+        return kept, sigs, bands
+
+    kept_plain, _, _ = run("plain", with_index=False)
+    kept_idx, sigs_idx, bands_idx = run("indexed", with_index=True)
+    assert kept_plain == kept_idx, (kept_plain, kept_idx)
+    # batch 0 all kept; 3 and 6 are exact re-ingests (dropped)
+    assert kept_idx[0] == {1, 2}
+    assert 3 not in kept_idx[1]
+    assert 6 not in kept_idx[2]
+    # the band index holds exactly the NOVEL docs' keys (4 bands each)
+    novel = {d for s in kept_idx for d in s}
+    idx = bands_idx.read()
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} \
+        == novel
+    counts = idx.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] == 4 for r in counts)
