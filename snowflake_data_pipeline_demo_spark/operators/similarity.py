@@ -47,7 +47,16 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; a zero-norm side yields 0.0 ("no similarity"),
+    not an error. Under ANSI mode (the Spark 4 default) a plain
+    division throws DIVIDE_BY_ZERO the moment a padding/failed-encode
+    zero vector reaches it — a corpus-scale job killer
+    (tests/test_degenerate_inputs.py sweeps this). try_divide keeps
+    the norms evaluated once each and returns NULL on a 0 divisor,
+    coalesced to 0.0."""
+    return F.coalesce(
+        F.try_divide(dot(a, b), norm(a) * norm(b)), F.lit(0.0)
+    )
 
 
 def cosine_topk(

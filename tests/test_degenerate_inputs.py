@@ -28,6 +28,7 @@ from snowflake_data_pipeline_demo_spark.operators import (
     dedup,
     packing,
     sampling,
+    similarity,
     text as T,
 )
 
@@ -176,3 +177,91 @@ def test_frame_operator_survives_degenerate_docs(spark, ddocs, name):
     elif name in {"exact_dedup_clusters", "paragraph_dedup",
                   "distinct_tokens_hll", "oov_rate"}:
         assert rows  # must not silently drop everything
+
+
+# ---- embedding operators over degenerate vectors -------------------------
+#
+# The vector analog of the text sweep: zero-norm vectors (cosine
+# divides by zero), near-zero magnitudes, exact-duplicate vectors, and
+# all-negative vectors. Real embedding dumps contain zero rows
+# (padding, failed encodes); an operator that NaN-crashes or throws on
+# them takes down the corpus job the same way the 1-token doc did.
+
+_DIM = 8
+
+
+@pytest.fixture(scope="module")
+def demb(spark):
+    rows = [
+        (1, [0.0] * _DIM),                          # zero vector
+        (2, [1e-30] * _DIM),                        # denormal magnitude
+        (3, [1.0] + [0.0] * (_DIM - 1)),            # unit axis
+        (4, [1.0] + [0.0] * (_DIM - 1)),            # exact duplicate of 3
+        (5, [-1.0] * _DIM),                         # all negative
+        (6, [float(i) for i in range(_DIM)]),       # plain
+        (7, [float(_DIM - i) for i in range(_DIM)]),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).cache()
+
+
+def _cent(spark):
+    return spark.createDataFrame(
+        [(0, [1.0] + [0.0] * (_DIM - 1)), (1, [0.0] * (_DIM - 1) + [1.0])],
+        "centroid_id long, embedding array<float>",
+    )
+
+
+def _queries_frame(d):
+    return d.select(F.col("vec_id").alias("query_id"), "embedding")
+
+
+_EMB_CASES = {
+    "cosine_topk": lambda s, d: similarity.cosine_topk(
+        d, _queries_frame(d), k=3
+    ),
+    "lsh_ann_topk": lambda s, d: similarity.lsh_ann_topk(
+        d, _queries_frame(d), k=3, planes=4, tables=2
+    ),
+    "ivf_topk": lambda s, d: similarity.ivf_topk(
+        d, _queries_frame(d), _cent(s), k=3, nprobe=2
+    ),
+    "ivf_assign_pandas": lambda s, d: similarity.ivf_assign_pandas(
+        d, _cent(s), with_score=True
+    ),
+    "semdedup": lambda s, d: dedup.semdedup(d, _cent(s)),
+    "semdedup_pandas": lambda s, d: dedup.semdedup(
+        d, _cent(s), assignment_impl="pandas"
+    ),
+    "embedding_neardup_pairs": lambda s, d: dedup.embedding_neardup_pairs(d),
+    "incremental_embedding_neardup": lambda s, d: (
+        dedup.incremental_embedding_neardup(
+            d.filter(F.col("vec_id") >= 4),
+            d.filter(F.col("vec_id") < 4),
+            _cent(s),
+        )
+    ),
+    "kmeans_centroids": lambda s, d: similarity.kmeans_centroids(
+        d, nlist=2, iters=3, sample=16
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_EMB_CASES))
+def test_embedding_operator_survives_degenerate_vectors(spark, demb, name):
+    out = _EMB_CASES[name](spark, demb)
+    rows = out.collect()
+    if name == "kmeans_centroids":
+        assert len(rows) == 2  # zero vectors must not collapse training
+
+
+def test_quantize_zero_vector_contract(spark, demb):
+    got = {
+        r["vec_id"]: r["qz"]
+        for r in demb.select(
+            "vec_id", similarity.quantize_int8("embedding").alias("qz")
+        ).collect()
+    }
+    assert got[1]["scale"] == 0.0 and all(v == 0 for v in got[1]["q"])
+    assert got[3]["q"][0] == 127

@@ -308,3 +308,32 @@ def test_trained_cluster_quota_assignment_is_joinless(spark):
     p = _plan(spark, "x_cluster_quota_trained")
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_length_quantiles_sketch_two_exchanges_broadcast_stitch(spark):
+    """The sketch-profile lane must be: one partial-aggregable
+    percentile_approx agg (its exchange carries O(groups x summary)),
+    whose dim-scale result BROADCASTS back onto the scan for the
+    rank-envelope check — whose conditional sums again combine
+    map-side (HashAggregate, one exchange). Never a SortMergeJoin
+    (would shuffle the corpus on the group key) and never a Window."""
+    p = _plan(spark, "x_length_quantiles_sketch")
+    assert "ObjectHashAggregate" in p or "HashAggregate" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    # sketch agg + rank-check agg: exactly two shuffle exchanges
+    n_shuffles = p.count("Exchange hashpartitioning")
+    assert n_shuffles <= 2, f"extra shuffles in sketch lane:\n{p}"
+
+
+def test_hll_cross_run_merge_is_sketch_aggs_plus_broadcast(spark):
+    """The cross-run merge lane: sketch aggs (hll_sketch_agg /
+    hll_union_agg are object hash aggregates) stitched to the exact
+    lane by a broadcast on the dim-scale group key — no SortMergeJoin,
+    no cartesian, no window."""
+    p = _plan(spark, "x_hll_cross_run_merge")
+    assert "ObjectHashAggregate" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
