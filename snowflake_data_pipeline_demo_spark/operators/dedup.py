@@ -553,9 +553,11 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:
     """All pairs with cosine similarity >= threshold (brute force —
-    the verifier; the ANN path in similarity.py scales it)."""
-    from .similarity import cosine
+    the verifier; the ANN path in similarity.py scales it). NULL
+    embeddings are dropped (similarity._nonnull's uniform rule)."""
+    from .similarity import _nonnull, cosine
 
+    emb = _nonnull(emb, vec_col)
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

@@ -59,6 +59,16 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def _nonnull(df: DataFrame, vec_col: str) -> DataFrame:
+    """NULL embeddings (failed encodes, unbackfilled rows) are DROPPED
+    at every frame-operator boundary: a null vector has no geometry to
+    compare, and letting it flow produces either an arbitrary
+    assignment (expr paths coalesce its cosine to 0.0) or a numpy
+    object-array crash (Arrow paths). One uniform rule, swept by
+    tests/test_degenerate_inputs.py."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,10 +79,12 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine (excluding self-matches
     on equal ids). Output: (query_id, rank, neighbor_id, cos)."""
-    q = queries.select(
+    q = _nonnull(queries, vec_col).select(
         F.col(query_id_col), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = _nonnull(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
@@ -196,6 +208,7 @@ def ivf_assign(
     for no reason. Output: (id, vec, centroid_id); ``with_score`` adds
     ``centroid_cos`` (the winning 4dp cosine — SemDeDup's keep rule
     ranks cluster members by it)."""
+    corpus = _nonnull(corpus, vec_col)
     cent_rows = centroids.select(
         F.col(centroid_id_col), F.col(vec_col)
     ).collect()  # nlist rows — dim-scale, like the star-join dims
@@ -242,6 +255,7 @@ def ivf_assign_pandas(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    corpus = _nonnull(corpus, vec_col)
     rows = sorted(
         centroids.select(centroid_id_col, vec_col).collect(),
         key=lambda r: r[centroid_id_col],
@@ -318,7 +332,8 @@ def ivf_topk(
     )
     cent = centroids.select("centroid_id", F.col(vec_col).alias("centv"))
     qscore = (
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("qv"))
+        _nonnull(queries, vec_col)
+        .select(F.col(query_id_col), F.col(vec_col).alias("qv"))
         .crossJoin(F.broadcast(cent))
         .select(
             query_id_col, "qv", "centroid_id",
@@ -382,12 +397,12 @@ def lsh_ann_topk(
         def sig(col): return lsh_signatures(col, dim, planes, tables)  # noqa: E306
     else:
         raise ValueError(f"unknown signature_impl: {signature_impl}")
-    c = corpus.select(
+    c = _nonnull(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.posexplode(sig(F.col(vec_col))).alias("t", "bucket"),
     )
-    q = queries.select(
+    q = _nonnull(queries, vec_col).select(
         F.col(query_id_col),
         F.col(vec_col).alias("qv"),
         F.posexplode(sig(F.col(vec_col))).alias("t", "bucket"),
@@ -446,7 +461,7 @@ def kmeans_centroids(
     import numpy as np
 
     rows = (
-        corpus.select(id_col, vec_col)
+        _nonnull(corpus, vec_col).select(id_col, vec_col)
         .orderBy(id_col).limit(sample).collect()
     )
     X = np.asarray([r[vec_col] for r in rows], dtype=np.float64)

@@ -45,6 +45,7 @@ _DEGENERATE_ROWS = [
     (8, "a b", "s2"),                         # exactly two tokens
     (9, "normal document with several tokens in this row here", "s2"),
     (10, "another plain document with overlapping tokens in this row", "s2"),
+    (11, None, "s0"),                         # NULL text (failed fetch)
 ]
 
 
@@ -200,6 +201,7 @@ def demb(spark):
         (5, [-1.0] * _DIM),                         # all negative
         (6, [float(i) for i in range(_DIM)]),       # plain
         (7, [float(_DIM - i) for i in range(_DIM)]),
+        (8, None),                                  # NULL embedding
     ]
     return spark.createDataFrame(
         rows, "vec_id long, embedding array<float>"
