@@ -641,7 +641,9 @@ def incremental_embedding_neardup(new_emb: DataFrame,
                                   threshold: float = 0.85,
                                   id_col: str = "vec_id",
                                   vec_col: str = "embedding",
-                                  assignment_impl: str = "expr") -> DataFrame:
+                                  assignment_impl: str = "expr",
+                                  history_assigned: DataFrame | None = None,
+                                  ) -> DataFrame:
     """Per-ingest EMBEDDING near-dup check — the semantic analog of
     :func:`incremental_neardup`: flag each new-batch vector whose
     cosine vs any prior vector — history, or an earlier-id vector of
@@ -654,6 +656,11 @@ def incremental_embedding_neardup(new_emb: DataFrame,
     ingest pays O(batch) assignment (shuffle-free; ``assignment_impl=
     "pandas"`` for the BLAS twin at production nlist) plus
     cluster-key equi-joins; history is never re-scored against itself.
+    Pass ``history_assigned`` ((id, vec, centroid_id) rows — the
+    persisted index; ``history_emb`` is then ignored) to skip even the
+    per-batch RE-ASSIGNMENT of history: without it each ingest pays an
+    O(history) assignment projection, the same cost-shape trap the
+    MinHash path's band index removes (incremental_neardup_indexed).
     Like incremental_neardup, history matches by MEMBERSHIP (ids need
     not be smaller than batch ids) while the id ordering applies only
     within the new batch.
@@ -662,7 +669,10 @@ def incremental_embedding_neardup(new_emb: DataFrame,
 
     assign_fn = ivf_assign_pandas if assignment_impl == "pandas" else ivf_assign
     probe = assign_fn(new_emb, centroids, id_col, vec_col)
-    hist = assign_fn(history_emb, centroids, id_col, vec_col)
+    if history_assigned is not None:
+        hist = history_assigned.select(id_col, vec_col, "centroid_id")
+    else:
+        hist = assign_fn(history_emb, centroids, id_col, vec_col)
 
     def side(df, tag):
         return df.select(

@@ -34,30 +34,60 @@ def dedup_stream(events: DataFrame, key_cols: Sequence[str],
 def semantic_dedup_batch_fn(
     clean_table, centroids: DataFrame, threshold: float = 0.85,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    assignment_impl: str = "pandas",
+    assignment_impl: str = "pandas", assigned_table=None,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` factory: continuous SEMANTIC ingest dedup —
     the streaming composition of operators/dedup.
     incremental_embedding_neardup. Each micro-batch probes the
-    persisted clean-vector table (which doubles as the history index:
-    assignment is recomputed per ingest but only over O(batch)+read —
-    at scale persist the assigned table instead and skip re-assigning
-    history, exactly as the MinHash incremental path persists its band
-    index) and writes only non-duplicate vectors.
+    persisted history and writes only non-duplicate vectors.
+
+    With ``assigned_table=None`` the clean-vector table doubles as the
+    history index and its assignment is recomputed per ingest — an
+    O(history) projection per batch. Passing an ``assigned_table``
+    ((id, vec, centroid_id) schema) switches to the persisted
+    ASSIGNED index: the fn appends each batch's novel assignments and
+    probes against the index directly, so a batch pays O(batch)
+    assignment plus cluster-key equi-joins — the same cost-shape fix
+    as the MinHash path's band index (``bands_table``).
 
     Exactly-once under crash-replay by the same contract as the pipe's
-    DML (streaming/pipeline.py): the write is batch-keyed
-    (``overwrite_subdir(batch=<id>)``) and a replayed batch whose
-    subdir already committed is skipped whole, so the table converges
-    to the same bytes no matter where the previous run died.
+    DML (streaming/pipeline.py): writes are batch-keyed
+    (``overwrite_subdir(batch=<id>)``), the gate checks the table
+    written LAST (clean_table), and the flag decision is checkpointed
+    before the index overwrite so a replay never deletes its own scan
+    inputs; the replay excludes the batch's own ids from the index
+    (anti-join) so a half-persisted subdir cannot flag the batch
+    against itself.
     """
     from ..operators.dedup import incremental_embedding_neardup
+    from ..operators.similarity import ivf_assign, ivf_assign_pandas
+
+    assign_fn = (ivf_assign_pandas if assignment_impl == "pandas"
+                 else ivf_assign)
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         sub = f"batch={batch_id}"
         if clean_table.subdir_committed(sub):
             return
-        history = clean_table.read()
+        new_ids = batch_df.select(id_col)
+        if assigned_table is not None:
+            hist_assigned = assigned_table.read().join(
+                new_ids, id_col, "left_anti"
+            )
+            flagged = incremental_embedding_neardup(
+                batch_df, None, centroids, threshold,
+                id_col, vec_col, assignment_impl,
+                history_assigned=hist_assigned,
+            )
+            dup_ids = flagged.select(id_col).localCheckpoint()
+            clean = batch_df.join(dup_ids, id_col, "left_anti")
+            novel_assigned = assign_fn(
+                clean, centroids, id_col, vec_col
+            )
+            assigned_table.overwrite_subdir(novel_assigned, sub)
+            clean_table.overwrite_subdir(clean, sub)
+            return
+        history = clean_table.read().join(new_ids, id_col, "left_anti")
         flagged = incremental_embedding_neardup(
             batch_df, history, centroids, threshold,
             id_col, vec_col, assignment_impl,

@@ -507,3 +507,62 @@ def test_minhash_dedup_indexed_mode_matches_rebanding_mode(spark, tmp_path):
         == novel
     counts = idx.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
     assert all(r["n"] == 4 for r in counts)
+
+
+def test_semantic_dedup_assigned_index_matches_reassign_mode(spark, tmp_path):
+    """Passing an assigned_table switches the semantic ingest probe
+    from re-assigning the whole clean history per batch (O(history))
+    to the persisted (id, vec, centroid_id) index — decisions must be
+    identical, and the index must carry exactly the kept vectors with
+    their assignments."""
+    from pyspark.sql import types as T
+
+    from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+    from snowflake_data_pipeline_demo_spark.streaming.dedup import (
+        semantic_dedup_batch_fn,
+    )
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    a_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("centroid_id", T.LongType()),
+    ])
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    batches = [
+        [(1, [0.999, 0.0447, 0.0, 0.0]), (2, [0.0, 0.0, 1.0, 0.0])],
+        [(10, [0.998, 0.0632, 0.0, 0.0]),   # twin of vec 1 -> dropped
+         (11, [0.0, 1.0, 0.0, 0.0])],        # new direction -> kept
+        [(20, [0.0, 0.0, 0.999, 0.0447]),   # twin of vec 2 -> dropped
+         (21, [0.5, 0.5, 0.5, 0.5])],
+    ]
+
+    def run(mode_dir: str, with_index: bool):
+        clean = Table(spark, str(tmp_path / mode_dir / "clean"), schema)
+        assigned = (
+            Table(spark, str(tmp_path / mode_dir / "assigned"), a_schema)
+            if with_index else None
+        )
+        fn = semantic_dedup_batch_fn(
+            clean, cent, threshold=0.95, assigned_table=assigned
+        )
+        for i, rows in enumerate(batches):
+            fn(spark.createDataFrame(rows, schema), i)
+        return clean, assigned
+
+    clean_plain, _ = run("plain", with_index=False)
+    clean_idx, assigned_idx = run("indexed", with_index=True)
+    kept_plain = {r["vec_id"] for r in clean_plain.read().collect()}
+    kept_idx = {r["vec_id"] for r in clean_idx.read().collect()}
+    assert kept_plain == kept_idx == {1, 2, 11, 21}
+    # the index mirrors the clean set, with assignments attached
+    idx_rows = {r["vec_id"]: r["centroid_id"]
+                for r in assigned_idx.read().collect()}
+    assert set(idx_rows) == kept_idx
+    assert idx_rows[1] == 0 and idx_rows[2] == 1
