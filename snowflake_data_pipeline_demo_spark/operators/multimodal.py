@@ -41,9 +41,12 @@ def to_blob_table(df: DataFrame, text_col: str = "text",
         F.struct(
             F.length(payload).alias("byte_length"),
             F.md5(F.col(text_col)).alias("checksum"),
+            # pmod, not %: Spark's % keeps the dividend's sign, so a
+            # negative id would index element_at at 0/-1 — an ANSI
+            # error for 0 and the wrong element for -1
             F.element_at(
                 F.array(*[F.lit(m) for m in MODALITIES]),
-                (F.col(id_col) % 3 + 1).cast("int"),
+                (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
             ).alias("mime"),
         ).alias("meta"),
     )

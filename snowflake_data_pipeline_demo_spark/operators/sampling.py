@@ -176,6 +176,13 @@ def mixture_budget(df: DataFrame, weights: dict[str, float],
     """
     from .text import token_count
 
+    # a zero/negative weight has no meaning in the solve (tokens_s /
+    # w_s) and would throw DIVIDE_BY_ZERO under ANSI mode mid-job —
+    # reject it at call time, driver-side, with a message
+    bad = {s: w for s, w in weights.items() if not w > 0}
+    if bad:
+        raise ValueError(f"mixture weights must be positive: {bad}")
+
     spark = df.sparkSession
     per = (
         df.select(F.col(source_col), token_count(text_col).alias("_n"))
