@@ -1241,3 +1241,32 @@ def test_hll_sketches_merge_across_runs(spark, tmp_path):
     assert merged == single_pass, (merged, single_pass)
     # lgConfigK=14 -> rse ~0.81%; 5x envelope
     assert abs(merged - exact) / exact <= 0.0406, (merged, exact)
+
+
+@pytest.mark.parametrize("n_shards", [1, 3, 7])
+def test_hll_merge_invariant_under_shard_partitioning(spark, docs, n_shards):
+    """HLL union is associative and lossless at equal lgConfigK, so the
+    merged estimate must be IDENTICAL no matter how the corpus is cut
+    into shards — 1, 3, or 7 — and identical to corpus-wide sketching.
+    This is the property that makes per-run sketch persistence safe:
+    re-sharding history (compaction, backfill) can never change the
+    published cardinality."""
+    from pyspark.sql import functions as F
+
+    from snowflake_data_pipeline_demo_spark.operators import text as T
+
+    est = {
+        r["source"]: r["est_tokens"]
+        for r in T.hll_merge_estimate(
+            T.token_hll_shard_sketches(
+                docs, (F.col("doc_id") % n_shards).cast("long")
+            )
+        ).collect()
+    }
+    single = {
+        r["source"]: r["est_tokens"]
+        for r in T.hll_merge_estimate(
+            T.token_hll_shard_sketches(docs, F.lit(0).cast("long"))
+        ).collect()
+    }
+    assert est == single, (n_shards, est, single)
