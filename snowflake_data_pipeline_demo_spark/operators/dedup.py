@@ -259,51 +259,13 @@ def incremental_neardup(new_sigs: DataFrame, history_sigs: DataFrame,
     with its banded keys); the probe joins new band keys against
     (history ∪ new) band keys, so each ingest pays O(batch) banding
     plus one bucket-key join — history text is never touched, never
-    re-shingled."""
-    probe = banded_keys(new_sigs, bands, id_col)
-    # history matches by MEMBERSHIP (ids need not be smaller than batch
-    # ids — uuid-derived or per-source id spaces are not ingest-ordered);
-    # the id ordering applies only within the new batch, where it
-    # deterministically picks which same-batch copy survives.
-    hist_pairs = (
-        banded_keys(history_sigs, bands, id_col).alias("a")
-        .join(
-            probe.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        )
-    )
-    batch_pairs = (
-        probe.alias("a")
-        .join(
-            probe.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-    )
-    pairs = (
-        hist_pairs.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .unionByName(batch_pairs.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        ))
-        .distinct()
-    )
-    est = minhash_jaccard_estimate(
-        history_sigs.unionByName(new_sigs), pairs, id_col
-    )
-    return (
-        est.filter(F.col("jaccard_est") >= threshold)
-        .groupBy(F.col("id_b").alias(id_col))
-        .agg(
-            F.min("id_a").alias("dup_of"),
-            F.round(F.max("jaccard_est"), 4).alias("max_est"),
-        )
+    re-shingled. This is the re-banding form of
+    :func:`incremental_neardup_indexed` (one shared implementation, so
+    the two modes cannot drift)."""
+    return incremental_neardup_indexed(
+        new_sigs, history_sigs,
+        banded_keys(history_sigs, bands, id_col),
+        bands=bands, id_col=id_col, threshold=threshold,
     )
 
 
@@ -643,6 +605,7 @@ def incremental_embedding_neardup(new_emb: DataFrame,
                                   vec_col: str = "embedding",
                                   assignment_impl: str = "expr",
                                   history_assigned: DataFrame | None = None,
+                                  new_assigned: DataFrame | None = None,
                                   ) -> DataFrame:
     """Per-ingest EMBEDDING near-dup check — the semantic analog of
     :func:`incremental_neardup`: flag each new-batch vector whose
@@ -661,6 +624,11 @@ def incremental_embedding_neardup(new_emb: DataFrame,
     per-batch RE-ASSIGNMENT of history: without it each ingest pays an
     O(history) assignment projection, the same cost-shape trap the
     MinHash path's band index removes (incremental_neardup_indexed).
+    ``new_assigned`` likewise supplies the batch side pre-assigned so
+    a caller that needs the assignment afterwards (the streaming batch
+    fn persists the novel rows to its index) computes it ONCE — at
+    production nlist the batch matmul is the dominant per-batch cost,
+    so paying it twice would halve ingest throughput.
     Like incremental_neardup, history matches by MEMBERSHIP (ids need
     not be smaller than batch ids) while the id ordering applies only
     within the new batch.
@@ -668,7 +636,10 @@ def incremental_embedding_neardup(new_emb: DataFrame,
     from .similarity import cosine, ivf_assign, ivf_assign_pandas
 
     assign_fn = ivf_assign_pandas if assignment_impl == "pandas" else ivf_assign
-    probe = assign_fn(new_emb, centroids, id_col, vec_col)
+    if new_assigned is not None:
+        probe = new_assigned.select(id_col, vec_col, "centroid_id")
+    else:
+        probe = assign_fn(new_emb, centroids, id_col, vec_col)
     if history_assigned is not None:
         hist = history_assigned.select(id_col, vec_col, "centroid_id")
     else:
@@ -976,11 +947,16 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     reassembly is the per-doc rebuild exchange. Same two-text-move
     floor as chunk dedup.
     """
+    # Pattern.quote semantics: \Q..\E quoting breaks if sep itself
+    # contains \E (the embedded \E would close the quote early and the
+    # remainder would match as regex while reassembly joins the raw
+    # string) — split on it and re-open the quote, like Java does.
+    quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = (
         df.select(
             F.col(id_col),
             F.posexplode(
-                F.split(F.col(text_col), "\\Q" + sep + "\\E")
+                F.split(F.col(text_col), quoted)
             ).alias("pos", "_p"),
         )
         .filter(F.trim(F.col("_p")) != "")

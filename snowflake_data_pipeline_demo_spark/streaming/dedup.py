@@ -54,10 +54,17 @@ def semantic_dedup_batch_fn(
     DML (streaming/pipeline.py): writes are batch-keyed
     (``overwrite_subdir(batch=<id>)``), the gate checks the table
     written LAST (clean_table), and the flag decision is checkpointed
-    before the index overwrite so a replay never deletes its own scan
-    inputs; the replay excludes the batch's own ids from the index
-    (anti-join) so a half-persisted subdir cannot flag the batch
-    against itself.
+    before ANY overwrite — in both modes the decision plan scans the
+    very table being written (the index, or clean_table itself as the
+    history), so without the checkpoint a replay would delete its own
+    scan inputs mid-plan. The replay also excludes the batch's own ids
+    from history (anti-join) so a half-persisted subdir cannot flag
+    the batch against itself.
+
+    Enabling ``assigned_table`` over an ALREADY-POPULATED clean_table
+    requires a one-time :func:`backfill_assigned_index`; the fn raises
+    if the index is empty while history is not (an empty index would
+    silently admit every duplicate of pre-index history).
     """
     from ..operators.dedup import incremental_embedding_neardup
     from ..operators.similarity import ivf_assign, ivf_assign_pandas
@@ -71,19 +78,29 @@ def semantic_dedup_batch_fn(
             return
         new_ids = batch_df.select(id_col)
         if assigned_table is not None:
+            if clean_table._has_data() and not assigned_table._has_data():
+                raise ValueError(
+                    "assigned_table is empty but clean_table has history: "
+                    "the index would miss every pre-index duplicate. Run "
+                    "backfill_assigned_index(clean_table, assigned_table, "
+                    "centroids) once before enabling indexed mode."
+                )
             hist_assigned = assigned_table.read().join(
                 new_ids, id_col, "left_anti"
             )
+            # assign the batch ONCE; checkpoint so the probe, the dup
+            # decision, and the novel-index write all reuse it
+            probe = assign_fn(
+                batch_df, centroids, id_col, vec_col, with_score=False
+            ).localCheckpoint()
             flagged = incremental_embedding_neardup(
                 batch_df, None, centroids, threshold,
                 id_col, vec_col, assignment_impl,
-                history_assigned=hist_assigned,
+                history_assigned=hist_assigned, new_assigned=probe,
             )
             dup_ids = flagged.select(id_col).localCheckpoint()
             clean = batch_df.join(dup_ids, id_col, "left_anti")
-            novel_assigned = assign_fn(
-                clean, centroids, id_col, vec_col
-            )
+            novel_assigned = probe.join(dup_ids, id_col, "left_anti")
             assigned_table.overwrite_subdir(novel_assigned, sub)
             clean_table.overwrite_subdir(clean, sub)
             return
@@ -92,12 +109,33 @@ def semantic_dedup_batch_fn(
             batch_df, history, centroids, threshold,
             id_col, vec_col, assignment_impl,
         )
-        clean = batch_df.join(
-            flagged.select(id_col), id_col, "left_anti"
-        )
+        # the decision plan scans clean_table (it IS the history), and
+        # the write below overwrites a subdir that scan lists on replay
+        # — checkpoint the id list before writing, like the minhash fn
+        dup_ids = flagged.select(id_col).localCheckpoint()
+        clean = batch_df.join(dup_ids, id_col, "left_anti")
         clean_table.overwrite_subdir(clean, sub)
 
     return fn
+
+
+def backfill_assigned_index(clean_table, assigned_table, centroids: DataFrame,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            assignment_impl: str = "pandas") -> None:
+    """One-time migration: populate an empty ``assigned_table`` from an
+    existing clean-vector history so :func:`semantic_dedup_batch_fn`
+    can switch to indexed mode without losing dup detection against
+    pre-index content. Idempotent (batch-keyed overwrite) — rerun
+    until it completes if it crashes."""
+    from ..operators.similarity import ivf_assign, ivf_assign_pandas
+
+    assign_fn = (ivf_assign_pandas if assignment_impl == "pandas"
+                 else ivf_assign)
+    assigned_table.overwrite_subdir(
+        assign_fn(clean_table.read(), centroids, id_col, vec_col),
+        "batch=backfill",
+    )
 
 
 def minhash_dedup_batch_fn(
@@ -143,6 +181,14 @@ def minhash_dedup_batch_fn(
         sub = f"batch={batch_id}"
         if clean_table.subdir_committed(sub):
             return
+        if (bands_table is not None and sigs_table._has_data()
+                and not bands_table._has_data()):
+            raise ValueError(
+                "bands_table is empty but sigs_table has history: the "
+                "index would miss every pre-index duplicate. Run "
+                "backfill_band_index(sigs_table, bands_table) once "
+                "before enabling indexed mode."
+            )
         # sign ONCE: without the checkpoint the signature plan (explode
         # shingles x num_hashes min-agg) re-executes for every consumer
         # (probe, novel-sig write, dup decision) — measured 3x signing
@@ -191,3 +237,17 @@ def minhash_dedup_batch_fn(
         clean_table.overwrite_subdir(clean, sub)
 
     return fn
+
+
+def backfill_band_index(sigs_table, bands_table, bands: int = 4,
+                        id_col: str = "doc_id") -> None:
+    """One-time migration: populate an empty ``bands_table`` from an
+    existing signature history so :func:`minhash_dedup_batch_fn` can
+    switch to indexed mode without losing dup detection against
+    pre-index content. Idempotent (batch-keyed overwrite) — rerun
+    until it completes if it crashes."""
+    from ..operators.dedup import banded_keys
+
+    bands_table.overwrite_subdir(
+        banded_keys(sigs_table.read(), bands, id_col), "batch=backfill"
+    )

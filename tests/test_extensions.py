@@ -1038,18 +1038,18 @@ def test_paragraph_dedup_separator_is_literal_not_regex(spark):
     regex-interpreted split + literal join corrupted deduped_text)."""
     from snowflake_data_pipeline_demo_spark.operators import dedup
 
-    sep = "|.*|"  # every char is a regex metachar trap
-    docs = spark.createDataFrame(
-        [(1, f"first para{sep}second para"),
-         (2, f"second para{sep}third para")],
-        "doc_id long, text string",
-    )
-    got = {r["doc_id"]: r
-           for r in dedup.paragraph_dedup(docs, sep=sep).collect()}
-    assert got[1]["n_paragraphs"] == 2
-    assert got[1]["deduped_text"] == f"first para{sep}second para"
-    # doc 2 loses the duplicate "second para", keeps its own bytes
-    assert got[2]["deduped_text"] == "third para"
+    for sep in ("|.*|", "a\\Eb"):  # metachars; embedded quote-closer \E
+        docs = spark.createDataFrame(
+            [(1, f"first para{sep}second para"),
+             (2, f"second para{sep}third para")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r
+               for r in dedup.paragraph_dedup(docs, sep=sep).collect()}
+        assert got[1]["n_paragraphs"] == 2, sep
+        assert got[1]["deduped_text"] == f"first para{sep}second para", sep
+        # doc 2 loses the duplicate "second para", keeps its own bytes
+        assert got[2]["deduped_text"] == "third para", sep
 
 
 def test_paragraph_fixture_twins_agree(spark):

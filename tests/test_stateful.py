@@ -566,3 +566,87 @@ def test_semantic_dedup_assigned_index_matches_reassign_mode(spark, tmp_path):
                 for r in assigned_idx.read().collect()}
     assert set(idx_rows) == kept_idx
     assert idx_rows[1] == 0 and idx_rows[2] == 1
+
+
+def test_semantic_dedup_replay_after_crash_mid_write(spark, tmp_path):
+    """Legacy (non-indexed) semantic mode: a crash MID-WRITE leaves
+    batch files without _SUCCESS; the replay's history scan lists
+    those very files and then overwrites the subdir. The decision must
+    be checkpointed first (or the write deletes its own scan inputs)
+    and the batch's own ids excluded from history (or the half-write
+    flags the batch against itself). Simulate the crash by writing the
+    subdir and deleting its _SUCCESS marker."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+    from snowflake_data_pipeline_demo_spark.streaming.dedup import (
+        semantic_dedup_batch_fn,
+    )
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    clean = Table(spark, str(tmp_path / "clean"), schema)
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    fn = semantic_dedup_batch_fn(clean, cent, threshold=0.95)
+    b0 = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])], schema)
+    fn(b0, 0)
+    b1 = spark.createDataFrame([(10, [1.0, 0.0]), (11, [0.7, 0.7])], schema)
+    fn(b1, 1)
+    # simulate crash: batch=1 files exist, commit marker gone
+    os.remove(str(tmp_path / "clean" / "batch=1" / "_SUCCESS"))
+    fn(b1, 1)  # replay must converge, not FAILED_READ_FILE / self-flag
+    kept = {r["vec_id"] for r in clean.read().collect()}
+    assert kept == {1, 2, 11}  # 10 is the twin of 1 -> dropped
+
+
+def test_indexed_modes_refuse_uncovered_history(spark, tmp_path):
+    """Enabling an index table over an already-populated history must
+    fail fast — an empty index silently admits every duplicate of
+    pre-index content — and the backfill helpers must make the same
+    setup pass and keep detecting old dups."""
+    from pyspark.sql import types as T
+
+    from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+    from snowflake_data_pipeline_demo_spark.streaming.dedup import (
+        backfill_band_index,
+        minhash_dedup_batch_fn,
+    )
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sig_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ])
+    band_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("key", T.StringType()),
+    ])
+    clean = Table(spark, str(tmp_path / "clean"), doc_schema)
+    sigs = Table(spark, str(tmp_path / "sigs"), sig_schema)
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    b0 = spark.createDataFrame([(1, base)], doc_schema)
+    minhash_dedup_batch_fn(clean, sigs, threshold=0.5)(b0, 0)
+
+    # enable the index over the populated history: must refuse
+    bands = Table(spark, str(tmp_path / "bands"), band_schema)
+    fn_idx = minhash_dedup_batch_fn(clean, sigs, bands, threshold=0.5)
+    b1 = spark.createDataFrame([(2, base)], doc_schema)  # dup of 1
+    with pytest.raises(ValueError, match="backfill_band_index"):
+        fn_idx(b1, 1)
+
+    # backfill, retry: the pre-index duplicate is now caught
+    backfill_band_index(sigs, bands)
+    fn_idx(b1, 1)
+    assert {r["doc_id"] for r in clean.read().collect()} == {1}
