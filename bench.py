@@ -101,6 +101,7 @@ HEADLINE = [
     "x_shard_manifest_audit",
     "x_hll_cross_run_merge",
     "x_stream_minhash_dedup",
+    "x_temperature_mixture",
 ]
 
 

@@ -213,3 +213,48 @@ def mixture_budget(df: DataFrame, weights: dict[str, float],
             ),
         ).otherwise(F.lit(0.0)).alias("rate"),
     )
+
+
+def temperature_weights(df: DataFrame, alpha: float = 0.7,
+                        source_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Temperature-based mixture weights: w_s ∝ tokens_s^alpha,
+    normalized to sum to 1 — the standard multi-source/multilingual
+    mixing rule (alpha=1 is proportional sampling, alpha=0 uniform;
+    public precedent: multilingual LM sampling à la mBERT/XLM-R and
+    the UL2/PaLM data mixtures). The output feeds
+    :func:`mixture_budget` / :func:`weighted_mixture` directly.
+
+    Output: (source, tokens, raw = tokens^alpha 4dp, weight 4dp) —
+    sorted consumers should read ``weight``. Degenerate corpus (a
+    source with zero tokens) gets raw 0 and weight 0 rather than an
+    ANSI pow/div error; an entirely empty corpus yields zero rows.
+
+    Scale shape: one source-key token agg over the corpus (map-side
+    combined), then a one-row broadcast total — the whole solve stays
+    lazy and source-count-sized after the first agg, exactly like
+    mixture_budget.
+    """
+    from .text import token_count
+
+    per = (
+        df.select(F.col(source_col), token_count(text_col).alias("_n"))
+        .groupBy(source_col)
+        .agg(F.sum("_n").cast("long").alias("tokens"))
+    )
+    raw = per.select(
+        source_col, "tokens",
+        F.when(
+            F.col("tokens") > 0, F.pow(F.col("tokens").cast("double"), alpha)
+        ).otherwise(F.lit(0.0)).alias("_raw"),
+    )
+    total = raw.agg(F.sum("_raw").alias("_tot"))
+    return raw.join(F.broadcast(total)).select(
+        source_col, "tokens",
+        F.round("_raw", 4).alias("raw"),
+        F.coalesce(
+            F.when(F.col("_tot") > 0,
+                   F.round(F.col("_raw") / F.col("_tot"), 4)),
+            F.lit(0.0),
+        ).alias("weight"),
+    )

@@ -880,6 +880,7 @@ _VERIFY_FIRST = [
     "x_shard_manifest_audit",
     "x_stream_minhash_dedup",
     "x_hll_cross_run_merge",
+    "x_temperature_mixture",
     # last driver-green r03 (deferred from r05 by design)
     "x_vocab_topk",
     "x_embed_quantize",
@@ -925,7 +926,6 @@ _VERIFY_FIRST = [
     "x_sim_ivf_kmeans",
     "x_skew_salted_agg",
     "x_source_quota",
-    "x_split_leakage",
 ]
 
 #: Verified-every-round scalar/one-liner queries that can safely sit
@@ -950,6 +950,7 @@ _VERIFY_LAST = [
     "f6_variant_extract",
     # r04-green entries deferred from the r06 window — front these in
     # the r07 cut (rotation policy):
+    "x_split_leakage",
     "flagship_secure_report",
     "x_repetition_metrics_prod",
     "x_semdedup_prod",

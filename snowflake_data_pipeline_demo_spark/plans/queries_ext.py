@@ -3268,3 +3268,34 @@ def x_hll_cross_run_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.0406
         ).alias("merged_ok"),
     )
+
+
+@query(
+    "x_temperature_mixture",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split_regex(lower(text),
+               '[^a-z0-9]+'), x -> x != ''))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ), raw AS (
+      SELECT source, tokens,
+             CASE WHEN tokens > 0 THEN pow(tokens, 0.7) ELSE 0.0 END AS r
+      FROM per
+    )
+    SELECT source, tokens, round(r, 4) AS raw,
+           CASE WHEN (SELECT SUM(r) FROM raw) > 0
+                THEN round(r / (SELECT SUM(r) FROM raw), 4)
+                ELSE 0.0 END AS weight
+    FROM raw
+    """,
+    survey_ref="north-star:temperature-mixture",
+)
+def x_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights (operators/sampling.py:
+    temperature_weights): w_s ∝ tokens_s^0.7 normalized — the standard
+    multi-source mixing rule whose output feeds mixture_budget /
+    weighted_mixture. One map-side-combined token agg plus a one-row
+    broadcast total."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return sampling.temperature_weights(d, alpha=0.7)

@@ -1270,3 +1270,28 @@ def test_hll_merge_invariant_under_shard_partitioning(spark, docs, n_shards):
         ).collect()
     }
     assert est == single, (n_shards, est, single)
+
+
+def test_temperature_weights_properties(spark):
+    """alpha=1 reproduces proportional weights, alpha=0 uniform over
+    sources WITH tokens; zero-token sources get weight 0; weights sum
+    to ~1."""
+    from snowflake_data_pipeline_demo_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s0"), (2, "a b c d e f g h", "s0"),
+         (3, "a b c d", "s1"), (4, "", "s2")],
+        "doc_id long, text string, source string",
+    )
+    prop = {r["source"]: r["weight"]
+            for r in sampling.temperature_weights(docs, alpha=1.0).collect()}
+    assert prop["s2"] == 0.0
+    assert abs(prop["s0"] - 12 / 16) < 1e-3 and abs(prop["s1"] - 4 / 16) < 1e-3
+    unif = {r["source"]: r["weight"]
+            for r in sampling.temperature_weights(docs, alpha=0.0).collect()}
+    assert unif["s0"] == unif["s1"] == 0.5 and unif["s2"] == 0.0
+    mid = {r["source"]: r["weight"]
+           for r in sampling.temperature_weights(docs, alpha=0.7).collect()}
+    # temperature flattens: s1's share rises vs proportional
+    assert prop["s1"] < mid["s1"] < unif["s1"] + 1e-9
+    assert abs(sum(mid.values()) - 1.0) < 1e-3
