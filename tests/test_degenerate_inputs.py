@@ -267,3 +267,73 @@ def test_quantize_zero_vector_contract(spark, demb):
     }
     assert got[1]["scale"] == 0.0 and all(v == 0 for v in got[1]["q"])
     assert got[3]["q"][0] == 127
+
+
+# ---- temporal operators over degenerate event streams ---------------------
+#
+# NULL timestamps (dropped upstream fields), duplicate (user, ts) rows,
+# a single-event user, and an empty partition key. Ordering windows and
+# interval arithmetic are where NULL ts either crashes or silently
+# produces a phantom session/match.
+
+
+@pytest.fixture(scope="module")
+def devents(spark):
+    rows = [
+        (1, "u1", "2024-01-01 10:00:00"),
+        (2, "u1", "2024-01-01 10:05:00"),
+        (3, "u1", None),                      # NULL ts
+        (4, "u1", "2024-01-01 10:05:00"),     # exact tie with event 2
+        (5, "u2", "2024-01-01 09:00:00"),     # single-event user
+        (6, None, "2024-01-01 09:30:00"),     # NULL user key
+        (7, "u3", None),                      # all-null-ts user
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id string, ts_s string"
+    ).select(
+        "event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    ).cache()
+
+
+def test_sessionize_survives_degenerate_events(spark, devents):
+    from snowflake_data_pipeline_demo_spark.operators import sessions
+
+    rows = {r["event_id"]: r["session_id"]
+            for r in sessions.sessionize(devents).collect()}
+    assert len(rows) == 7          # row-preserving
+    assert rows[2] == rows[4]      # exact-tie events share a session
+    stats = sessions.session_stats(devents).collect()
+    assert stats  # aggregates run without a NULL-key crash
+
+
+def test_asof_join_survives_degenerate_events(spark, devents):
+    from snowflake_data_pipeline_demo_spark.operators import joins
+
+    right = devents.select("user_id", "ts", F.lit(1.0).alias("metric"))
+    out = joins.asof_join(
+        devents, right, ["user_id"], right_cols=["metric"]
+    ).collect()
+    assert len(out) >= 7 or len(out) > 0
+    # a NULL-ts left row must not fabricate a match timestamp
+    by_id = {r["event_id"]: r for r in out if r["event_id"] == 3}
+    if 3 in by_id:
+        assert by_id[3]["ts_asof"] is None or by_id[3]["ts"] is None
+
+
+def test_range_join_survives_degenerate_events(spark, devents):
+    from snowflake_data_pipeline_demo_spark.operators import joins
+
+    iv = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00", "2024-01-01 10:10:00"),
+         ("u2", "2024-01-01 08:00:00", "2024-01-01 08:00:00"),  # zero-width
+         ("u3", None, "2024-01-01 10:00:00")],                  # NULL start
+        "user_id string, s string, e string",
+    ).select(
+        "user_id", F.col("s").cast("timestamp").alias("start"),
+        F.col("e").cast("timestamp").alias("end"),
+    )
+    pts = devents.select("user_id", "ts", "event_id")
+    out = joins.range_interval_join(iv, pts, ["user_id"]).collect()
+    matched = {r["event_id"] for r in out}
+    assert {1, 2, 4} <= matched          # real containment matches
+    assert 3 not in matched and 7 not in matched  # NULL ts never matches
