@@ -151,6 +151,22 @@ def deterministic_global_shuffle(df: DataFrame,
     ).select(id_col, "shuffle_key", "shuffle_rank")
 
 
+def _per_source_tokens(df: DataFrame, source_col: str,
+                       text_col: str) -> DataFrame:
+    """Shared per-source token accounting for the mixture solvers —
+    ONE definition so :func:`mixture_budget` and
+    :func:`temperature_weights` can never drift apart on what a
+    'token' is. Map-side-combined source-key agg; output
+    (source, tokens long)."""
+    from .text import token_count
+
+    return (
+        df.select(F.col(source_col), token_count(text_col).alias("_n"))
+        .groupBy(source_col)
+        .agg(F.sum("_n").cast("long").alias("tokens"))
+    )
+
+
 def mixture_budget(df: DataFrame, weights: dict[str, float],
                    source_col: str = "source", text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
@@ -174,8 +190,6 @@ def mixture_budget(df: DataFrame, weights: dict[str, float],
     a one-row broadcast min — the whole solve is lazy and
     source-count-sized after the first agg.
     """
-    from .text import token_count
-
     # a zero/negative weight has no meaning in the solve (tokens_s /
     # w_s) and would throw DIVIDE_BY_ZERO under ANSI mode mid-job —
     # reject it at call time, driver-side, with a message
@@ -184,11 +198,7 @@ def mixture_budget(df: DataFrame, weights: dict[str, float],
         raise ValueError(f"mixture weights must be positive: {bad}")
 
     spark = df.sparkSession
-    per = (
-        df.select(F.col(source_col), token_count(text_col).alias("_n"))
-        .groupBy(source_col)
-        .agg(F.sum("_n").cast("long").alias("tokens"))
-    )
+    per = _per_source_tokens(df, source_col, text_col)
     wtab = spark.createDataFrame(
         sorted(weights.items()), f"{source_col} string, weight double"
     )
@@ -235,13 +245,7 @@ def temperature_weights(df: DataFrame, alpha: float = 0.7,
     lazy and source-count-sized after the first agg, exactly like
     mixture_budget.
     """
-    from .text import token_count
-
-    per = (
-        df.select(F.col(source_col), token_count(text_col).alias("_n"))
-        .groupBy(source_col)
-        .agg(F.sum("_n").cast("long").alias("tokens"))
-    )
+    per = _per_source_tokens(df, source_col, text_col)
     raw = per.select(
         source_col, "tokens",
         F.when(

@@ -3070,11 +3070,9 @@ def x_length_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x_shard_manifest_audit",
-    oracle="""
+    oracle=f"""
     WITH t AS (
-      SELECT doc_id,
-             CAST(len(list_filter(string_split_regex(lower(text),
-               '[^a-z0-9]+'), x -> x != '')) AS BIGINT) AS n_tokens
+      SELECT doc_id, CAST(len({_DTOKS}) AS BIGINT) AS n_tokens
       FROM documents
     ), o AS (
       SELECT doc_id, n_tokens,
@@ -3210,11 +3208,9 @@ def x_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x_hll_cross_run_merge",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
-      SELECT source,
-             unnest(list_filter(string_split_regex(lower(text),
-               '[^a-z0-9]+'), x -> x != '')) AS tok
+      SELECT source, unnest({_DTOKS}) AS tok
       FROM documents
     )
     SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_tokens,
@@ -3272,11 +3268,9 @@ def x_hll_cross_run_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x_temperature_mixture",
-    oracle="""
+    oracle=f"""
     WITH per AS (
-      SELECT source,
-             CAST(SUM(len(list_filter(string_split_regex(lower(text),
-               '[^a-z0-9]+'), x -> x != ''))) AS BIGINT) AS tokens
+      SELECT source, CAST(SUM(len({_DTOKS})) AS BIGINT) AS tokens
       FROM documents GROUP BY source
     ), raw AS (
       SELECT source, tokens,

@@ -183,11 +183,17 @@ def minhash_dedup_batch_fn(
             return
         if (bands_table is not None and sigs_table._has_data()
                 and not bands_table._has_data()):
+            # distinguishable from a crash-replay state ONLY because
+            # the band index is written BEFORE the signature table
+            # below: any crash point leaves bands >= sigs coverage, so
+            # sigs-populated + bands-empty can only mean the index was
+            # enabled over pre-existing plain-mode history.
             raise ValueError(
                 "bands_table is empty but sigs_table has history: the "
                 "index would miss every pre-index duplicate. Run "
-                "backfill_band_index(sigs_table, bands_table) once "
-                "before enabling indexed mode."
+                f"backfill_band_index(sigs_table, bands_table, "
+                f"bands={bands}) once before enabling indexed mode "
+                "(the bands value MUST match this fn's)."
             )
         # sign ONCE: without the checkpoint the signature plan (explode
         # shingles x num_hashes min-agg) re-executes for every consumer
@@ -229,11 +235,18 @@ def minhash_dedup_batch_fn(
         dup_ids = flagged.select(id_col).localCheckpoint()
         clean = batch_df.join(dup_ids, id_col, "left_anti")
         novel_sigs = new_sigs.join(dup_ids, id_col, "left_anti")
-        sigs_table.overwrite_subdir(novel_sigs, sub)
+        # write ORDER matters twice over: the gate checks the table
+        # written LAST (clean), and the migration guard above relies on
+        # bands being written FIRST — a crash at any point then leaves
+        # band coverage >= sig coverage, so a replayed first indexed
+        # batch can never be mistaken for an unbackfilled migration
+        # (sigs-before-bands order would wedge that replay on the
+        # guard forever).
         if bands_table is not None:
             bands_table.overwrite_subdir(
                 banded_keys(novel_sigs, bands, id_col), sub
             )
+        sigs_table.overwrite_subdir(novel_sigs, sub)
         clean_table.overwrite_subdir(clean, sub)
 
     return fn
@@ -244,7 +257,11 @@ def backfill_band_index(sigs_table, bands_table, bands: int = 4,
     """One-time migration: populate an empty ``bands_table`` from an
     existing signature history so :func:`minhash_dedup_batch_fn` can
     switch to indexed mode without losing dup detection against
-    pre-index content. Idempotent (batch-keyed overwrite) — rerun
+    pre-index content. ``bands`` MUST equal the value the batch fn is
+    built with — a mismatch produces band keys that never collide with
+    the probes' keys, silently zeroing detection against backfilled
+    history (the guard in the fn cannot see this; it only checks the
+    index is non-empty). Idempotent (batch-keyed overwrite) — rerun
     until it completes if it crashes."""
     from ..operators.dedup import banded_keys
 

@@ -313,11 +313,12 @@ def test_asof_join_survives_degenerate_events(spark, devents):
     out = joins.asof_join(
         devents, right, ["user_id"], right_cols=["metric"]
     ).collect()
-    assert len(out) >= 7 or len(out) > 0
+    # left-preserving: every event survives, including NULL-ts/NULL-key
+    assert len(out) == 7, sorted(r["event_id"] for r in out)
+    by_id = {r["event_id"]: r for r in out}
     # a NULL-ts left row must not fabricate a match timestamp
-    by_id = {r["event_id"]: r for r in out if r["event_id"] == 3}
-    if 3 in by_id:
-        assert by_id[3]["ts_asof"] is None or by_id[3]["ts"] is None
+    assert by_id[3]["ts_asof"] is None
+    assert by_id[7]["ts_asof"] is None
 
 
 def test_range_join_survives_degenerate_events(spark, devents):

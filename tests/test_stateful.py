@@ -650,3 +650,51 @@ def test_indexed_modes_refuse_uncovered_history(spark, tmp_path):
     backfill_band_index(sigs, bands)
     fn_idx(b1, 1)
     assert {r["doc_id"] for r in clean.read().collect()} == {1}
+
+
+def test_indexed_first_batch_crash_replay_does_not_wedge(spark, tmp_path):
+    """The migration guard must never fire on a crash-replay state.
+    Band index is written FIRST (bands >= sigs coverage at every crash
+    point), so 'sigs populated + bands empty' can only mean an
+    unbackfilled migration. Simulate the worst replay state a crash
+    can now produce — bands written, sigs and clean not — and replay:
+    it must converge, not raise."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+    from snowflake_data_pipeline_demo_spark.streaming.dedup import (
+        minhash_dedup_batch_fn,
+    )
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sig_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ])
+    band_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("key", T.StringType()),
+    ])
+    clean = Table(spark, str(tmp_path / "clean"), doc_schema)
+    sigs = Table(spark, str(tmp_path / "sigs"), sig_schema)
+    bands = Table(spark, str(tmp_path / "bands"), band_schema)
+    fn = minhash_dedup_batch_fn(clean, sigs, bands, threshold=0.5)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    b0 = spark.createDataFrame(
+        [(1, base), (2, base + " with a tail")], doc_schema
+    )
+    fn(b0, 0)
+    # crash state: bands/batch=0 persisted, sigs and clean wiped
+    shutil.rmtree(str(tmp_path / "sigs" / "batch=0"))
+    shutil.rmtree(str(tmp_path / "clean" / "batch=0"))
+    fn(b0, 0)  # replay: must NOT raise the backfill guard
+    assert {r["doc_id"] for r in clean.read().collect()} == {1}
+    assert sigs.read().count() == 1
