@@ -78,6 +78,12 @@ def semantic_dedup_batch_fn(
             return
         new_ids = batch_df.select(id_col)
         if assigned_table is not None:
+            # guard is unambiguous because the index is written BEFORE
+            # clean_table below (same ordering argument as the minhash
+            # fn's band index): every crash point leaves index coverage
+            # >= clean coverage, so clean-populated + index-empty can
+            # only mean indexed mode was enabled over plain-mode
+            # history.
             if clean_table._has_data() and not assigned_table._has_data():
                 raise ValueError(
                     "assigned_table is empty but clean_table has history: "
@@ -126,8 +132,12 @@ def backfill_assigned_index(clean_table, assigned_table, centroids: DataFrame,
     """One-time migration: populate an empty ``assigned_table`` from an
     existing clean-vector history so :func:`semantic_dedup_batch_fn`
     can switch to indexed mode without losing dup detection against
-    pre-index content. Idempotent (batch-keyed overwrite) — rerun
-    until it completes if it crashes."""
+    pre-index content. ``centroids`` MUST be the same frame the batch
+    fn is built with — different centroids assign history to different
+    clusters than the probes expect, silently missing candidates (the
+    fn's guard only checks the index is non-empty). Idempotent
+    (batch-keyed overwrite) — rerun until it completes if it
+    crashes."""
     from ..operators.similarity import ivf_assign, ivf_assign_pandas
 
     assign_fn = (ivf_assign_pandas if assignment_impl == "pandas"
