@@ -170,8 +170,11 @@ def minhash_dedup_batch_fn(
     appends each batch's novel banded keys to it and probes via
     ``incremental_neardup_indexed`` — O(batch) banding plus one
     equi-join against the index, the shape a minutes-cadence 100 TB
-    ingest needs (at that scale, bucket the index table on ``key`` so
-    the probe shuffles only the batch side).
+    ingest needs. At that scale, persist the index BUCKETED on
+    (band, key): the probe join then leaves the index side
+    exchange-free and shuffles only the O(batch) probe side —
+    demonstrated and plan-pinned by tests/test_plan_shapes.py::
+    test_bucketed_band_index_probe_shuffles_batch_side_only.
 
     Exactly-once under crash-replay: both writes are batch-keyed
     subdir overwrites; the GATE checks the table written LAST

@@ -337,3 +337,64 @@ def test_hll_cross_run_merge_is_sketch_aggs_plus_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "Window" not in p
+
+
+def test_bucketed_band_index_probe_shuffles_batch_side_only(spark, tmp_path):
+    """The streaming dedup docstring's scale claim, executable: persist
+    the banded-key index BUCKETED on the join key, and the per-batch
+    probe join must leave the index side exchange-free — only the
+    O(batch) probe side shuffles into the bucket layout. At 100 TB the
+    index is the big side; this is the difference between shuffling
+    the whole index every micro-batch and shuffling just the batch."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from snowflake_data_pipeline_demo_spark.operators.dedup import (
+        banded_keys, minhash_signatures,
+    )
+    from snowflake_data_pipeline_demo_spark.sources import testdata
+    from snowflake_data_pipeline_demo_spark.sources.bucketed import (
+        write_bucketed,
+    )
+
+    docs = testdata.load(spark, SF, "documents").select("doc_id", "text")
+    hist = banded_keys(minhash_signatures(docs), 4)
+    write_bucketed(hist, "band_idx_b", ["band", "key"], 8,
+                   sort_cols=["band", "key"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = banded_keys(
+            minhash_signatures(
+                docs.filter(F.col("doc_id") % 7 == 0)
+            ), 4,
+        ).withColumnRenamed("doc_id", "probe_id")
+        joined = spark.table("band_idx_b").alias("i").join(
+            probe.alias("p"),
+            (F.col("i.key") == F.col("p.key"))
+            & (F.col("i.band") == F.col("p.band")),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        p = buf.getvalue()
+        # the INDEX branch (first child of the SortMergeJoin) must be
+        # exchange-free — the scan feeds the join via its bucket
+        # layout; the probe branch keeps its own exchanges (signature
+        # agg + the shuffle into the bucket layout), both O(batch)
+        lines = p.splitlines()
+        smj = next(i for i, ln in enumerate(lines) if "SortMergeJoin" in ln)
+        first = next(i for i in range(smj + 1, len(lines))
+                     if lines[i].lstrip().startswith(":-"))
+        indent = len(lines[first]) - len(lines[first].lstrip())
+        second = next(i for i in range(first + 1, len(lines))
+                      if lines[i][:indent].strip() == ""
+                      and lines[i].lstrip().startswith("+-"))
+        index_branch = lines[first:second]
+        assert any("band_idx_b" in ln for ln in index_branch), p
+        assert not any("Exchange" in ln for ln in index_branch), p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS band_idx_b")
