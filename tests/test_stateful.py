@@ -698,3 +698,46 @@ def test_indexed_first_batch_crash_replay_does_not_wedge(spark, tmp_path):
     fn(b0, 0)  # replay: must NOT raise the backfill guard
     assert {r["doc_id"] for r in clean.read().collect()} == {1}
     assert sigs.read().count() == 1
+
+
+def test_semantic_indexed_crash_replay_converges(spark, tmp_path):
+    """Indexed semantic mode: crash after the assigned-index write but
+    before the clean write (the only intermediate state the write
+    order allows) must replay to identical bytes — the guard must not
+    fire (index coverage >= clean coverage by construction) and the
+    half-persisted index subdir must not flag the batch against
+    itself."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+    from snowflake_data_pipeline_demo_spark.streaming.dedup import (
+        semantic_dedup_batch_fn,
+    )
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    a_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("centroid_id", T.LongType()),
+    ])
+    clean = Table(spark, str(tmp_path / "clean"), schema)
+    assigned = Table(spark, str(tmp_path / "assigned"), a_schema)
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    fn = semantic_dedup_batch_fn(
+        clean, cent, threshold=0.95, assigned_table=assigned
+    )
+    b0 = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])], schema)
+    fn(b0, 0)
+    # crash state: assigned/batch=0 persisted, clean/batch=0 missing
+    shutil.rmtree(str(tmp_path / "clean" / "batch=0"))
+    fn(b0, 0)  # replay: converges without guard error or self-flag
+    assert {r["vec_id"] for r in clean.read().collect()} == {1, 2}
+    assert assigned.read().count() == 2
