@@ -59,6 +59,20 @@ def main() -> None:
     clean = decontam.decontaminate(body, eval_docs)
     kept = clean.filter(text.gopher_flags("text", min_required=1)["keep"])
 
+    # corpus profile BEFORE sampling decisions: the percentile SKETCH
+    # (the 100 TB path — fixed-size mergeable summaries; the exact
+    # lane is its verification twin) and the temperature weights the
+    # mixture solver would run with
+    print("== per-source length profile (sketch) + temperature weights:")
+    profile = text.length_quantiles_sketch(
+        kept.withColumn("n_chars", F.length("text"))
+    )
+    profile.join(
+        sampling.temperature_weights(kept, alpha=0.7)
+        .select("source", "weight"),
+        "source",
+    ).orderBy("source").show(5)
+
     # domain caps: at most 200 docs per source, longest first — the
     # quota'd set is what flows into tokenize/chunk/pack/shard/split
     quota = sampling.group_quota_topk(
