@@ -65,3 +65,19 @@ def test_registry_schema_is_driver_hashable(spark, name):
         f"{name}: non-atomic columns {bad} would crash the driver's "
         "canonicalizer — serialize to string in query AND oracle"
     )
+
+
+def test_stream_minhash_lane_is_deterministic_across_invocations(spark):
+    """x_stream_minhash_dedup is rows-only graded (cross-batch stateful
+    — no SQL oracle), so its guarantee rests on DETERMINISM: two
+    independent invocations (fresh temp tables each) must produce
+    byte-identical summary rows. xxhash64 signatures, id-ordered
+    batches, and exact-dup re-ingest make this hold by construction;
+    this pin keeps it that way."""
+    from snowflake_data_pipeline_demo_spark.plans.queries import QUERIES
+
+    b = QUERIES["x_stream_minhash_dedup"].builder
+    sf = "/root/testdata/sf0.001"
+    r1 = sorted(map(tuple, b(spark, sf).collect()))
+    r2 = sorted(map(tuple, b(spark, sf).collect()))
+    assert r1 == r2 and len(r1) == 3
