@@ -67,17 +67,26 @@ def test_registry_schema_is_driver_hashable(spark, name):
     )
 
 
-def test_stream_minhash_lane_is_deterministic_across_invocations(spark):
-    """x_stream_minhash_dedup is rows-only graded (cross-batch stateful
-    — no SQL oracle), so its guarantee rests on DETERMINISM: two
-    independent invocations (fresh temp tables each) must produce
-    byte-identical summary rows. xxhash64 signatures, id-ordered
-    batches, and exact-dup re-ingest make this hold by construction;
-    this pin keeps it that way."""
+_ROWS_ONLY = [n for n, q in _registry().items() if q.oracle is None]
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_lane_is_deterministic_across_invocations(spark, name):
+    """Every no-oracle lane's driver check is rows-only, so its entire
+    guarantee rests on DETERMINISM: two independent invocations (fresh
+    temp tables / fresh k-means where applicable) must produce
+    identical rows. Derandomized by construction (xxhash64 signatures,
+    id-ordered batches and samples, farthest-point k-means init);
+    this pin keeps the whole category that way."""
     from snowflake_data_pipeline_demo_spark.plans.queries import QUERIES
 
-    b = QUERIES["x_stream_minhash_dedup"].builder
+    b = QUERIES[name].builder
     sf = "/root/testdata/sf0.001"
-    r1 = sorted(map(tuple, b(spark, sf).collect()))
-    r2 = sorted(map(tuple, b(spark, sf).collect()))
-    assert r1 == r2 and len(r1) == 3
+
+    def run():
+        return sorted(
+            tuple(str(v) for v in row) for row in b(spark, sf).collect()
+        )
+
+    r1, r2 = run(), run()
+    assert r1 == r2 and r1
