@@ -933,3 +933,100 @@ def hll_merge_estimate(sketches, group_col: str = "source"):
         F.hll_sketch_estimate(F.hll_union_agg("sketch"))
         .cast("long").alias("est_tokens")
     )
+
+
+def length_histogram_shard_sketches(df, shard_col: Column | str,
+                                    group_col: str = "source",
+                                    value_col: str = "n_chars",
+                                    gamma: float = 1.1):
+    """Per-(group, shard) log-bucketed length histograms as PERSISTABLE
+    quantile state — the QUANTILE twin of
+    :func:`token_hll_shard_sketches`. ``percentile_approx`` merges its
+    GK summaries map-side within one job but never exposes the summary
+    bytes, so it cannot carry quantile state ACROSS runs; a
+    geometric-bucket histogram can. Bucket b holds values in
+    [gamma^b, gamma^(b+1)); nonnegative values below 1 (doc length 0)
+    land in bucket -1. The state is plain (group, shard, bucket, cnt)
+    rows — parquet-persistable, and merging any number of runs is an
+    EXACT operation (sum counts per bucket), so unlike a sketch the
+    cross-run merge loses nothing relative to a single pass.
+
+    Size bound: #buckets <= log_gamma(max_value) — 217 buckets cover
+    values up to 1e9 at gamma=1.1 — so per-(group, shard) state is
+    fixed-size regardless of row count, the property that lets a
+    100 TB ingest run persist O(groups x shards x 217) rows and a
+    later report merge them without re-reading any text.
+
+    Output: (group, shard, bucket int, cnt long).
+    """
+    v = F.col(value_col).cast("double")
+    bucket = (
+        F.when(v < 1, F.lit(-1))
+        .otherwise(F.floor(F.log(v) / F.log(F.lit(float(gamma)))))
+        .cast("int")
+    )
+    return (
+        df.select(
+            F.col(group_col), _col(shard_col).alias("shard"),
+            bucket.alias("bucket"),
+        )
+        .groupBy(group_col, "shard", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def histogram_merge_quantiles(hists, group_col: str = "source",
+                              qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+                              gamma: float = 1.1):
+    """Merge persisted length histograms (any union of
+    :func:`length_histogram_shard_sketches` frames, across any number
+    of runs/tables) into per-group quantiles. Merging sums counts per
+    (group, bucket) — exact and associative, so the merged result is
+    byte-identical to a single pass over the full corpus (pinned by
+    tests/test_extensions.py::test_histogram_quantiles_merge_across_runs).
+
+    The reported p-quantile is the geometric midpoint gamma^(b+0.5) of
+    the bucket containing the true type-1 quantile, so the value-error
+    contract is MULTIPLICATIVE: reported/true in (1/sqrt(gamma),
+    sqrt(gamma)] — at gamma=1.1, within ~4.9% of the exact percentile,
+    independent of corpus size. (Contrast percentile_approx's RANK
+    error: here rank is exact, value is bucketized.)
+
+    Shape: one (group, bucket) sum agg — O(groups x 217) rows — then a
+    cumulative window per group over at most ~217 bucket rows (bounded
+    by the bucket-count cap above, never by corpus size), then one
+    conditional-min agg per group. Nothing here scales with rows.
+
+    Output: (group, n_values long, p25..p99 double).
+    """
+    from pyspark.sql import Window
+
+    merged = hists.groupBy(group_col, "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    # bounded window: partitions are per-group bucket lists (<= ~217
+    # rows at gamma=1.1), never corpus-scale
+    w = (
+        Window.partitionBy(group_col).orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.select(
+        group_col, "bucket", "cnt", F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(group_col)).alias("total"),
+    )
+    aggs = [F.max("total").cast("long").alias("n_values")] + [
+        F.min(F.when(F.col("cum") >= F.lit(q) * F.col("total"),
+                     F.col("bucket"))).alias(f"_b{int(q * 100)}")
+        for q in qs
+    ]
+    out = cum.groupBy(group_col).agg(*aggs)
+
+    def rep(b: str) -> Column:
+        return F.when(F.col(b) < 0, F.lit(0.0)).otherwise(
+            F.pow(F.lit(float(gamma)), F.col(b) + 0.5)
+        )
+
+    return out.select(
+        group_col, "n_values",
+        *[rep(f"_b{int(q * 100)}").alias(f"p{int(q * 100)}") for q in qs],
+    )

@@ -1295,3 +1295,63 @@ def test_temperature_weights_properties(spark):
     # temperature flattens: s1's share rises vs proportional
     assert prop["s1"] < mid["s1"] < unif["s1"] + 1e-9
     assert abs(sum(mid.values()) - 1.0) < 1e-3
+
+
+def test_histogram_quantiles_merge_across_runs(spark, tmp_path):
+    """The quantile twin of the HLL cross-run proof: RUN A histograms
+    half the corpus per shard and persists the (group, shard, bucket,
+    cnt) rows to parquet; RUN B reads them back — never touching run
+    A's values — histograms the other half, and merges. The merged
+    quantiles must (a) be IDENTICAL to a single pass over the full
+    corpus (bucket-count merging is exact, not approximate, so there
+    is no tolerance to hide behind) and (b) sit within the documented
+    multiplicative envelope reported/true in (1/sqrt(gamma),
+    sqrt(gamma)] of the exact type-1 quantile."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from snowflake_data_pipeline_demo_spark.operators import text as T
+
+    gamma = 1.1
+    vals = [0, 0, 1, 3, 7, 12, 25, 60, 140, 333, 900, 2048, 5000,
+            12_345, 40_000] * 30
+    docs = spark.createDataFrame(
+        [(i, v, "s0") for i, v in enumerate(vals)],
+        "doc_id long, n_chars long, source string",
+    )
+    run_a = docs.filter(F.col("doc_id") % 2 == 0)
+    run_b = docs.filter(F.col("doc_id") % 2 == 1)
+    shard = (F.col("doc_id") % 4).cast("long")
+
+    # ---- run A: histogram own shard, persist, end ----
+    T.length_histogram_shard_sketches(run_a, shard, gamma=gamma) \
+        .write.parquet(str(tmp_path / "run_a"))
+
+    # ---- run B: fresh read of persisted rows + own histograms ----
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    merged = T.histogram_merge_quantiles(
+        spark.read.parquet(str(tmp_path / "run_a")).unionByName(
+            T.length_histogram_shard_sketches(run_b, shard, gamma=gamma)
+        ),
+        qs=qs, gamma=gamma,
+    ).collect()[0]
+    single_pass = T.histogram_merge_quantiles(
+        T.length_histogram_shard_sketches(docs, shard, gamma=gamma),
+        qs=qs, gamma=gamma,
+    ).collect()[0]
+
+    assert merged.asDict() == single_pass.asDict(), (merged, single_pass)
+    assert merged["n_values"] == len(vals)
+
+    # exact type-1 quantiles, the definition the envelope is stated for
+    ordered = sorted(vals)
+    for q in qs:
+        true = ordered[math.ceil(q * len(ordered)) - 1]
+        got = merged[f"p{int(q * 100)}"]
+        if true == 0:
+            assert got == 0.0, (q, got)
+        else:
+            ratio = got / true
+            assert 1 / math.sqrt(gamma) < ratio <= math.sqrt(gamma) + 1e-9, (
+                q, true, got, ratio)
