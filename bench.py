@@ -102,6 +102,7 @@ HEADLINE = [
     "x_hll_cross_run_merge",
     "x_stream_minhash_dedup",
     "x_temperature_mixture",
+    "x_histogram_quantiles",
 ]
 
 

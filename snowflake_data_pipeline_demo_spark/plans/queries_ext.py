@@ -3293,3 +3293,56 @@ def x_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast total."""
     d = testdata.load(spark, sf_dir, "documents")
     return sampling.temperature_weights(d, alpha=0.7)
+
+
+def _hist_q_sql(q: float) -> str:
+    b = f"MIN(CASE WHEN cum >= {q} * total THEN bucket END)"
+    return (f"CASE WHEN {b} < 0 THEN 0.0 "
+            f"ELSE round(pow(1.1, {b} + 0.5), 4) END AS p{int(q * 100)}")
+
+
+@query(
+    "x_histogram_quantiles",
+    oracle=f"""
+    WITH b AS (
+      SELECT source,
+             CASE WHEN n_chars < 1 THEN -1
+                  ELSE CAST(FLOOR(LN(CAST(n_chars AS DOUBLE)) / LN(1.1))
+                       AS INT) END AS bucket
+      FROM documents
+    ), m AS (
+      SELECT source, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+    ), c AS (
+      SELECT source, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS total
+      FROM m
+    )
+    SELECT source, CAST(MAX(total) AS BIGINT) AS n_values,
+           {", ".join(_hist_q_sql(q) for q in (0.25, 0.5, 0.75, 0.9, 0.99))}
+    FROM c GROUP BY source
+    """,
+    survey_ref="north-star:cross-run-quantile-state",
+)
+def x_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length quantiles from CROSS-RUN-mergeable histogram
+    state (operators/text.py: length_histogram_shard_sketches →
+    histogram_merge_quantiles): log-bucketed (source, shard, bucket,
+    cnt) rows are the persistable twin of percentile_approx's GK
+    summaries — merging runs is exact bucket summation, and the
+    reported value sits within sqrt(1.1) of the exact type-1
+    percentile (the oracle replays the identical bucket math, so the
+    gate is a hash match, not an envelope). The shard split exercises
+    the per-shard state path; merged results are shard-invariant by
+    construction. Rounded to 4 dp on both sides — Spark's and DuckDB's
+    pow differ in final ulps."""
+    d = testdata.load(spark, sf_dir, "documents")
+    shard = (F.col("doc_id") % 8).cast("long")
+    q = text.histogram_merge_quantiles(
+        text.length_histogram_shard_sketches(d, shard)
+    )
+    return q.select(
+        "source", "n_values",
+        *[F.round(F.col(c), 4).alias(c)
+          for c in ("p25", "p50", "p75", "p90", "p99")],
+    )
