@@ -957,6 +957,10 @@ def length_histogram_shard_sketches(df, shard_col: Column | str,
     100 TB ingest run persist O(groups x shards x 217) rows and a
     later report merge them without re-reading any text.
 
+    NULL values are ignored (the percentile-function convention —
+    a NULL length is a missing measurement, not a zero-length doc);
+    n_values downstream counts only non-NULL rows.
+
     Output: (group, shard, bucket int, cnt long).
     """
     v = F.col(value_col).cast("double")
@@ -966,7 +970,8 @@ def length_histogram_shard_sketches(df, shard_col: Column | str,
         .cast("int")
     )
     return (
-        df.select(
+        df.filter(v.isNotNull())
+        .select(
             F.col(group_col), _col(shard_col).alias("shard"),
             bucket.alias("bucket"),
         )

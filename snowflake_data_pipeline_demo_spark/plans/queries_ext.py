@@ -3309,7 +3309,7 @@ def _hist_q_sql(q: float) -> str:
              CASE WHEN n_chars < 1 THEN -1
                   ELSE CAST(FLOOR(LN(CAST(n_chars AS DOUBLE)) / LN(1.1))
                        AS INT) END AS bucket
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     ), m AS (
       SELECT source, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2
     ), c AS (

@@ -338,3 +338,39 @@ def test_range_join_survives_degenerate_events(spark, devents):
     matched = {r["event_id"] for r in out}
     assert {1, 2, 4} <= matched          # real containment matches
     assert 3 not in matched and 7 not in matched  # NULL ts never matches
+
+
+def test_histogram_quantiles_survive_degenerate_values(spark):
+    """Log-bucketed quantile state over the degenerate value classes:
+    NULL (missing measurement — ignored, the percentile convention),
+    zero (bucket -1 -> reported 0.0), one (the log(1)=0 boundary),
+    and a value large enough to stress the bucket-count bound. Plus
+    the all-NULL group (no rows survive -> group absent) and the
+    empty frame (no output rows, no crash)."""
+    vals = [
+        (1, None, "s0"),            # NULL length
+        (2, 0, "s0"),               # zero-length doc
+        (3, 1, "s0"),               # log(1) = 0 boundary
+        (4, 1_000_000_000, "s0"),   # bucket ~217 at gamma=1.1
+        (5, None, "s1"),            # group whose every value is NULL
+    ]
+    df = spark.createDataFrame(
+        vals, "doc_id long, n_chars long, source string"
+    )
+    shard = (F.col("doc_id") % 2).cast("long")
+    out = T.histogram_merge_quantiles(
+        T.length_histogram_shard_sketches(df, shard)
+    ).collect()
+    assert len(out) == 1 and out[0]["source"] == "s0"  # s1 all-NULL
+    row = out[0]
+    assert row["n_values"] == 3        # NULL ignored
+    assert row["p25"] == 0.0           # first value is the zero doc
+    # p99 falls in the top value's bucket: within sqrt(1.1) of 1e9
+    assert 1e9 / 1.1 ** 0.5 < row["p99"] <= 1e9 * 1.1 ** 0.5
+
+    empty = T.histogram_merge_quantiles(
+        T.length_histogram_shard_sketches(
+            df.filter(F.lit(False)), shard
+        )
+    ).collect()
+    assert empty == []
