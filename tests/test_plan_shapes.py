@@ -398,3 +398,21 @@ def test_bucketed_band_index_probe_shuffles_batch_side_only(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS band_idx_b")
+
+
+def test_histogram_quantiles_windows_are_group_bounded(spark):
+    """The cross-run quantile lane's shape contract (SCALE.md): bucket
+    counts combine map-side (partial HashAggregate — the exchanges
+    carry O(groups x shards x <=217 buckets) rows, never corpus rows),
+    and BOTH window functions are partitioned by the group key — a
+    partition-less window here would drag every bucket row to one
+    task. No join in the lane at all."""
+    p = _plan(spark, "x_histogram_quantiles")
+    assert "HashAggregate" in p
+    # two windows (cumulative + total), each partitioned by source
+    assert p.count("windowspecdefinition(source") == 2, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    # count -> merge -> window repartition: three exchanges, all over
+    # bucket-scale rows
+    n = p.count("hashpartitioning(")
+    assert n <= 3, f"extra shuffles in histogram lane ({n}):\n{p}"
