@@ -62,7 +62,11 @@ def main() -> None:
     # corpus profile BEFORE sampling decisions: the percentile SKETCH
     # (the 100 TB path — fixed-size mergeable summaries; the exact
     # lane is its verification twin) and the temperature weights the
-    # mixture solver would run with
+    # mixture solver would run with. A multi-run pipeline would
+    # instead persist text.length_histogram_shard_sketches rows here
+    # and report via histogram_merge_quantiles over ALL runs' state
+    # (exact cross-run merge; see x_histogram_quantiles) — this
+    # single-run demo profiles in-flight.
     print("== per-source length profile (sketch) + temperature weights:")
     profile = text.length_quantiles_sketch(
         kept.withColumn("n_chars", F.length("text"))
