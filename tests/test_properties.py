@@ -404,3 +404,51 @@ def test_paragraph_dedup_invariants(spark, doc_paras):
     ]
     assert len(all_kept) == len(set(all_kept))
     assert set(all_kept) == {pool[p] for ps in doc_paras for p in ps}
+
+
+@given(
+    st.lists(st.integers(0, 10**9), min_size=1, max_size=25),
+    st.integers(1, 5),
+)
+@_SLOW
+def test_histogram_quantiles_match_type1_within_envelope(
+    spark, vals, n_shards
+):
+    """For ANY nonnegative value list and ANY shard split: (a) the
+    merged histogram quantile equals the single-shard one (bucket-sum
+    merging is exact, sharding can never change the answer), and
+    (b) every reported quantile sits within the documented
+    multiplicative envelope (1/sqrt(gamma), sqrt(gamma)] of the exact
+    type-1 quantile (0.0 exactly, when the true quantile is 0)."""
+    import math
+
+    from snowflake_data_pipeline_demo_spark.operators import text as T
+
+    gamma = 1.1
+    qs = (0.25, 0.5, 0.9)
+    df = spark.createDataFrame(
+        [(i, v, "g") for i, v in enumerate(vals)],
+        "doc_id long, n_chars long, source string",
+    )
+    sharded = T.histogram_merge_quantiles(
+        T.length_histogram_shard_sketches(
+            df, (F.col("doc_id") % n_shards).cast("long"), gamma=gamma),
+        qs=qs, gamma=gamma,
+    ).collect()[0]
+    single = T.histogram_merge_quantiles(
+        T.length_histogram_shard_sketches(df, F.lit(0), gamma=gamma),
+        qs=qs, gamma=gamma,
+    ).collect()[0]
+    assert sharded.asDict() == single.asDict()
+    assert sharded["n_values"] == len(vals)
+
+    ordered = sorted(vals)
+    for q in qs:
+        true = ordered[math.ceil(q * len(ordered)) - 1]
+        got = sharded[f"p{int(q * 100)}"]
+        if true == 0:
+            assert got == 0.0
+        else:
+            r = got / true
+            assert 1 / math.sqrt(gamma) < r <= math.sqrt(gamma) + 1e-9, (
+                q, true, got)
