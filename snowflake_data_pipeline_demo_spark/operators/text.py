@@ -883,7 +883,7 @@ def length_quantiles_sketch(df, group_col: str = "source",
     """
     aggs = [F.count("*").cast("long").alias("n_docs")] + [
         F.percentile_approx(value_col, q, accuracy)
-        .cast("double").alias(f"p{int(q * 100)}")
+        .cast("double").alias(f"p{round(q * 100)}")
         for q in qs
     ]
     return df.groupBy(group_col).agg(*aggs)
@@ -961,7 +961,15 @@ def length_histogram_shard_sketches(df, shard_col: Column | str,
     a NULL length is a missing measurement, not a zero-length doc);
     n_values downstream counts only non-NULL rows.
 
-    Output: (group, shard, bucket int, cnt long).
+    The state carries the ``gamma`` it was bucketed with: bucket ids
+    are meaningless under any other base, and nothing else in the
+    (group, shard, bucket, cnt) rows could reveal a mismatch when a
+    later run merges state from many tables —
+    :func:`histogram_merge_quantiles` fails loudly on it instead of
+    silently reinterpreting (the banded-key index has the same
+    hazard and can only document it; see backfill_band_index).
+
+    Output: (group, shard, bucket int, cnt long, gamma double).
     """
     v = F.col(value_col).cast("double")
     bucket = (
@@ -977,6 +985,7 @@ def length_histogram_shard_sketches(df, shard_col: Column | str,
         )
         .groupBy(group_col, "shard", "bucket")
         .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("gamma", F.lit(float(gamma)))
     )
 
 
@@ -1002,11 +1011,32 @@ def histogram_merge_quantiles(hists, group_col: str = "source",
     by the bucket-count cap above, never by corpus size), then one
     conditional-min agg per group. Nothing here scales with rows.
 
+    Bucket ids only mean anything under the gamma they were built
+    with, so the merge REFUSES state bucketed at a different base:
+    every input row's persisted ``gamma`` is checked (lazily, inside
+    the plan via ``assert_true`` — one comparison per bucket-scale
+    row) against this call's ``gamma``, and a mismatch fails the job
+    rather than publishing percentiles that are silently off by
+    gamma^delta.
+
     Output: (group, n_values long, p25..p99 double).
     """
     from pyspark.sql import Window
 
-    merged = hists.groupBy(group_col, "bucket").agg(
+    g = float(gamma)
+    # as a FILTER, not a projected-then-dropped column — Catalyst
+    # prunes unused projections, which would optimize the check away;
+    # a predicate the plan depends on cannot be pruned. assert_true
+    # returns NULL when it passes, so isNull() keeps every row.
+    guarded = hists.filter(
+        F.assert_true(
+            F.col("gamma") == g,
+            F.concat(F.lit("histogram state bucketed at gamma="),
+                     F.col("gamma"),
+                     F.lit(f" cannot merge under gamma={g!r}")),
+        ).isNull()
+    )
+    merged = guarded.groupBy(group_col, "bucket").agg(
         F.sum("cnt").alias("cnt")
     )
     # bounded window: partitions are per-group bucket lists (<= ~217
@@ -1021,7 +1051,7 @@ def histogram_merge_quantiles(hists, group_col: str = "source",
     )
     aggs = [F.max("total").cast("long").alias("n_values")] + [
         F.min(F.when(F.col("cum") >= F.lit(q) * F.col("total"),
-                     F.col("bucket"))).alias(f"_b{int(q * 100)}")
+                     F.col("bucket"))).alias(f"_b{round(q * 100)}")
         for q in qs
     ]
     out = cum.groupBy(group_col).agg(*aggs)
@@ -1033,5 +1063,5 @@ def histogram_merge_quantiles(hists, group_col: str = "source",
 
     return out.select(
         group_col, "n_values",
-        *[rep(f"_b{int(q * 100)}").alias(f"p{int(q * 100)}") for q in qs],
+        *[rep(f"_b{round(q * 100)}").alias(f"p{round(q * 100)}") for q in qs],
     )

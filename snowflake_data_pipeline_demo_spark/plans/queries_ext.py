@@ -3048,7 +3048,7 @@ def x_length_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tol = F.col("n_docs") * (5.0 / accuracy) + F.lit(2.0)
     checks = []
     for q in qs:
-        p = f"p{int(q * 100)}"
+        p = f"p{round(q * 100)}"
         cnt_lt = F.sum(
             F.when(F.col("n_chars") < F.col(p), 1).otherwise(0)
         )
@@ -3298,7 +3298,7 @@ def x_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hist_q_sql(q: float) -> str:
     b = f"MIN(CASE WHEN cum >= {q} * total THEN bucket END)"
     return (f"CASE WHEN {b} < 0 THEN 0.0 "
-            f"ELSE round(pow(1.1, {b} + 0.5), 4) END AS p{int(q * 100)}")
+            f"ELSE round(pow(1.1, {b} + 0.5), 4) END AS p{round(q * 100)}")
 
 
 @query(

@@ -1355,3 +1355,33 @@ def test_histogram_quantiles_merge_across_runs(spark, tmp_path):
             ratio = got / true
             assert 1 / math.sqrt(gamma) < ratio <= math.sqrt(gamma) + 1e-9, (
                 q, true, got, ratio)
+
+
+def test_histogram_merge_refuses_mismatched_gamma(spark, tmp_path):
+    """Persisted bucket ids are meaningless under any other base, and
+    nothing else in the state rows could reveal the mismatch — the
+    merge must fail loudly, not publish percentiles silently off by
+    gamma^delta. The guard is a lazy assert_true FILTER (a projected
+    column would be pruned away by Catalyst), so it must fire through
+    a parquet round-trip too."""
+    from pyspark.errors import SparkRuntimeException
+    from pyspark.sql import functions as F
+
+    from snowflake_data_pipeline_demo_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(i, 100 + i, "s0") for i in range(20)],
+        "doc_id long, n_chars long, source string",
+    )
+    state = T.length_histogram_shard_sketches(
+        df, F.lit(0), gamma=1.05
+    )
+    state.write.parquet(str(tmp_path / "state"))
+    back = spark.read.parquet(str(tmp_path / "state"))
+
+    with pytest.raises(SparkRuntimeException, match="gamma"):
+        T.histogram_merge_quantiles(back, gamma=1.1).collect()
+
+    # matching gamma passes through the same guard untouched
+    ok = T.histogram_merge_quantiles(back, gamma=1.05).collect()
+    assert ok[0]["n_values"] == 20
