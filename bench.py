@@ -140,6 +140,61 @@ def main() -> None:
             lambda: cluster_size_histogram(spark.read.parquet(comp_path)),
     }
 
+    # Steady-state twin of x_stream_minhash_dedup: the registry lane
+    # times the 3-batch BOOTSTRAP (empty index -> populated) so the
+    # driver can gate the whole ingest contract; a production stream
+    # pays only the MARGINAL batch cost against an already-populated
+    # index. Stage the index with two batches (untimed — it is the
+    # bootstrap's cost, already carried by the registry lane), then
+    # bench one micro-batch per pass under a fresh batch id: the cold
+    # pass ingests novel content (signs, probes, writes novel sigs);
+    # each warm pass re-ingests that same content re-keyed, i.e. the
+    # duplicate-flood path (signs, probes, drops everything) — the
+    # same O(batch) work every pass, nothing gated away by the
+    # exactly-once subdir check.
+    import itertools
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as ST
+    from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+    from snowflake_data_pipeline_demo_spark.sources.testdata import load
+    from snowflake_data_pipeline_demo_spark.streaming.dedup import (
+        minhash_dedup_batch_fn,
+    )
+
+    sm_tmp = tempfile.mkdtemp(prefix="bench_stream_minhash_")
+    sm_clean = Table(spark, f"{sm_tmp}/clean", ST.StructType([
+        ST.StructField("doc_id", ST.LongType()),
+        ST.StructField("text", ST.StringType()),
+    ]))
+    sm_sigs = Table(spark, f"{sm_tmp}/sigs", ST.StructType([
+        ST.StructField("doc_id", ST.LongType()),
+        ST.StructField("sig", ST.ArrayType(ST.LongType())),
+    ]))
+    sm_bands = Table(spark, f"{sm_tmp}/bands", ST.StructType([
+        ST.StructField("doc_id", ST.LongType()),
+        ST.StructField("band", ST.IntegerType()),
+        ST.StructField("key", ST.StringType()),
+    ]))
+    sm_fn = minhash_dedup_batch_fn(sm_clean, sm_sigs, sm_bands,
+                                   threshold=0.5)
+    sm_docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    sm_fn(sm_docs.filter(F.col("doc_id") % 3 == 0), 0)
+    sm_fn(sm_docs.filter(F.col("doc_id") % 3 == 1), 1)
+    spark.catalog.clearCache()
+    _sm_pass = itertools.count(2)
+
+    def _steady_batch():
+        i = next(_sm_pass)
+        batch = sm_docs.filter(F.col("doc_id") % 3 == 2).select(
+            (F.col("doc_id") + (i - 1) * 10_000_000).alias("doc_id"),
+            "text",
+        )
+        sm_fn(batch, i)
+        return spark.read.parquet(f"{sm_tmp}/clean/batch={i}")
+
+    extras["x_stream_minhash_steady_batch"] = _steady_batch
+
     def run_all() -> tuple[dict[str, float], float]:
         timings: dict[str, float] = {}
         t_all = time.time()
