@@ -741,3 +741,66 @@ def test_semantic_indexed_crash_replay_converges(spark, tmp_path):
     fn(b0, 0)  # replay: converges without guard error or self-flag
     assert {r["vec_id"] for r in clean.read().collect()} == {1, 2}
     assert assigned.read().count() == 2
+
+
+def test_minhash_dedup_survives_index_compaction(spark, tmp_path):
+    """The persisted signature/band index grows forever by design, so
+    at some point a maintenance window runs Table.compact on it —
+    which flattens the overwrite_subdir batch layout and consumes the
+    replay markers (documented contract: compact a QUIESCED table).
+    What must hold afterwards: ingest decisions are unchanged — a
+    duplicate of pre-compaction content is still dropped against the
+    compacted index, novel content is still kept, and the index keeps
+    growing with novel keys only — because the probe reads the table
+    recursively whatever the file layout. Pins the compaction story
+    SCALE.md sells for continuous ingest."""
+    from pyspark.sql import types as T
+
+    from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+    from snowflake_data_pipeline_demo_spark.streaming.dedup import (
+        minhash_dedup_batch_fn,
+    )
+
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sig_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ])
+    band_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("key", T.StringType()),
+    ])
+    clean = Table(spark, str(tmp_path / "clean"), doc_schema)
+    sigs = Table(spark, str(tmp_path / "sigs"), sig_schema)
+    bands = Table(spark, str(tmp_path / "bands"), band_schema)
+    fn = minhash_dedup_batch_fn(clean, sigs, bands, threshold=0.5)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    other = ("completely different material about spark shuffle "
+             "exchange partitions and broadcast hash joins at scale")
+    fn(spark.createDataFrame([(1, base)], doc_schema), 0)
+    fn(spark.createDataFrame([(2, other)], doc_schema), 1)
+
+    # quiesced maintenance window: compact all three tables
+    for t in (clean, sigs, bands):
+        stats = t.compact(target_file_bytes=1 << 30)
+        assert stats["files_after"] <= stats["files_before"]
+    n_sigs_before = sigs.count()
+
+    # post-compaction ingest: dup of pre-compaction content dropped,
+    # novel doc kept, index grows by the novel doc only
+    fn(spark.createDataFrame(
+        [(3, base), (4, "novel text regarding parquet row group "
+                        "statistics and column chunk encodings")],
+        doc_schema), 2)
+    kept2 = {r["doc_id"] for r in spark.read.schema(doc_schema)
+             .parquet(str(tmp_path / "clean/batch=2")).collect()}
+    assert kept2 == {4}, kept2
+    assert sigs.count() == n_sigs_before + 1
+    assert {r["doc_id"] for r in
+            bands.read().select("doc_id").distinct().collect()} == {1, 2, 4}
