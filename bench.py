@@ -103,6 +103,7 @@ HEADLINE = [
     "x_stream_minhash_dedup",
     "x_temperature_mixture",
     "x_histogram_quantiles",
+    "x_dedup_threshold_sweep",
 ]
 
 

@@ -246,6 +246,67 @@ def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame,
     )
 
 
+def threshold_sweep(est_pairs: DataFrame, docs: DataFrame,
+                    thresholds: tuple = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+                    id_col: str = "doc_id") -> DataFrame:
+    """Dedup tuning report: for each candidate Jaccard threshold, how
+    many candidate pairs qualify and how many documents the PAIRWISE
+    keep-smallest rule would drop (a doc is dropped iff it is the
+    larger id of any qualifying pair) — the sweep every deployment
+    runs before committing to a cutoff.
+
+    Honest approximation note: the production pipeline drops via
+    connected components (keep the min id per CLUSTER), which can
+    differ from the pairwise rule on chain-shaped clusters (in edges
+    (1,3),(2,3), components drop {2,3} but doc 2 has no smaller
+    direct neighbor, so the pairwise rule keeps it). Sweeping exact
+    cluster counts would run the O(log^2 n) components iteration once
+    PER threshold; the pairwise rule reads the one estimates frame
+    ONCE for all thresholds — the right cost shape for a tuning
+    report, with the exact count available from the full pipeline at
+    the chosen cutoff.
+
+    Shape: thresholds explode over the candidate-pair frame
+    (collision-bounded, never corpus-scale) into one (threshold)
+    hash-agg; the doc total joins as a broadcast one-row frame; a
+    broadcast equi-join re-attaches zero-pair thresholds. Output:
+    (threshold, n_pairs, n_docs_dropped, drop_rate), one row per
+    requested threshold.
+    """
+    spark = est_pairs.sparkSession
+    ths = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    agg = (
+        est_pairs.select(
+            F.explode(F.array(*[F.lit(float(t)) for t in thresholds]))
+            .alias("threshold"),
+            "id_b", "jaccard_est",
+        )
+        .filter(F.col("jaccard_est") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("id_b").alias("n_docs_dropped"),
+        )
+    )
+    total = docs.agg(F.count("*").alias("_n_docs"))
+    return (
+        ths.join(F.broadcast(agg), "threshold", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce("n_docs_dropped", F.lit(0).cast("long"))
+            .alias("n_docs_dropped"),
+            F.round(
+                F.coalesce("n_docs_dropped", F.lit(0).cast("long"))
+                / F.col("_n_docs"), 4
+            ).alias("drop_rate"),
+        )
+    )
+
+
 def incremental_neardup(new_sigs: DataFrame, history_sigs: DataFrame,
                         bands: int = 4, id_col: str = "doc_id",
                         threshold: float = 0.3) -> DataFrame:

@@ -3346,3 +3346,53 @@ def x_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(F.col(c), 4).alias(c)
           for c in ("p25", "p50", "p75", "p90", "p99")],
     )
+
+
+@query(
+    "x_dedup_threshold_sweep",
+    oracle=_MINHASH_SIG_SQL + """
+    , banded AS (
+      SELECT doc_id, bnd,
+             md5(array_to_string(sig[CAST(bnd*4+1 AS INT):CAST(bnd*4+4 AS INT)], ',')) AS key
+      FROM sig, range(0, 4) r(bnd)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM banded a JOIN banded b2
+        ON a.bnd = b2.bnd AND a.key = b2.key AND a.doc_id < b2.doc_id
+    ), est AS (
+      SELECT p.id_a, p.id_b,
+             round(len([i for i in range(1, 17)
+                        if sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]]) / 16.0, 4) AS jaccard_est
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+    ), ths AS (
+      SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+             AS threshold
+    )
+    SELECT t.threshold, COUNT(e.id_b) AS n_pairs,
+           COUNT(DISTINCT e.id_b) AS n_docs_dropped,
+           round(COUNT(DISTINCT e.id_b) / (SELECT COUNT(*) FROM documents), 4)
+           AS drop_rate
+    FROM ths t LEFT JOIN est e ON e.jaccard_est >= t.threshold
+    GROUP BY 1
+    """,
+    survey_ref="north-star:dedup-threshold-sweep",
+)
+def x_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold tuning report (operators/dedup.py:
+    threshold_sweep): per candidate Jaccard cutoff, qualifying
+    candidate-pair count, documents the pairwise keep-smallest rule
+    would drop, and the drop rate — computed from ONE pass over the
+    collision-bounded estimates frame for all thresholds (sweeping
+    exact cluster counts would re-run connected components per
+    threshold; the operator docstring records where the pairwise rule
+    can differ). Same _materialize boundaries as x_dedup_minhash_lsh:
+    sigs feed candidate generation and both estimate joins."""
+    d = testdata.load(spark, sf_dir, "documents")
+    from .queries import _materialize
+
+    sigs = _materialize(dedup.minhash_signatures(d, num_hashes=16))
+    pairs = _materialize(dedup.lsh_candidate_pairs(sigs, bands=4))
+    est = dedup.minhash_jaccard_estimate(sigs, pairs)
+    return dedup.threshold_sweep(est, d)

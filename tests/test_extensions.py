@@ -1385,3 +1385,40 @@ def test_histogram_merge_refuses_mismatched_gamma(spark, tmp_path):
     # matching gamma passes through the same guard untouched
     ok = T.histogram_merge_quantiles(back, gamma=1.05).collect()
     assert ok[0]["n_values"] == 20
+
+
+def test_threshold_sweep_pairwise_semantics(spark):
+    """Pin the sweep's documented semantics on a hand-built estimates
+    frame: per-threshold pair/doc counts, zero-pair thresholds present
+    with 0s, and the chain case where the pairwise keep-smallest rule
+    deliberately diverges from connected components — edges (1,3) and
+    (2,3): components would drop {2, 3}, the pairwise rule drops only
+    {3} (doc 2 has no smaller direct neighbor). The divergence is the
+    price of sweeping every threshold in one pass; the docstring owns
+    it, this test keeps it honest."""
+    from snowflake_data_pipeline_demo_spark.operators import dedup
+
+    est = spark.createDataFrame(
+        [(1, 3, 0.8), (2, 3, 0.6), (4, 5, 0.4)],
+        "id_a long, id_b long, jaccard_est double",
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "doc_id long"
+    )
+    out = {
+        r["threshold"]: r for r in dedup.threshold_sweep(
+            est, docs, thresholds=(0.3, 0.5, 0.7, 0.9)
+        ).collect()
+    }
+    assert set(out) == {0.3, 0.5, 0.7, 0.9}
+    # 0.3: all three pairs qualify; dropped = larger ids {3, 5}
+    assert (out[0.3]["n_pairs"], out[0.3]["n_docs_dropped"]) == (3, 2)
+    assert out[0.3]["drop_rate"] == round(2 / 6, 4)
+    # 0.5: pairs (1,3) and (2,3); dropped = {3} ONLY — the chain case
+    # (components would also drop 2)
+    assert (out[0.5]["n_pairs"], out[0.5]["n_docs_dropped"]) == (2, 1)
+    # 0.7: pair (1,3) only
+    assert (out[0.7]["n_pairs"], out[0.7]["n_docs_dropped"]) == (1, 1)
+    # 0.9: nothing qualifies — the row still appears, zeroed
+    assert (out[0.9]["n_pairs"], out[0.9]["n_docs_dropped"]) == (0, 0)
+    assert out[0.9]["drop_rate"] == 0.0
