@@ -104,6 +104,7 @@ HEADLINE = [
     "x_temperature_mixture",
     "x_histogram_quantiles",
     "x_dedup_threshold_sweep",
+    "x_line_dedup",
 ]
 
 

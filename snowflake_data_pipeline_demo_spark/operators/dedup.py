@@ -979,6 +979,42 @@ def chunk_dedup_reassemble(df: DataFrame, text_col: str = "text",
     )
 
 
+def line_dedup_within_doc(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          sep: str = "\n") -> DataFrame:
+    """WITHIN-document duplicate-line removal (the C4/Dolma curation
+    step: navigation bars, repeated boilerplate lines inside one
+    page): split on the LITERAL ``sep``, keep each distinct line at
+    its first occurrence, reassemble in order. Matching is on RAW
+    line text — deliberately stricter than the corpus-wide operators'
+    normalized fingerprints, because within one document an exact
+    repeat is the signal (two lines differing in case are content).
+
+    Scale shape — the interesting contrast with :func:`paragraph_dedup`
+    and :func:`chunk_dedup_reassemble`: those are corpus-wide, so the
+    keeper decision is necessarily a fingerprint shuffle; dedup scoped
+    WITHIN the row needs no shuffle at all. ``array_distinct``
+    preserves first-occurrence order, so the whole operator is one
+    codegen'd per-row projection running at parquet-scan speed —
+    at 100 TB it composes into any scan without adding an exchange
+    (pinned by the plan-shape suite's no-shuffle sweep).
+
+    Output: (id, n_lines, kept_lines, deduped_text); NULL text
+    propagates NULLs (no crash — degenerate harness).
+    """
+    # same \Q..\E literal quoting as paragraph_dedup (see the \E
+    # re-open comment there)
+    quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    lines = F.split(F.col(text_col), quoted)
+    deduped = F.array_distinct(lines)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(deduped).cast("long").alias("kept_lines"),
+        F.array_join(deduped, sep).alias("deduped_text"),
+    )
+
+
 def paragraph_dedup(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
                     sep: str = "\n\n") -> DataFrame:

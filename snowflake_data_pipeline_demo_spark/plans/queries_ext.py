@@ -3396,3 +3396,36 @@ def x_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _materialize(dedup.lsh_candidate_pairs(sigs, bands=4))
     est = dedup.minhash_jaccard_estimate(sigs, pairs)
     return dedup.threshold_sweep(est, d)
+
+
+@query(
+    "x_line_dedup",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS ord
+      FROM documents
+    ), firsts AS (
+      SELECT doc_id, line, MIN(ord) AS ord FROM l GROUP BY 1, 2
+    ), n AS (
+      SELECT doc_id, len(string_split(text, chr(10))) AS n_lines
+      FROM documents
+    )
+    SELECT f.doc_id, CAST(MAX(n.n_lines) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS kept_lines,
+           string_agg(f.line, chr(10) ORDER BY f.ord) AS deduped_text
+    FROM firsts f JOIN n USING (doc_id)
+    GROUP BY f.doc_id
+    """,
+    survey_ref="north-star:line-dedup-within-doc",
+)
+def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-line removal (operators/dedup.py:
+    line_dedup_within_doc — the C4/Dolma boilerplate-line step): a
+    pure per-row projection, NO shuffle (array_distinct preserves
+    first-occurrence order), so it composes into any scan for free —
+    the scale contrast with the corpus-wide paragraph/chunk dedup
+    whose keeper decisions necessarily shuffle fingerprints."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return dedup.line_dedup_within_doc(d)

@@ -130,6 +130,7 @@ _FRAME_CASES = {
     "neardup_components": lambda s, d: dedup.neardup_components(d),
     "chunk_dedup_reassemble": lambda s, d: dedup.chunk_dedup_reassemble(d),
     "paragraph_dedup": lambda s, d: dedup.paragraph_dedup(d),
+    "line_dedup_within_doc": lambda s, d: dedup.line_dedup_within_doc(d),
     # chunking / packing
     "chunk_by_tokens": lambda s, d: chunking.chunk_by_tokens(d),
     "shard_by_token_budget": lambda s, d: packing.shard_by_token_budget(

@@ -1422,3 +1422,35 @@ def test_threshold_sweep_pairwise_semantics(spark):
     # 0.9: nothing qualifies — the row still appears, zeroed
     assert (out[0.9]["n_pairs"], out[0.9]["n_docs_dropped"]) == (0, 0)
     assert out[0.9]["drop_rate"] == 0.0
+
+
+def test_line_dedup_within_doc_semantics(spark):
+    """First-occurrence order preserved, raw-text matching (case
+    differs -> kept), duplicate blank lines collapse, regex-metachar
+    separator treated literally, NULL text propagates NULLs."""
+    from snowflake_data_pipeline_demo_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "nav\nbody one\nnav\nbody two\nnav"),
+            (2, "a\n\nb\n\na"),          # duplicate blank lines collapse
+            (3, "Line\nline"),            # case differs: both kept
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.line_dedup_within_doc(df).collect()}
+    assert out[1]["deduped_text"] == "nav\nbody one\nbody two"
+    assert (out[1]["n_lines"], out[1]["kept_lines"]) == (5, 3)
+    assert out[2]["deduped_text"] == "a\n\nb"
+    assert out[3]["kept_lines"] == 2
+    assert out[4]["deduped_text"] is None and out[4]["n_lines"] is None
+
+    # a regex-metachar separator splits literally and round-trips
+    df2 = spark.createDataFrame(
+        [(1, "x|+|y|+|x|+|z")], "doc_id long, text string"
+    )
+    r = dedup.line_dedup_within_doc(df2, sep="|+|").collect()[0]
+    assert r["deduped_text"] == "x|+|y|+|z"
+    assert (r["n_lines"], r["kept_lines"]) == (4, 3)
