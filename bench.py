@@ -105,6 +105,7 @@ HEADLINE = [
     "x_histogram_quantiles",
     "x_dedup_threshold_sweep",
     "x_line_dedup",
+    "x_embed_dim_stats",
 ]
 
 

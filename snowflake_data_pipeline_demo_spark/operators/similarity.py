@@ -492,3 +492,39 @@ def kmeans_centroids(
         [(j, [float(x) for x in C[j]]) for j in range(len(C))],
         f"centroid_id long, {vec_col} array<float>",
     )
+
+
+def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-DIMENSION corpus statistics (n, mean, std, min, max) — the
+    normalization/whitening precursor every embedding pipeline runs
+    before cosine work (mean-centering, per-dim scaling, dead-dim
+    detection: a dimension with ~zero variance carries no signal and
+    wastes index bytes). NULL embeddings are dropped at the boundary
+    like every vector operator here (:func:`_nonnull`).
+
+    Scale shape: posexplode is rows x dims, but every aggregate
+    combines map-side, so the exchange carries O(dims x partials) —
+    at dim=64 that is 64 rows per task regardless of corpus size; the
+    result is dim-scale and broadcasts back into whatever projection
+    applies the normalization. Stats rounded to 4 dp (double) so the
+    DuckDB oracle hash-matches despite summation-order differences in
+    the last ulps.
+
+    Output: (dim long [0-based], n long, mean, std, vmin, vmax —
+    double, 4 dp; std is NULL for a single-vector corpus, the
+    stddev_samp convention on both engines).
+    """
+    e = _nonnull(df, vec_col).select(
+        F.posexplode(F.col(vec_col)).alias("dim", "_v")
+    )
+    v = F.col("_v").cast("double")
+    return (
+        e.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg(v), 4).alias("mean"),
+            F.round(F.stddev_samp(v), 4).alias("std"),
+            F.round(F.min(v), 4).alias("vmin"),
+            F.round(F.max(v), 4).alias("vmax"),
+        )
+    )

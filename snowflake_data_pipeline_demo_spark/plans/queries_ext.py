@@ -3429,3 +3429,28 @@ def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose keeper decisions necessarily shuffle fingerprints."""
     d = testdata.load(spark, sf_dir, "documents")
     return dedup.line_dedup_within_doc(d)
+
+
+@query(
+    "x_embed_dim_stats",
+    oracle="""
+    WITH e AS (
+      SELECT unnest(embedding) AS v,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+           round(avg(CAST(v AS DOUBLE)), 4) AS mean,
+           round(stddev_samp(CAST(v AS DOUBLE)), 4) AS std,
+           round(CAST(min(v) AS DOUBLE), 4) AS vmin,
+           round(CAST(max(v) AS DOUBLE), 4) AS vmax
+    FROM e GROUP BY 1
+    """,
+    survey_ref="north-star:embed-dim-stats",
+)
+def x_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (operators/similarity.py:
+    embedding_dim_stats) — normalization precursor; map-side-combined
+    aggs over the posexploded vectors, dim-scale output."""
+    d = testdata.load(spark, sf_dir, "embeddings")
+    return similarity.embedding_dim_stats(d)

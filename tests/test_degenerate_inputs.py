@@ -248,6 +248,7 @@ _EMB_CASES = {
     "kmeans_centroids": lambda s, d: similarity.kmeans_centroids(
         d, nlist=2, iters=3, sample=16
     ),
+    "embedding_dim_stats": lambda s, d: similarity.embedding_dim_stats(d),
 }
 
 

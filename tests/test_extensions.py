@@ -1454,3 +1454,25 @@ def test_line_dedup_within_doc_semantics(spark):
     r = dedup.line_dedup_within_doc(df2, sep="|+|").collect()[0]
     assert r["deduped_text"] == "x|+|y|+|z"
     assert (r["n_lines"], r["kept_lines"]) == (4, 3)
+
+
+def test_embedding_dim_stats_semantics(spark):
+    """NULL vectors dropped at the boundary; per-dim mean/min/max land
+    on the exact values; a constant dimension reports std 0.0 (dead
+    dim — the detection case the operator exists for)."""
+    from snowflake_data_pipeline_demo_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 5.0]),
+            (2, [3.0, 5.0]),
+            (3, None),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["dim"]: r for r in
+           similarity.embedding_dim_stats(df).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n"] == 2 and out[0]["mean"] == 2.0
+    assert (out[0]["vmin"], out[0]["vmax"]) == (1.0, 3.0)
+    assert out[1]["std"] == 0.0  # dead dimension
