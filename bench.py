@@ -106,6 +106,7 @@ HEADLINE = [
     "x_dedup_threshold_sweep",
     "x_line_dedup",
     "x_embed_dim_stats",
+    "x_winnow_fingerprints",
 ]
 
 

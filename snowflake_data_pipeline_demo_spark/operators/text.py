@@ -1065,3 +1065,147 @@ def histogram_merge_quantiles(hists, group_col: str = "source",
         group_col, "n_values",
         *[rep(f"_b{round(q * 100)}").alias(f"p{round(q * 100)}") for q in qs],
     )
+
+
+def winnow_codes(c: Column | str, k: int = 4, w: int = 3) -> Column:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS algorithm) over the normalized character
+    stream, as one shuffle-free JVM expression.
+
+    Every k-gram of the normalized text gets the portable polynomial
+    hash (same ``(acc*131 + ascii) % 1e9+7`` arithmetic as
+    :func:`rolling_hash`, so DuckDB replays it bit-for-bit); a window
+    of ``w`` consecutive k-gram hashes slides over the stream and the
+    RIGHTMOST minimum of each window is selected. The guarantee that
+    makes this the standard document fingerprint: any substring match
+    of length >= w + k - 1 between two documents is caught by at least
+    one shared selected hash, while expected density is only 2/(w+1).
+    At 100 TB that bounded per-doc set is what you can afford to
+    invert: overlap detection is a (hash -> doc) posting-list
+    equi-join over the exploded codes — the same banded-join shape as
+    MinHash LSH — never a text-to-text comparison.
+
+    Each selection is encoded as ``pos * ROLLING_MOD + hash`` — hash
+    is strictly below ROLLING_MOD so the code is collision-free and
+    decodes by div/mod, and it stays int64-safe for any document under
+    ~9.2e9 chars. Sorting codes therefore sorts by (pos, hash) = by
+    position, identically in Spark and DuckDB. (Rightmost-min
+    selection is monotone non-decreasing in pos as the window slides,
+    so the distinct picks are already position-ordered; the explicit
+    array_sort just pins the contract rather than relying on
+    array_distinct's order preservation.)
+
+    Degenerate inputs: n < k yields zero k-grams and an empty code
+    array; 1 <= #hashes < w winnows a single window over all hashes.
+    Both lanes are F.when-guarded because ``sequence(1, 0)`` DESCENDS
+    in Spark (the documented repo hazard — see bpe_train, shingles).
+    """
+    return _winnow_select(_kgram_hashes(_norm_chars(c), k), w)
+
+
+def _norm_chars(c: Column | str) -> Column:
+    """Normalized text as ``array<string>`` of single characters."""
+    return F.filter(F.split(normalize(c), ""), lambda x: x != "")
+
+
+def _kgram_hashes(chars: Column, k: int) -> Column:
+    """``array<long>`` of polynomial k-gram hashes over a character
+    array (empty when the doc has fewer than ``k`` chars).
+
+    NOTE: ``chars`` sits inside the transform lambda, so it is
+    re-evaluated per k-gram position — pass a bound column reference
+    (winnow_fingerprints stages one), or accept O(n^2) splitting for
+    row-scale use (winnow_codes)."""
+    m = F.size(chars) - F.lit(k) + F.lit(1)  # number of k-grams
+    return F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.aggregate(
+                F.slice(chars, i, k),
+                F.lit(0).cast("long"),
+                lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch))
+                % ROLLING_MOD,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def _winnow_select(hashes: Column, w: int) -> Column:
+    """Rightmost-min w-window selection over a k-gram-hash array,
+    encoded as sorted distinct ``pos * ROLLING_MOD + hash`` codes.
+
+    NOTE: ``hashes`` is re-evaluated per window inside the transform
+    lambda (higher-order functions are interpreted, no subexpression
+    caching) — callers MUST pass a bound column reference, not the
+    hashing expression itself, or the cost goes O(n_windows * n * k).
+    winnow_fingerprints stages the hash array through a projection for
+    exactly this reason; winnow_codes is the convenience composition
+    for row-scale use (tests, ad-hoc exprs)."""
+
+    def pick(j: Column) -> Column:
+        win = F.slice(hashes, j, w)
+        mn = F.array_min(win)
+        right = F.size(win) - F.array_position(F.reverse(win), mn) + 1
+        pos = (j + right - F.lit(1)).cast("long")
+        return pos * F.lit(ROLLING_MOD).cast("long") + mn
+
+    picks = F.when(
+        F.size(hashes) >= 1,
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(hashes) - F.lit(w) + 1, F.lit(1))
+            ),
+            pick,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.array_sort(F.array_distinct(picks))
+
+
+def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 4, w: int = 3):
+    """Per-document winnowing fingerprints as a pure projection:
+    ``(id, n_chars, n_kgrams, n_fps, fps)`` with ``fps`` serializing
+    each selection as ``pos:hash`` in position order (atomic column —
+    the driver's canonicalizer cannot hash arrays).
+
+    NO shuffle (pinned by the plan-shape sweep) — the fingerprint step
+    composes into any scan for free; the shuffle only appears in the
+    downstream posting-list join when two corpora are compared.
+
+    Staged as chained projections so the char array, the O(n*k) hash
+    array, and the code array are each computed ONCE per row and every
+    higher-order-function lambda reads a bound column reference
+    (lambdas re-evaluate their whole subtree per element — unstaged,
+    the split alone goes O(n^2) per doc); CollapseProject leaves the
+    stages alone because the intermediates are non-cheap and
+    multiply-referenced."""
+    mod = F.lit(ROLLING_MOD).cast("long")
+    ch = df.select(
+        F.col(id_col),
+        _norm_chars(text_col).alias("_chars"),
+    )
+    hs = ch.select(
+        id_col,
+        F.size("_chars").cast("long").alias("n_chars"),
+        _kgram_hashes(F.col("_chars"), k).alias("_hs"),
+    )
+    coded = hs.select(
+        id_col, "n_chars",
+        F.size("_hs").cast("long").alias("n_kgrams"),
+        _winnow_select(F.col("_hs"), w).alias("_codes"),
+    )
+    return coded.select(
+        id_col, "n_chars", "n_kgrams",
+        F.size("_codes").cast("long").alias("n_fps"),
+        F.array_join(
+            F.transform(
+                "_codes",
+                lambda cd: F.concat_ws(
+                    ":", F.floor(cd / mod).cast("long"), F.pmod(cd, mod)
+                ),
+            ),
+            ",",
+        ).alias("fps"),
+    )

@@ -3454,3 +3454,61 @@ def x_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs over the posexploded vectors, dim-scale output."""
     d = testdata.load(spark, sf_dir, "embeddings")
     return similarity.embedding_dim_stats(d)
+
+
+@query(
+    "x_winnow_fingerprints",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), c AS (
+      SELECT doc_id, norm, length(norm) AS n FROM base
+    ), h AS (
+      SELECT doc_id, n,
+        CASE WHEN n >= 4 THEN
+          list_transform(range(1, n - 4 + 2), i ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(i, i + 4),
+                p -> CAST(ascii(substr(norm, CAST(p AS INT), 1)) AS BIGINT))),
+              (a, b) -> (a * 131 + b) % 1000000007))
+        ELSE CAST([] AS BIGINT[]) END AS hs
+      FROM c
+    ), s AS (
+      SELECT doc_id, n, len(hs) AS m,
+        CASE WHEN len(hs) >= 1 THEN
+          list_sort(list_distinct(list_transform(
+            range(1, greatest(len(hs) - 3 + 1, 1) + 1), j ->
+              CAST(j + (len(list_slice(hs, j, j + 2)) -
+                    list_position(list_reverse(list_slice(hs, j, j + 2)),
+                                  list_min(list_slice(hs, j, j + 2))) + 1)
+                   - 1 AS BIGINT) * 1000000007
+              + list_min(list_slice(hs, j, j + 2)))))
+        ELSE CAST([] AS BIGINT[]) END AS codes
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars,
+           CAST(m AS BIGINT) AS n_kgrams,
+           CAST(len(codes) AS BIGINT) AS n_fps,
+           coalesce(list_aggregate(list_transform(codes, cd ->
+             concat(CAST(cd // 1000000007 AS VARCHAR), ':',
+                    CAST(cd % 1000000007 AS VARCHAR))),
+             'string_agg', ','), '') AS fps
+    FROM s
+    """,
+    survey_ref="north-star:winnowing-fingerprints",
+)
+def x_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (operators/text.py:winnow_codes
+    — Schleimer/Wilkerson/Aiken SIGMOD'03, the MOSS algorithm): k-gram
+    polynomial hashes, rightmost-min of each w-window, encoded as
+    pos*MOD+hash so both engines dedupe/sort the selections
+    identically. A pure shuffle-free projection (plan-pinned); the
+    guarantee (any shared substring >= w+k-1 chars shares a
+    fingerprint, density 2/(w+1)) is what makes doc-overlap detection
+    at 100 TB a bounded posting-list equi-join instead of a text
+    comparison."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(d, k=4, w=3)

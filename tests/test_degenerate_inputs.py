@@ -74,6 +74,7 @@ _COLUMN_FNS = {
     # encoding_quality returns a LIST of named columns
     "encoding_quality": lambda c: F.struct(*T.encoding_quality(c)),
     "rolling_hash": T.rolling_hash,
+    "winnow_codes": T.winnow_codes,
     "shingles": dedup.shingles,
     "simhash16": dedup.simhash16,
 }
@@ -131,6 +132,7 @@ _FRAME_CASES = {
     "chunk_dedup_reassemble": lambda s, d: dedup.chunk_dedup_reassemble(d),
     "paragraph_dedup": lambda s, d: dedup.paragraph_dedup(d),
     "line_dedup_within_doc": lambda s, d: dedup.line_dedup_within_doc(d),
+    "winnow_fingerprints": lambda s, d: T.winnow_fingerprints(d),
     # chunking / packing
     "chunk_by_tokens": lambda s, d: chunking.chunk_by_tokens(d),
     "shard_by_token_budget": lambda s, d: packing.shard_by_token_budget(

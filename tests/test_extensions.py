@@ -1476,3 +1476,71 @@ def test_embedding_dim_stats_semantics(spark):
     assert out[0]["n"] == 2 and out[0]["mean"] == 2.0
     assert (out[0]["vmin"], out[0]["vmax"]) == (1.0, 3.0)
     assert out[1]["std"] == 0.0  # dead dimension
+
+
+def _winnow_ref(s, k=4, w=3):
+    """Driver-side replay of winnowing (Schleimer et al. §3): k-gram
+    polynomial hashes, rightmost-min per w-window, pos*MOD+hash codes."""
+    import re
+    MOD, B = 1_000_000_007, 131
+    s = re.sub(r"\s+", " ", s.lower()).strip()
+    n = len(s)
+    if n < k:
+        return []
+    hs = []
+    for i in range(n - k + 1):
+        h = 0
+        for ch in s[i:i + k]:
+            h = (h * B + ord(ch)) % MOD
+        hs.append(h)
+    picks = set()
+    for j in range(max(len(hs) - w + 1, 1)):
+        win = hs[j:j + w]
+        mn = min(win)
+        right = len(win) - 1 - win[::-1].index(mn)
+        picks.add((j + right + 1) * MOD + mn)
+    return sorted(picks)
+
+
+def test_winnow_fingerprints_match_reference_replay(spark):
+    """Spark winnow_codes == the independent Python replay over mixed
+    docs (incl. shared-substring pair, short/empty/ties), and the two
+    winnowing guarantees hold: (1) every w-window of k-gram hashes
+    contains a selected position — so any shared substring of length
+    >= w+k-1 shares a fingerprint; (2) docs sharing such a substring
+    share at least one selected HASH value."""
+    from snowflake_data_pipeline_demo_spark.operators import text as T
+
+    shared = "the winnowing guarantee holds for this exact span"
+    rows = [
+        (1, "left context " + shared + " right context"),
+        (2, "A DIFFERENT   Prefix " + shared.upper() + " and suffix"),
+        (3, "aaaaaaaaaaaa"),             # all-tie hashes: rightmost-min rule
+        (4, "abc"),                      # n < k -> no fingerprints
+        (5, ""),
+        (6, "abcd"),                     # exactly one k-gram
+        (7, "xy zy xy zy xy zy"),        # periodic text, repeated hashes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           T.winnow_fingerprints(df).collect()}
+    MOD = 1_000_000_007
+    for did, txt in rows:
+        ref = _winnow_ref(txt)
+        got = ([] if out[did]["fps"] == "" else
+               [int(p) * MOD + int(h) for p, h in
+                (c.split(":") for c in out[did]["fps"].split(","))])
+        assert got == ref, did
+        assert out[did]["n_fps"] == len(ref)
+        # guarantee (1): window coverage
+        sel_pos = {c // MOD for c in ref}
+        m = out[did]["n_kgrams"]
+        for j in range(1, max(m - 3 + 1, 1) + 1 if m >= 1 else 1):
+            assert sel_pos & set(range(j, min(j + 3, m + 1))), (did, j)
+    # guarantee (2): the shared >= w+k-1 substring forces a common hash
+    h1 = {c % MOD for c in _winnow_ref(rows[0][1])}
+    h2 = {c % MOD for c in _winnow_ref(rows[1][1])}
+    assert h1 & h2
+    sh1 = {c.split(":")[1] for c in out[1]["fps"].split(",")}
+    sh2 = {c.split(":")[1] for c in out[2]["fps"].split(",")}
+    assert sh1 & sh2

@@ -39,7 +39,7 @@ def test_star_join_never_goes_cartesian(spark):
 
 def test_pure_projection_operators_have_no_shuffle(spark):
     for name in ("x_text_stats", "x_chunk_tokens", "x_quality_gopher",
-                 "x_line_dedup"):
+                 "x_line_dedup", "x_winnow_fingerprints"):
         p = _plan(spark, name)
         assert "Exchange" not in p, name
 
