@@ -107,6 +107,7 @@ HEADLINE = [
     "x_line_dedup",
     "x_embed_dim_stats",
     "x_winnow_fingerprints",
+    "x_winnow_overlap",
 ]
 
 

@@ -1182,20 +1182,7 @@ def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
     stages alone because the intermediates are non-cheap and
     multiply-referenced."""
     mod = F.lit(ROLLING_MOD).cast("long")
-    ch = df.select(
-        F.col(id_col),
-        _norm_chars(text_col).alias("_chars"),
-    )
-    hs = ch.select(
-        id_col,
-        F.size("_chars").cast("long").alias("n_chars"),
-        _kgram_hashes(F.col("_chars"), k).alias("_hs"),
-    )
-    coded = hs.select(
-        id_col, "n_chars",
-        F.size("_hs").cast("long").alias("n_kgrams"),
-        _winnow_select(F.col("_hs"), w).alias("_codes"),
-    )
+    coded = _winnow_code_frame(df, text_col, id_col, k, w)
     return coded.select(
         id_col, "n_chars", "n_kgrams",
         F.size("_codes").cast("long").alias("n_fps"),
@@ -1208,4 +1195,90 @@ def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
             ),
             ",",
         ).alias("fps"),
+    )
+
+
+def _winnow_code_frame(df, text_col: str, id_col: str, k: int, w: int):
+    """``(id, n_chars, n_kgrams, _codes)`` staged projection chain —
+    the shared core of winnow_fingerprints / winnow_overlap_pairs (see
+    winnow_fingerprints for why the stages must not be fused)."""
+    ch = df.select(
+        F.col(id_col),
+        _norm_chars(text_col).alias("_chars"),
+    )
+    hs = ch.select(
+        id_col,
+        F.size("_chars").cast("long").alias("n_chars"),
+        _kgram_hashes(F.col("_chars"), k).alias("_hs"),
+    )
+    return hs.select(
+        id_col, "n_chars",
+        F.size("_hs").cast("long").alias("n_kgrams"),
+        _winnow_select(F.col("_hs"), w).alias("_codes"),
+    )
+
+
+def winnow_overlap_pairs(df, text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 8, w: int = 4, min_shared: int = 3,
+                         max_df: int | None = None):
+    """Cross-document overlap report over winnowing fingerprints (the
+    MOSS comparison step): explode each doc's DISTINCT selected hash
+    values into a (hash -> doc) posting list, self-join on the hash,
+    and score each pair by shared-fingerprint count and containment
+    (shared / smaller fingerprint set).
+
+    Scale: text is hashed once in the staged projection; only (hash,
+    id, n_fp) postings shuffle, never text. The pair generator is an
+    equi-join on the hash value (AQE splits skewed buckets), and
+    ``max_df`` is the production kill-switch for boilerplate
+    fingerprints — a hash present in df docs (a site footer, a
+    license header) generates df^2/2 pairs while carrying no overlap
+    signal, so MOSS-style deployments drop top-df fingerprints before
+    pairing. ``min_shared`` suppresses incidental single-gram
+    collisions. The posting frame is cached before the self-join:
+    winnow codes are CodegenFallback HOF chains, the same measured
+    30x re-derivation hazard ngram_jaccard_pairs documents.
+
+    The containment denominator is the distinct-hash-value set size
+    (a position-repeated hash counts once), deliberately different
+    from winnow_fingerprints' positional ``n_fps``.
+    """
+    mod = F.lit(ROLLING_MOD).cast("long")
+    cf = _winnow_code_frame(df, text_col, id_col, k, w)
+    fp = cf.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform("_codes", lambda cd: F.pmod(cd, mod))
+        ).alias("_hv"),
+    ).cache()
+    ex = fp.select(
+        id_col, F.size("_hv").alias("n_fp"), F.explode("_hv").alias("h")
+    )
+    if max_df is not None:
+        keep = (
+            ex.groupBy("h").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df).select("h")
+        )
+        ex = ex.join(keep, "h")
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_fp").alias("_na"),
+            F.col("b.n_fp").alias("_nb"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs.select(
+        "id_a", "id_b", "n_shared",
+        F.round(
+            F.col("n_shared") / F.least("_na", "_nb"), 4
+        ).alias("containment"),
     )

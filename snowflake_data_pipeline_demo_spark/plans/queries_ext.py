@@ -3512,3 +3512,106 @@ def x_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison."""
     d = testdata.load(spark, sf_dir, "documents")
     return text.winnow_fingerprints(d, k=4, w=3)
+
+
+#: deterministic plagiarism corpus shared by the winnow-overlap lane
+#: and its oracle: 50 docs x 12 md5-hex "sentences"; docs g in
+#: {7,17,27,37,47} copy sentences 3..6 from doc g-5, so exactly five
+#: pairs share a ~131-char contiguous span and nothing else collides
+#: at k=8 (hex 8-grams). The testdata corpus cannot exercise this
+#: operator honestly — its ~30-word vocabulary makes every doc pair
+#: share substrings, so raw overlap is near-cartesian by construction
+#: (124,731 of 124,750 possible pairs at sf0.01); real corpora are
+#: fingerprint-sparse, which this fixture models. Both twins derive
+#: from the same (gid, j, src) spec; a parity test pins byte-equality.
+_DPLAG = """
+  SELECT gid, string_agg(md5(concat('sent-', CAST(src AS VARCHAR), '-',
+                                    CAST(j AS VARCHAR))), ' ' ORDER BY j) AS text
+  FROM (
+    SELECT t.gid, r.j,
+           CASE WHEN t.gid % 10 = 7 AND r.j BETWEEN 3 AND 6
+                THEN t.gid - 5 ELSE t.gid END AS src
+    FROM range(50) t(gid), range(12) r(j)
+  ) GROUP BY gid
+"""
+
+
+def _synth_plagiarism_docs(spark: SparkSession) -> DataFrame:
+    base = spark.range(50).select(F.col("id").alias("gid"))
+
+    def sent(j):
+        src = F.when(
+            (F.col("gid") % 10 == 7) & (j >= 3) & (j <= 6),
+            F.col("gid") - 5,
+        ).otherwise(F.col("gid"))
+        return F.md5(
+            F.concat(
+                F.lit("sent-"), src.cast("string"),
+                F.lit("-"), j.cast("string"),
+            )
+        )
+
+    return base.select(
+        "gid",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(11)), sent), " "
+        ).alias("text"),
+    )
+
+
+@query(
+    "x_winnow_overlap",
+    oracle=f"""
+    WITH synth AS ({_DPLAG}
+    ), base AS (
+      SELECT gid, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM synth
+    ), c AS (
+      SELECT gid, norm, length(norm) AS n FROM base
+    ), h AS (
+      SELECT gid, n,
+        CASE WHEN n >= 8 THEN
+          list_transform(range(1, n - 8 + 2), i ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(i, i + 8),
+                p -> CAST(ascii(substr(norm, CAST(p AS INT), 1)) AS BIGINT))),
+              (a, b) -> (a * 131 + b) % 1000000007))
+        ELSE CAST([] AS BIGINT[]) END AS hs
+      FROM c
+    ), s AS (
+      SELECT gid, CASE WHEN len(hs) >= 1 THEN
+          list_distinct(list_transform(
+            list_transform(range(1, greatest(len(hs) - 4 + 1, 1) + 1), j ->
+              CAST(j + (len(list_slice(hs, j, j + 3)) -
+                    list_position(list_reverse(list_slice(hs, j, j + 3)),
+                                  list_min(list_slice(hs, j, j + 3))) + 1)
+                   - 1 AS BIGINT) * 1000000007
+              + list_min(list_slice(hs, j, j + 3))),
+            cd -> cd % 1000000007))
+        ELSE CAST([] AS BIGINT[]) END AS hv
+      FROM h
+    ), e AS (
+      SELECT gid, len(hv) AS n_fp, unnest(hv) AS hval FROM s
+    )
+    SELECT a.gid AS id_a, b.gid AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           round(CAST(COUNT(*) AS DOUBLE) /
+                 least(MAX(a.n_fp), MAX(b.n_fp)), 4) AS containment
+    FROM e a JOIN e b ON a.hval = b.hval AND a.gid < b.gid
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+    survey_ref="north-star:winnow-overlap",
+)
+def x_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap report (operators/text.py:winnow_overlap_pairs
+    — the MOSS comparison step) over the deterministic plagiarism
+    fixture: fingerprint projection -> (hash -> doc) posting list ->
+    hash equi-join -> shared-count/containment scoring. Exactly the
+    five planted copied-span pairs qualify; the hex sentences leave
+    zero incidental 8-gram collisions, modeling the fingerprint
+    sparsity real corpora have and the testdata word-salad lacks."""
+    return text.winnow_overlap_pairs(
+        _synth_plagiarism_docs(spark), id_col="gid",
+        k=8, w=4, min_shared=3,
+    )

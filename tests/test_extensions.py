@@ -1544,3 +1544,51 @@ def test_winnow_fingerprints_match_reference_replay(spark):
     sh1 = {c.split(":")[1] for c in out[1]["fps"].split(",")}
     sh2 = {c.split(":")[1] for c in out[2]["fps"].split(",")}
     assert sh1 & sh2
+
+
+def test_winnow_overlap_planted_pairs(spark):
+    """Over the deterministic plagiarism fixture: exactly the five
+    planted copied-span pairs qualify, containment ~ 1/3 (4 of 12
+    sentences copied), max_df=1 kills every pair (all shared hashes
+    live in exactly 2 docs), and min_shared above the max shared
+    count returns empty."""
+    from snowflake_data_pipeline_demo_spark.operators import text as T
+    from snowflake_data_pipeline_demo_spark.plans.queries_ext import (
+        _synth_plagiarism_docs,
+    )
+
+    d = _synth_plagiarism_docs(spark)
+    out = sorted(
+        (r.id_a, r.id_b, r.n_shared, r.containment)
+        for r in T.winnow_overlap_pairs(
+            d, id_col="gid", k=8, w=4, min_shared=3
+        ).collect()
+    )
+    assert [(a, b, n) for a, b, n, _ in out] == [
+        (2, 7, 47), (12, 17, 50), (22, 27, 51), (32, 37, 61), (42, 47, 52),
+    ]
+    assert all(0.30 <= c <= 0.40 for *_, c in out)
+    assert T.winnow_overlap_pairs(
+        d, id_col="gid", k=8, w=4, min_shared=3, max_df=1
+    ).count() == 0
+    assert T.winnow_overlap_pairs(
+        d, id_col="gid", k=8, w=4, min_shared=62
+    ).count() == 0
+
+
+def test_winnow_overlap_fixture_twins(spark):
+    """The Spark and DuckDB syntheses of the plagiarism corpus are
+    byte-identical (the r05 advice pattern: fixture twins must be tied
+    together or the oracle gate fails for fixture reasons)."""
+    import duckdb
+
+    from snowflake_data_pipeline_demo_spark.plans.queries_ext import (
+        _DPLAG, _synth_plagiarism_docs,
+    )
+
+    got = {r.gid: r.text
+           for r in _synth_plagiarism_docs(spark).collect()}
+    con = duckdb.connect()
+    want = dict(con.sql(_DPLAG).fetchall())
+    con.close()
+    assert got == want
