@@ -1520,6 +1520,10 @@ def test_winnow_fingerprints_match_reference_replay(spark):
         (5, ""),
         (6, "abcd"),                     # exactly one k-gram
         (7, "xy zy xy zy xy zy"),        # periodic text, repeated hashes
+        # unicode incl. astral-plane: Spark ascii()/split(), DuckDB
+        # ascii()/substr(), and Python ord() all agree on CODEPOINTS
+        # (verified r06) — winnowing is engine-portable beyond ASCII
+        (8, "日本語 テキスト 𝄞 music"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in
