@@ -108,6 +108,8 @@ HEADLINE = [
     "x_embed_dim_stats",
     "x_winnow_fingerprints",
     "x_winnow_overlap",
+    "x_bloom_cross_run_probe",
+    "x_cms_heavy_hitters",
 ]
 
 

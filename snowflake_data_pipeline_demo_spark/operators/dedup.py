@@ -1111,3 +1111,121 @@ def cluster_size_histogram(components: DataFrame,
         F.count("*").cast("long").alias("n_clusters"),
         F.sum("cluster_size").cast("long").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable Bloom-filter membership (seen-set for cross-run dedup)
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """The ``k`` bit positions for ``key`` via Kirsch-Mitzenmacher double
+    hashing: ``pos_i = (h1 + i * stride) % m`` with an ODD stride so the
+    probe sequence cycles the whole (power-of-two) table instead of
+    collapsing when ``h2 % m == 0``. Both base hashes are the proven
+    portable family (first 60 bits of md5 as a long — identical in the
+    DuckDB oracle), reduced mod m BEFORE the multiply so ``i * stride``
+    stays far from 64-bit overflow. Hashes sit at the top level of the
+    projection (whole-stage codegen), mirroring minhash_signatures."""
+    def h(salt: str) -> Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 15), 16, 10
+        ).cast("long") % m_bits
+    h1 = h("b1:")
+    stride = h("b2:") * 2 + 1
+    return [(h1 + F.lit(i) * stride) % m_bits for i in range(k)]
+
+
+def bloom_shard_blocks(df: DataFrame, key_col: str = "fp",
+                       shard_col: Column | None = None,
+                       m_bits: int = 1 << 18, k: int = 5) -> DataFrame:
+    """Distributed Bloom-filter build: the CROSS-RUN-persistable
+    "seen-set" a 100 TB ingest keeps so a new crawl snapshot can skip
+    already-ingested content (URLs, content fingerprints) WITHOUT
+    joining against the full history table. State is (shard, block,
+    bits): the m-bit filter packed into 32-bit blocks — m/32 rows total
+    regardless of corpus size (m=2^18 -> 8,192 rows), vs the
+    O(distinct keys) history table an exact anti-join needs. Blocks are
+    32-bit (bit masks <= 2^31) so the identical math runs in the DuckDB
+    oracle, whose BIGINT << errors at shift 63.
+
+    Merging runs/shards is ``bit_or`` per block (:func:`bloom_merge`) —
+    associative, idempotent, commutative, so re-delivered batches
+    cannot corrupt the filter. Build shape: k positions per key is a
+    per-row projection; the only shuffle carries (block, mask) pairs,
+    partial-bit_or'd map-side into at most m/32 groups.
+
+    False-positive rate at n keys: (1 - e^(-k*n/m))^k — defaults give
+    ~1.6% at n=2^15. False NEGATIVES are impossible, which is the
+    property a dedup gate needs: a false positive re-drops a duplicate
+    candidate (cheap second check or tolerable loss); a false negative
+    would re-ingest.
+    """
+    if shard_col is None:
+        shard_col = F.lit(0).cast("long")
+    pos = df.select(
+        shard_col.alias("shard"),
+        F.explode(F.array(*_bloom_positions(F.col(key_col), m_bits, k)))
+        .alias("pos"),
+    ).select(
+        "shard",
+        (F.col("pos") / 32).cast("int").alias("block"),
+        # shiftleft's Python binding takes a literal shift only; the
+        # SQL form accepts the column
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+        .alias("mask"),
+    )
+    return (
+        pos.groupBy("shard", "block")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(blocks: DataFrame) -> DataFrame:
+    """Union of Bloom filters = bit_or per block. Input is any union of
+    :func:`bloom_shard_blocks` outputs (across shards, runs, or both —
+    e.g. run B unioning its own blocks with run A's persisted parquet);
+    output drops the shard column. m/32-row state, trivially mergeable
+    forever — the filter never needs a rebuild, only a widen when the
+    key count outgrows m (rebuild cost = one pass over history keys)."""
+    return (
+        blocks.groupBy("block")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def bloom_probe(df: DataFrame, blocks: DataFrame, key_col: str = "fp",
+                id_col: str = "doc_id", m_bits: int = 1 << 18,
+                k: int = 5) -> DataFrame:
+    """Probe keys against a merged Bloom filter: (id, key,
+    maybe_member). maybe_member=true means the key MAY be in the seen
+    set (false-positive rate per :func:`bloom_shard_blocks`);
+    false means it is DEFINITELY new.
+
+    Scale shape: the filter is m/32 rows — broadcast, so the probe is
+    exchange-free on the batch side: explode k (block, mask) rows per
+    key, broadcast-hash-join to the blocks, bool_and the bit tests back
+    per id (map-side combinable; the groupBy carries booleans only).
+    An absent block means those bits were never set -> coalesce false.
+    """
+    pos = df.select(
+        F.col(id_col), F.col(key_col),
+        F.explode(F.array(*_bloom_positions(F.col(key_col), m_bits, k)))
+        .alias("pos"),
+    ).select(
+        id_col, key_col,
+        (F.col("pos") / 32).cast("int").alias("block"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+        .alias("mask"),
+    )
+    joined = pos.join(F.broadcast(blocks), "block", "left")
+    return (
+        joined.groupBy(id_col, key_col)
+        .agg(
+            F.bool_and(
+                F.coalesce(
+                    F.col("bits").bitwiseAND(F.col("mask")) != 0,
+                    F.lit(False),
+                )
+            ).alias("maybe_member")
+        )
+    )

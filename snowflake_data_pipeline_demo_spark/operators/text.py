@@ -1282,3 +1282,103 @@ def winnow_overlap_pairs(df, text_col: str = "text", id_col: str = "doc_id",
             F.col("n_shared") / F.least("_na", "_nb"), 4
         ).alias("containment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: mergeable frequency state (heavy-hitter reports)
+# ---------------------------------------------------------------------------
+
+def _cms_bucket(token: Column, r: int, width: int) -> Column:
+    """Row-r CMS bucket for ``token``: the portable md5-long family
+    (same as minhash/bloom — DuckDB replays it bit-for-bit) mod width,
+    salted per row so the depth rows are independent hash functions."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), token)), 1, 15),
+            16, 10,
+        ).cast("long") % width
+    )
+
+
+def token_cms_shard_sketches(df, shard_col: Column | str,
+                             text_col: str = "text",
+                             depth: int = 4, width: int = 1024):
+    """Per-shard count-min sketch over the token stream as PERSISTABLE
+    state: (shard, r, bucket, cnt) — depth*width counters per shard
+    regardless of corpus size. The frequency twin of
+    :func:`token_hll_shard_sketches`: HLL answers "how many distinct",
+    CMS answers "how often is X" for any later candidate without
+    re-reading text. Each ingest run sketches only its own shard;
+    merging runs is EXACT counter addition (:func:`cms_merge`), so a
+    100 TB corpus' token-frequency state accretes run over run at
+    O(depth*width) rows per run.
+
+    Estimate contract (:func:`cms_lookup`): est >= true count always
+    (counters only ever add), and est <= true + eps*N with probability
+    1-delta for eps = e/width, delta = e^-depth — the standard
+    Cormode-Muthukrishnan bound.
+
+    Build shape: tokens explode per row, the bucket hash sits at the
+    top level of the projection (codegen), and the groupBy combines
+    map-side into at most depth*width groups per shard.
+    """
+    toks = df.select(
+        _col(shard_col).alias("shard"),
+        F.explode(tokens(text_col)).alias("_tok"),
+    )
+    rows = [
+        toks.select(
+            "shard", F.lit(r).alias("r"),
+            _cms_bucket(F.col("_tok"), r, width).alias("bucket"),
+        )
+        for r in range(depth)
+    ]
+    stacked = rows[0]
+    for extra in rows[1:]:
+        stacked = stacked.unionByName(extra)
+    return (
+        stacked.groupBy("shard", "r", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(sketches):
+    """Merge CMS shard/run sketches: counter addition per (r, bucket).
+    Input is any union of :func:`token_cms_shard_sketches` outputs —
+    across shards, runs, or both; merging is exact (no estimate decay),
+    associative, and commutative. Output drops the shard column."""
+    return (
+        sketches.groupBy("r", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(cms, candidates, token_col: str = "tok",
+               depth: int = 4, width: int = 1024):
+    """Point-frequency estimates for candidate tokens against a merged
+    CMS: min over the depth rows of the candidate's counter. An absent
+    (r, bucket) counter means nothing ever hashed there -> 0.
+
+    Scale shape: the sketch is depth*width rows — broadcast, so the
+    lookup is exchange-free on the candidate side apart from the final
+    per-candidate min re-group (carries one long per row). Candidates
+    come from wherever the report wants them (exact top-k of a sample,
+    an eval vocabulary, yesterday's heavy hitters) — the point of CMS
+    is answering them WITHOUT rescanning the corpus."""
+    probes = [
+        candidates.select(
+            "*", F.lit(r).alias("r"),
+            _cms_bucket(F.col(token_col), r, width).alias("bucket"),
+        )
+        for r in range(depth)
+    ]
+    stacked = probes[0]
+    for extra in probes[1:]:
+        stacked = stacked.unionByName(extra)
+    keep = [c for c in candidates.columns]
+    return (
+        stacked.join(F.broadcast(cms), ["r", "bucket"], "left")
+        .groupBy(*keep)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+             .cast("long").alias("cms_est"))
+    )

@@ -3615,3 +3615,219 @@ def x_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_plagiarism_docs(spark), id_col="gid",
         k=8, w=4, min_shared=3,
     )
+
+
+#: Lane-sized filter: 1,024 bits / k=3 over ~330 history keys loads the
+#: filter to ~1 bit/key so FALSE POSITIVES actually occur (~20% rate)
+#: and the n_false_pos column is a live, exactly-replayed count rather
+#: than a structural zero; the operator DEFAULTS (m=2^18) are the
+#: production sizing. Probing the full corpus (history docs included)
+#: makes n_false_neg=0 a live no-false-negative assertion, not vacuous.
+_BLOOM_M = 1 << 10
+_BLOOM_K = 3
+
+
+def _dbloom_hash(salt: str, key: str) -> str:
+    """DuckDB twin of dedup._bloom_positions' base hash, reduced mod m."""
+    return (
+        f"CAST(concat('0x', substr(md5('{salt}' || {key}), 1, 15)) AS BIGINT)"
+        f" % {_BLOOM_M}"
+    )
+
+
+@query(
+    "x_bloom_cross_run_probe",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), hist AS (
+      SELECT DISTINCT fp FROM fp WHERE doc_id % 3 < 2
+    ), hpos AS (
+      SELECT ({_dbloom_hash('b1:', 'fp')}
+              + i * (2 * ({_dbloom_hash('b2:', 'fp')}) + 1)) % {_BLOOM_M}
+             AS pos
+      FROM hist, range(0, {_BLOOM_K}) r(i)
+    ), blocks AS (
+      SELECT CAST(pos // 32 AS INT) AS block,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM hpos GROUP BY 1
+    ), bpos AS (
+      SELECT doc_id, source, fp,
+             ({_dbloom_hash('b1:', 'fp')}
+              + i * (2 * ({_dbloom_hash('b2:', 'fp')}) + 1)) % {_BLOOM_M}
+             AS pos
+      FROM fp, range(0, {_BLOOM_K}) r(i)
+    ), probe AS (
+      SELECT doc_id, source, fp,
+             bool_and(coalesce(
+               (b.bits & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))) != 0,
+               FALSE)) AS maybe
+      FROM bpos LEFT JOIN blocks b ON b.block = CAST(pos // 32 AS INT)
+      GROUP BY 1, 2, 3
+    ), truth AS (
+      SELECT source, maybe, (fp IN (SELECT fp FROM hist)) AS is_member
+      FROM probe
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_members,
+           CAST(SUM(CASE WHEN maybe AND NOT is_member THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN is_member AND NOT maybe THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_neg
+    FROM truth GROUP BY source
+    """,
+    survey_ref="north-star:bloom-seen-set",
+)
+def x_bloom_cross_run_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-RUN Bloom-filter seen-set (operators/dedup.py:
+    bloom_shard_blocks / bloom_merge / bloom_probe): run A builds the
+    filter over its content fingerprints and PERSISTS the 8,192-row
+    block table to parquet; run B — a fresh read, no access to run A's
+    keys — bit_or-merges its own blocks in; an incoming third batch
+    probes the merged filter to decide what is definitely-new. The
+    WHOLE corpus is probed — history docs must come back flagged, so
+    n_false_neg=0 is a live Bloom-guarantee assertion over ~330 true
+    members, and the lane filter is deliberately small (module
+    constant) so n_false_pos is a real nonzero count. Both are hash
+    gates, not envelopes: the oracle replays the identical double-hash
+    bit math.
+
+    At 100 TB this replaces the exact-history anti-join for
+    skip-already-ingested checks: constant m/32-row state per filter
+    vs an O(distinct-keys) history table, broadcastable probe, and
+    merge-by-bit_or across ingest runs forever."""
+    import tempfile
+
+    d = testdata.load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "source", text.content_fingerprint("text").alias("fp")
+    )
+    run_a = keyed.filter(F.col("doc_id") % 3 == 0)
+    run_b = keyed.filter(F.col("doc_id") % 3 == 1)
+
+    tmp = tempfile.mkdtemp(prefix="bloom_runs_")
+    dedup.bloom_shard_blocks(
+        run_a, "fp", m_bits=_BLOOM_M, k=_BLOOM_K
+    ).write.mode("overwrite").parquet(f"{tmp}/run_a_blocks")
+
+    persisted = spark.read.parquet(f"{tmp}/run_a_blocks")
+    merged = dedup.bloom_merge(
+        persisted.unionByName(
+            dedup.bloom_shard_blocks(run_b, "fp", m_bits=_BLOOM_M,
+                                     k=_BLOOM_K)
+        )
+    )
+    probed = dedup.bloom_probe(keyed, merged, "fp", m_bits=_BLOOM_M,
+                               k=_BLOOM_K)
+    hist = (
+        run_a.select("fp").unionByName(run_b.select("fp")).distinct()
+        .withColumn("is_member", F.lit(True))
+    )
+    per_doc = (
+        probed.join(keyed.select("doc_id", "source"), "doc_id")
+        .join(F.broadcast(hist), "fp", "left")
+        .withColumn("is_member", F.coalesce("is_member", F.lit(False)))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_probed"),
+        F.sum(F.col("maybe_member").cast("long")).cast("long")
+        .alias("n_flagged"),
+        F.sum(F.col("is_member").cast("long")).cast("long")
+        .alias("n_true_members"),
+        F.sum((F.col("maybe_member") & ~F.col("is_member")).cast("long"))
+        .cast("long").alias("n_false_pos"),
+        F.sum((F.col("is_member") & ~F.col("maybe_member")).cast("long"))
+        .cast("long").alias("n_false_neg"),
+    )
+
+
+#: Lane-sized CMS: the testdata vocabulary is ~31 tokens, so width=16
+#: forces real bucket collisions and the overestimate path (cms_est >
+#: exact_cnt on collided tokens) is live instead of structurally equal;
+#: the operator DEFAULT (width=1024) is the production sizing.
+_CMS_D = 4
+_CMS_W = 16
+
+
+def _dcms_bucket(r_expr: str, key: str) -> str:
+    """DuckDB twin of text._cms_bucket."""
+    return (
+        f"CAST(concat('0x', substr(md5('cms' || CAST({r_expr} AS VARCHAR)"
+        f" || ':' || {key}), 1, 15)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@query(
+    "x_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DTOKS}) AS tok FROM documents
+    ), cms AS (
+      SELECT i AS r, {_dcms_bucket('i', 'tok')} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, range(0, {_CMS_D}) r(i)
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM toks
+      GROUP BY 1 ORDER BY exact_cnt DESC, tok LIMIT 20
+    ), lk AS (
+      SELECT e.tok, e.exact_cnt, i AS r,
+             {_dcms_bucket('i', 'e.tok')} AS bucket
+      FROM exact e, range(0, {_CMS_D}) r(i)
+    )
+    SELECT l.tok, l.exact_cnt,
+           CAST(MIN(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+    FROM lk l LEFT JOIN cms c ON c.r = l.r AND c.bucket = l.bucket
+    GROUP BY 1, 2
+    """,
+    survey_ref="north-star:cms-heavy-hitters",
+)
+def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter token frequencies from CROSS-RUN-mergeable
+    count-min state (operators/text.py: token_cms_shard_sketches →
+    cms_merge → cms_lookup): run A sketches the even-doc half and
+    PERSISTS the (shard, r, bucket, cnt) counters to parquet; run B
+    reads them back, adds its own, and answers the exact top-20
+    candidates' frequencies from the merged sketch. The lane emits
+    (token, exact count, CMS estimate) — a hash gate, because the
+    oracle replays the identical salted-md5 bucket math; the
+    deliberately narrow lane width makes cms_est > exact_cnt actually
+    occur (tests pin est >= exact, the one-sided CMS guarantee).
+
+    At 100 TB: frequency answers for ANY later candidate set at
+    O(depth*width) state per run, merged by counter addition forever —
+    the frequency twin of the HLL distinct-count lane."""
+    import tempfile
+
+    d = testdata.load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(text.tokens("text")).alias("tok"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+        .limit(20)
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cms_runs_")
+    shard = (F.col("doc_id") % 4).cast("long")
+    text.token_cms_shard_sketches(
+        d.filter(F.col("doc_id") % 2 == 0), shard,
+        depth=_CMS_D, width=_CMS_W,
+    ).write.mode("overwrite").parquet(f"{tmp}/run_a_cms")
+
+    merged = text.cms_merge(
+        spark.read.parquet(f"{tmp}/run_a_cms").unionByName(
+            text.token_cms_shard_sketches(
+                d.filter(F.col("doc_id") % 2 == 1), shard,
+                depth=_CMS_D, width=_CMS_W,
+            )
+        )
+    )
+    return text.cms_lookup(merged, exact, token_col="tok",
+                           depth=_CMS_D, width=_CMS_W)

@@ -1596,3 +1596,160 @@ def test_winnow_overlap_fixture_twins(spark):
     want = dict(con.sql(_DPLAG).fetchall())
     con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# mergeable Bloom-filter membership
+# ---------------------------------------------------------------------------
+
+def _bloom_fixture(spark):
+    keys = [(i, f"key-{i}") for i in range(400)]
+    return spark.createDataFrame(keys, "doc_id long, fp string")
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark):
+    """Every built key must probe true (Bloom guarantee — zero false
+    negatives); at the production default sizing (m=2^18, k=5) the
+    false-positive rate over disjoint probe keys must be far below the
+    ~1.6%-at-2^15-keys design point."""
+    df = _bloom_fixture(spark)
+    blocks = dedup.bloom_merge(dedup.bloom_shard_blocks(df, "fp"))
+    members = dedup.bloom_probe(df, blocks, "fp")
+    assert members.filter(~F.col("maybe_member")).count() == 0
+
+    others = spark.createDataFrame(
+        [(i, f"other-{i}") for i in range(2000)], "doc_id long, fp string"
+    )
+    fp = dedup.bloom_probe(others, blocks, "fp") \
+        .filter(F.col("maybe_member")).count()
+    assert fp <= 2, fp  # 400 keys in 2^18 bits: FPR ~ (400*5/2^18)^5 ~ 0
+
+
+def test_bloom_shard_merge_equals_single_build(spark):
+    """bit_or merging per-shard (or per-run) blocks is EXACTLY the
+    filter a single pass over the union builds — the property that
+    makes the seen-set safely accretable across ingest runs. Also
+    idempotent: merging a run's blocks in twice changes nothing."""
+    df = _bloom_fixture(spark)
+    shard = (F.col("doc_id") % 4).cast("long")
+    sharded = dedup.bloom_shard_blocks(df, "fp", shard_col=shard)
+    merged = {r["block"]: r["bits"]
+              for r in dedup.bloom_merge(sharded).collect()}
+    single = {r["block"]: r["bits"]
+              for r in dedup.bloom_merge(
+                  dedup.bloom_shard_blocks(df, "fp")).collect()}
+    assert merged == single
+
+    twice = {r["block"]: r["bits"]
+             for r in dedup.bloom_merge(
+                 sharded.unionByName(sharded)).collect()}
+    assert twice == single
+
+
+def test_bloom_cross_run_persistence(spark, tmp_path):
+    """Run A persists its blocks to parquet and ends; run B reads the
+    bytes back, merges its own blocks, and the merged filter equals a
+    single build over both runs' keys — the HLL/histogram cross-run
+    pattern, for membership."""
+    df = _bloom_fixture(spark)
+    run_a = df.filter(F.col("doc_id") % 2 == 0)
+    run_b = df.filter(F.col("doc_id") % 2 == 1)
+    dedup.bloom_shard_blocks(run_a, "fp").write.parquet(
+        str(tmp_path / "run_a"))
+
+    merged = dedup.bloom_merge(
+        spark.read.parquet(str(tmp_path / "run_a")).unionByName(
+            dedup.bloom_shard_blocks(run_b, "fp"))
+    )
+    single = dedup.bloom_merge(dedup.bloom_shard_blocks(df, "fp"))
+    a = {r["block"]: r["bits"] for r in merged.collect()}
+    b = {r["block"]: r["bits"] for r in single.collect()}
+    assert a == b
+
+
+def test_bloom_empty_filter_rejects_everything(spark):
+    """Probing an EMPTY filter (no build rows at all — e.g. the first
+    ingest run ever) must return definitely-new for every key, not
+    crash on the missing-block left join."""
+    df = _bloom_fixture(spark)
+    empty = dedup.bloom_merge(
+        dedup.bloom_shard_blocks(df.filter(F.lit(False)), "fp"))
+    probed = dedup.bloom_probe(df, empty, "fp")
+    assert probed.count() == 400
+    assert probed.filter(F.col("maybe_member")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch frequency state
+# ---------------------------------------------------------------------------
+
+def test_cms_merge_equals_single_build_and_bounds(spark, docs):
+    """Cross-shard counter addition must equal a single-pass sketch
+    EXACTLY (merging is exact, unlike the estimate), and the estimate
+    must satisfy the one-sided CMS guarantee: exact <= est <= exact +
+    eps*N for every token, eps = e/width."""
+    import math
+
+    shard = (F.col("doc_id") % 4).cast("long")
+    width, depth = 16, 4
+    sharded = text.token_cms_shard_sketches(docs, shard,
+                                            depth=depth, width=width)
+    merged = text.cms_merge(sharded)
+    single = text.cms_merge(
+        text.token_cms_shard_sketches(docs, F.lit(0).cast("long"),
+                                      depth=depth, width=width))
+    a = {(r["r"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    b = {(r["r"], r["bucket"]): r["cnt"] for r in single.collect()}
+    assert a == b
+
+    exact = (
+        docs.select(F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("tok").agg(F.count("*").cast("long").alias("exact_cnt"))
+    )
+    looked = text.cms_lookup(merged, exact, token_col="tok",
+                             depth=depth, width=width).collect()
+    n_total = sum(r["exact_cnt"] for r in looked)
+    eps = math.e / width
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in looked)
+    assert all(r["cms_est"] <= r["exact_cnt"] + eps * n_total
+               for r in looked)
+    # the lane sizing must actually exercise the collision path
+    assert any(r["cms_est"] > r["exact_cnt"] for r in looked)
+
+
+def test_cms_cross_run_persistence(spark, docs, tmp_path):
+    """Run A persists its counters; run B reads the bytes back, adds
+    its own, and the merged sketch equals a single pass over both
+    halves — counter state survives the parquet boundary losslessly."""
+    run_a = docs.filter(F.col("doc_id") % 2 == 0)
+    run_b = docs.filter(F.col("doc_id") % 2 == 1)
+    shard = (F.col("doc_id") % 4).cast("long")
+    text.token_cms_shard_sketches(run_a, shard).write.parquet(
+        str(tmp_path / "run_a"))
+
+    merged = text.cms_merge(
+        spark.read.parquet(str(tmp_path / "run_a")).unionByName(
+            text.token_cms_shard_sketches(run_b, shard)))
+    single = text.cms_merge(
+        text.token_cms_shard_sketches(docs, shard))
+    a = {(r["r"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    b = {(r["r"], r["bucket"]): r["cnt"] for r in single.collect()}
+    assert a == b
+
+
+def test_cms_lookup_unseen_token_estimates_from_collisions_only(spark):
+    """A token never ingested gets whatever its buckets collided into —
+    and 0 when the corpus is empty (absent counters coalesce to 0,
+    they don't null-poison the min)."""
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma")], "doc_id long, text string")
+    cms = text.cms_merge(
+        text.token_cms_shard_sketches(corpus, F.lit(0).cast("long")))
+    cand = spark.createDataFrame([("zzz-unseen",)], "tok string")
+    [row] = text.cms_lookup(cms, cand, token_col="tok").collect()
+    assert row["cms_est"] >= 0
+
+    empty = text.cms_merge(text.token_cms_shard_sketches(
+        corpus.filter(F.lit(False)), F.lit(0).cast("long")))
+    [row] = text.cms_lookup(empty, cand, token_col="tok").collect()
+    assert row["cms_est"] == 0

@@ -417,3 +417,47 @@ def test_histogram_quantiles_windows_are_group_bounded(spark):
     # bucket-scale rows
     n = p.count("hashpartitioning(")
     assert n <= 3, f"extra shuffles in histogram lane ({n}):\n{p}"
+
+
+def test_bloom_probe_filter_side_is_broadcast(spark):
+    """The Bloom seen-set probe must broadcast the m/32-row block
+    table — the batch side joins exchange-free (its only shuffle is
+    the per-id bool_and re-group), never a sort-merge join against
+    what is by construction a bounded-size filter."""
+    from snowflake_data_pipeline_demo_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(100)], "doc_id long, fp string")
+    blocks = dedup.bloom_merge(dedup.bloom_shard_blocks(df, "fp"))
+    probed = dedup.bloom_probe(df, blocks, "fp")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_cms_lookup_sketch_side_is_broadcast(spark):
+    """cms_lookup must broadcast the depth*width-row sketch — the
+    candidate side joins exchange-free apart from the per-candidate
+    min re-group."""
+    from pyspark.sql import functions as F
+
+    from snowflake_data_pipeline_demo_spark.operators import text as T
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(50)],
+        "doc_id long, text string")
+    cms = T.cms_merge(
+        T.token_cms_shard_sketches(corpus, F.lit(0).cast("long")))
+    cand = spark.createDataFrame(
+        [("alpha",), ("beta",)], "tok string")
+    looked = T.cms_lookup(cms, cand, token_col="tok")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        looked.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
