@@ -110,6 +110,8 @@ HEADLINE = [
     "x_winnow_overlap",
     "x_bloom_cross_run_probe",
     "x_cms_heavy_hitters",
+    "x_token_pmi",
+    "x_embed_covariance_prod",
 ]
 
 

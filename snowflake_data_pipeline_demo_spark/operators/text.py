@@ -1382,3 +1382,74 @@ def cms_lookup(cms, candidates, token_col: str = "tok",
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
              .cast("long").alias("cms_est"))
     )
+
+
+def collocation_pmi(df, text_col: str = "text", min_count: int = 5):
+    """Bigram collocations scored by pointwise mutual information:
+    PMI(x,y) = ln((c_xy/B) / ((c_x/N)(c_y/N))) over adjacent-token
+    pairs — the association table tokenizer/vocab work reads to find
+    multi-word units, and a quality signal (word-salad corpora score
+    ~0 everywhere; real text has heavy collocation tails).
+
+    Emits EVERY pair with c_xy >= min_count — no float top-k cut, so
+    cross-engine ln ulp differences can never flip a rank across the
+    cut; a production report adds its own cutoff (or orders by the
+    exact integer triple (c_xy, c_x, c_y) if it needs a strict rank).
+    All count products stay below 2^53 up to corpus sizes of ~10^8
+    tokens per distinct token, so the double-math PMI input is EXACT
+    and both engines round the same value.
+
+    Shape: unigram and pair counts are two map-side-combined hash aggs
+    over per-row projections (the bigram stitch guards the
+    sequence(1,0)-descends hazard like distinct_tokens_hll); the
+    unigram table is vocab-scale -> broadcast twice (x side, y side);
+    totals ride a one-row broadcast. Nothing fact-scale shuffles twice.
+
+    Output: (x, y, c_xy long, pmi double rounded 4dp).
+    """
+    base = df.select(tokens(text_col).alias("_t"))
+    unig = base.select(F.explode("_t").alias("tok"))
+    pairs = base.select(
+        F.explode(
+            F.when(
+                F.size("_t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_t", i).alias("x"),
+                        F.element_at("_t", i + 1).alias("y"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<x:string,y:string>>")
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+
+    uc = unig.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    bc = (
+        pairs.groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    totals = unig.agg(F.count("*").cast("long").alias("n_tok")).crossJoin(
+        pairs.agg(F.count("*").cast("long").alias("n_big"))
+    )
+    ux = uc.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    uy = uc.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    return (
+        bc.join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "x", "y", "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double")
+                     * F.col("n_tok") * F.col("n_tok"))
+                    / (F.col("n_big").cast("double")
+                       * F.col("c_x") * F.col("c_y"))
+                ), 4
+            ).alias("pmi"),
+        )
+    )

@@ -3831,3 +3831,103 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return text.cms_lookup(merged, exact, token_col="tok",
                            depth=_CMS_D, width=_CMS_W)
+
+
+@query(
+    "x_token_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_DTOKS} AS t FROM documents
+    ), unig AS (
+      SELECT unnest(t) AS tok FROM toks
+    ), pairs AS (
+      SELECT split_part(bg, ' ', 1) AS x, split_part(bg, ' ', 2) AS y
+      FROM (
+        SELECT unnest([concat_ws(' ', t[CAST(i AS INT)],
+                                 t[CAST(i AS INT) + 1])
+                       for i in range(1, len(t))]) AS bg
+        FROM toks WHERE len(t) >= 2
+      )
+    ), uc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM unig GROUP BY 1
+    ), bc AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy FROM pairs
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    )
+    SELECT b.x, b.y, b.c_xy,
+           round(ln((CAST(b.c_xy AS DOUBLE)
+                     * (SELECT COUNT(*) FROM unig)
+                     * (SELECT COUNT(*) FROM unig))
+                    / (CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE)
+                       * ux.c * uy.c)), 4) AS pmi
+    FROM bc b
+    JOIN uc ux ON ux.tok = b.x
+    JOIN uc uy ON uy.tok = b.y
+    """,
+    survey_ref="north-star:collocation-pmi",
+)
+def x_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation PMI table (operators/text.py:
+    collocation_pmi): every adjacent-token pair with count >= 5 and
+    its pointwise mutual information. The emitted set is
+    count-thresholded, never float-ranked, so the lane is a hash gate
+    (PMI's double input is exact integer math on both engines; only
+    the final ln can differ, below the 4 dp rounding)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return text.collocation_pmi(d, min_count=5)
+
+
+_DCOV_SQL = """
+    WITH e AS (
+      SELECT embedding AS v FROM embeddings WHERE embedding IS NOT NULL
+    ), p AS (
+      SELECT u.s.i AS i, u.s.j AS j, u.s.p AS p, u.s.vi AS vi,
+             u.s.vj AS vj
+      FROM (
+        SELECT unnest(flatten([[{
+                 'i': CAST(i AS BIGINT), 'j': CAST(j AS BIGINT),
+                 'p': CAST(v[CAST(i AS INT)+1] AS DOUBLE)
+                      * CAST(v[CAST(j AS INT)+1] AS DOUBLE),
+                 'vi': CAST(v[CAST(i AS INT)+1] AS DOUBLE),
+                 'vj': CAST(v[CAST(j AS INT)+1] AS DOUBLE)}
+                for j in range(i, len(v))] for i in range(0, len(v))]))
+               AS s
+        FROM e) u
+    )
+    SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+           round(SUM(p)/COUNT(*)
+                 - (SUM(vi)/COUNT(*)) * (SUM(vj)/COUNT(*)), 4) AS cov
+    FROM p GROUP BY 1, 2
+"""
+
+
+@query(
+    "x_embed_covariance",
+    oracle=_DCOV_SQL,
+    survey_ref="north-star:embedding-covariance",
+)
+def x_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle embedding covariance matrix
+    (operators/similarity.py:embedding_covariance) — the PCA/whitening
+    precursor. This is the interpreted-lambda ORACLE twin; the
+    production Gram-matrix path is x_embed_covariance_prod, held to
+    the SAME oracle (4 dp rounding absorbs summation-order ulps)."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    return similarity.embedding_covariance(emb)
+
+
+@query(
+    "x_embed_covariance_prod",
+    oracle=_DCOV_SQL,
+    survey_ref="north-star:embedding-covariance",
+)
+def x_embed_covariance_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION covariance twin (operators/similarity.py:
+    embedding_covariance_pandas): one numpy float64 Gram matrix per
+    Arrow batch, partials merged in a dim^2-group hash agg — the shape
+    that holds at 100 TB (BLAS per batch, O(dim^2) exchange). Gated by
+    the same DuckDB oracle as the interpreted twin: a rare case where
+    the Arrow path is exactly hash-checkable because the contract
+    rounds to 4 dp."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    return similarity.embedding_covariance_pandas(emb)

@@ -1753,3 +1753,79 @@ def test_cms_lookup_unseen_token_estimates_from_collisions_only(spark):
         corpus.filter(F.lit(False)), F.lit(0).cast("long")))
     [row] = text.cms_lookup(empty, cand, token_col="tok").collect()
     assert row["cms_est"] == 0
+
+
+# ---------------------------------------------------------------------------
+# collocation PMI / embedding covariance
+# ---------------------------------------------------------------------------
+
+def test_collocation_pmi_hand_computed(spark):
+    """PMI over a fixture small enough to verify by hand: corpus of
+    'a b' x6 and 'a c' x6 -> N=24 unigrams, B=12 bigrams; ('a','b')
+    has c_xy=6, c_a=12, c_b=6 -> ratio = 6*24*24/(12*12*6) = 4.0."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(i, "a b") for i in range(6)] + [(i + 6, "a c") for i in range(6)],
+        "doc_id long, text string")
+    rows = {(r["x"], r["y"]): r for r in
+            text.collocation_pmi(docs, min_count=5).collect()}
+    assert set(rows) == {("a", "b"), ("a", "c")}
+    assert rows[("a", "b")]["c_xy"] == 6
+    assert rows[("a", "b")]["pmi"] == round(math.log(4.0), 4)
+
+
+def test_collocation_pmi_degenerate_docs_contribute_nothing(spark):
+    """Single-token / empty / whitespace docs must not crash the
+    bigram stitch (the sequence(1,0)-descends hazard) and contribute
+    unigrams but no pairs."""
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, ""), (2, "   "), (3, None)]
+        + [(10 + i, "x y") for i in range(5)],
+        "doc_id long, text string")
+    rows = text.collocation_pmi(docs, min_count=5).collect()
+    assert {(r["x"], r["y"]) for r in rows} == {("x", "y")}
+    # N counts the 'solo' unigram: 1 + 10 = 11 tokens, B = 5
+    import math
+    [r] = rows
+    assert r["pmi"] == round(math.log((5 * 11 * 11) / (5 * 5 * 5)), 4)
+
+
+def test_embedding_covariance_twins_agree_exactly(spark, emb):
+    """The interpreted oracle lane and the numpy Gram production twin
+    must emit IDENTICAL rows — same rounding contract, summation-order
+    ulps absorbed by the 4 dp round."""
+    a = {(r["i"], r["j"]): (r["n"], r["cov"])
+         for r in similarity.embedding_covariance(emb).collect()}
+    b = {(r["i"], r["j"]): (r["n"], r["cov"])
+         for r in similarity.embedding_covariance_pandas(emb).collect()}
+    assert a == b
+    # diagonal of the covariance matrix = per-dim population variance
+    stats = {r["dim"]: r for r in
+             similarity.embedding_dim_stats(emb).collect()}
+    n = stats[0]["n"]
+    for d in (0, 1, 7):
+        var_sample = stats[d]["std"] ** 2
+        var_pop = a[(d, d)][1]
+        assert abs(var_pop - var_sample * (n - 1) / n) < 5e-3
+
+
+def test_embedding_covariance_degenerate_inputs(spark):
+    """Single vector -> zero covariance everywhere; empty/null corpus
+    -> empty result, no crash."""
+    one = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>")
+    rows = similarity.embedding_covariance(one).collect()
+    assert len(rows) == 6
+    assert all(r["cov"] == 0.0 for r in rows)
+    prows = similarity.embedding_covariance_pandas(one).collect()
+    assert sorted((r["i"], r["j"], r["cov"]) for r in prows) == \
+        sorted((r["i"], r["j"], r["cov"]) for r in rows)
+
+    empty = one.filter(F.lit(False))
+    assert similarity.embedding_covariance(empty).count() == 0
+    assert similarity.embedding_covariance_pandas(empty).count() == 0
+
+    nulls = spark.createDataFrame(
+        [(0, None)], "vec_id long, embedding array<float>")
+    assert similarity.embedding_covariance(nulls).count() == 0

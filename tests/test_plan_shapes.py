@@ -461,3 +461,24 @@ def test_cms_lookup_sketch_side_is_broadcast(spark):
     p = buf.getvalue()
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_pmi_unigram_sides_broadcast_and_totals_one_row(spark):
+    """collocation_pmi must broadcast the vocab-scale unigram table
+    (both the x and y sides) and ride the totals on a one-row
+    broadcast — the pair table is the only fact-scale participant and
+    must never sort-merge against the vocab."""
+    p = _plan(spark, "x_token_pmi")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_embed_covariance_prod_is_arrow_plus_single_agg(spark):
+    """The production covariance twin must be mapInPandas (one Arrow
+    batch -> one Gram matrix) feeding a single hash agg over dim^2
+    groups — no join, no window, no per-element lambda forest."""
+    p = _plan(spark, "x_embed_covariance_prod")
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
+    assert "HashAggregate" in p
+    assert "Join" not in p
