@@ -53,3 +53,46 @@ def chunk_by_tokens(df: DataFrame, text_col: str = "text",
             F.array_join("_chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def truncate_chars(df: DataFrame, budget: int = 200,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Character-budget document truncation at a whitespace boundary:
+    docs at or under budget pass through byte-identical; longer docs
+    are cut at ``budget`` chars, and the trailing non-whitespace run
+    is dropped ONLY when the cut landed mid-token (the character after
+    the cut is non-whitespace) — a token ending exactly at the budget
+    survives. Output is right-trimmed, never ends mid-token, and is
+    always a prefix of the original in ORIGINAL characters (unlike
+    token-window chunking, which normalizes). A doc whose first token
+    alone exceeds the budget truncates to '' (documented contract —
+    the curation funnel's min-length gate catches those).
+
+    Whitespace = ASCII ``\\s`` on both engines; the regex
+    ``\\S*$`` drops the trailing run after the cut, which both Spark
+    (replace-all) and DuckDB (replace-first) resolve to the same
+    single match.
+
+    Shape: pure per-row projection — no shuffle, no UDF; at 100 TB
+    this rides whatever scan already touches the text.
+
+    Output: (id, n_chars_in, n_chars_out, was_truncated, fp_out) —
+    fp_out is md5 of the output text (the lane compares fingerprints,
+    not multi-KB strings).
+    """
+    t = F.col(text_col)
+    prefix = F.substring(t, 1, budget)
+    mid_token = F.substring(t, budget + 1, 1).rlike(r"\S")
+    cut = F.rtrim(
+        F.when(mid_token, F.regexp_replace(prefix, r"\S*$", ""))
+        .otherwise(prefix)
+    )
+    out = F.when(F.length(t) <= budget, t).otherwise(cut)
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars_in"),
+        F.length(out).cast("long").alias("n_chars_out"),
+        (F.length(t) > budget).alias("was_truncated"),
+        F.md5(out).alias("fp_out"),
+    )

@@ -114,3 +114,49 @@ def drop_reasons(corpus: DataFrame, eval_docs: DataFrame,
             .alias("drop_reason"),
         )
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  group_col: str = "source") -> DataFrame:
+    """Per-group content diff between two corpus SNAPSHOTS (crawl N vs
+    crawl N+1): how much is new, how much disappeared, how much
+    carried over — the first report an incremental ingest run produces,
+    and the input to re-crawl budgeting. Compares distinct normalized
+    content fingerprints, not ids, so a re-crawled unchanged page
+    counts as kept and a moved page does not count twice.
+
+    Scale shape: each snapshot reduces to a distinct (group, 16-byte
+    fp) set first (map-side-combined agg — text never shuffles), the
+    diff is one full-outer equi-join of the two id-scale sets, and the
+    report is a group-key agg of presence flags. No step carries more
+    than O(distinct contents) rows.
+
+    Output: (group, n_old, n_new, n_added, n_removed, n_kept) where
+    kept = fingerprint present in both snapshots.
+    """
+    from .text import content_fingerprint
+
+    def fps(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(group_col),
+            content_fingerprint(text_col).alias("_fp"),
+        ).distinct()
+
+    o = fps(old).withColumn("_in_old", F.lit(True))
+    n = fps(new).withColumn("_in_new", F.lit(True))
+    joined = o.join(n, [group_col, "_fp"], "full_outer").select(
+        group_col,
+        F.coalesce("_in_old", F.lit(False)).alias("_in_old"),
+        F.coalesce("_in_new", F.lit(False)).alias("_in_new"),
+    )
+    return joined.groupBy(group_col).agg(
+        F.sum(F.col("_in_old").cast("long")).cast("long").alias("n_old"),
+        F.sum(F.col("_in_new").cast("long")).cast("long").alias("n_new"),
+        F.sum((F.col("_in_new") & ~F.col("_in_old")).cast("long"))
+        .cast("long").alias("n_added"),
+        F.sum((F.col("_in_old") & ~F.col("_in_new")).cast("long"))
+        .cast("long").alias("n_removed"),
+        F.sum((F.col("_in_old") & F.col("_in_new")).cast("long"))
+        .cast("long").alias("n_kept"),
+    )

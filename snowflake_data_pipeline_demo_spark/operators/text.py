@@ -1453,3 +1453,64 @@ def collocation_pmi(df, text_col: str = "text", min_count: int = 5):
             ).alias("pmi"),
         )
     )
+
+
+def classifier_calibration(df, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           buckets: int = 1024,
+                           n_bins: int = 10):
+    """Calibration/threshold-tuning report over the hashed classifier:
+    per score decile, document count, mean token count, and the
+    score range actually observed — what you read before picking a
+    quality cutoff (is the low tail short docs? is mass piling at one
+    bin?). Bins are ``floor(score * n_bins)`` on the 4 dp-rounded
+    score, clamped so score=1.0 lands in the top bin.
+
+    Shape: the classifier's own plan (explode → codegen'd hash+weight
+    → doc-key mean) plus one n_bins-group agg — nothing new shuffles
+    at fact scale.
+
+    Output: (bin long, n_docs, mean_tokens, min_score, max_score).
+    """
+    scored = hashed_classifier_score(df, text_col=text_col,
+                                     id_col=id_col, buckets=buckets)
+    b = F.least(
+        F.floor(F.col("score") * n_bins), F.lit(n_bins - 1)
+    ).cast("long")
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.sum("n_tokens") / F.count("*"), 4)
+            .alias("mean_tokens"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+    )
+
+
+def langid_confusion(df, lang_col: str = "lang",
+                     text_col: str = "text"):
+    """Confusion matrix of the stopword language-ID heuristic against
+    a labeled lang column: (lang, lang_pred, n_docs, rate) with rate
+    normalized per TRUE language — the accuracy artifact that decides
+    whether the cheap heuristic is good enough per language or a
+    model-based pass is needed.
+
+    Shape: one (lang, pred)-key agg, then the per-lang totals join
+    back via broadcast (the matrix is languages², dim-scale).
+    """
+    m = (
+        df.select(F.col(lang_col).alias("lang"),
+                  lang_id(text_col).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    totals = m.groupBy("lang").agg(F.sum("n_docs").alias("_total"))
+    return (
+        m.join(F.broadcast(totals), "lang")
+        .select(
+            "lang", "lang_pred", "n_docs",
+            F.round(F.col("n_docs") / F.col("_total"), 4).alias("rate"),
+        )
+    )

@@ -3931,3 +3931,154 @@ def x_embed_covariance_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds to 4 dp."""
     emb = testdata.load(spark, sf_dir, "embeddings")
     return similarity.embedding_covariance_pandas(emb)
+
+
+@query(
+    "x_snapshot_diff",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), o AS (
+      SELECT DISTINCT source, fp FROM fp WHERE doc_id % 4 < 3
+    ), n AS (
+      SELECT DISTINCT source, fp FROM fp WHERE doc_id % 4 > 0
+    ), j AS (
+      SELECT coalesce(o.source, n.source) AS source,
+             (o.fp IS NOT NULL) AS in_old, (n.fp IS NOT NULL) AS in_new
+      FROM o FULL OUTER JOIN n ON o.source = n.source AND o.fp = n.fp
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN in_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+           CAST(SUM(CASE WHEN in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN in_new AND NOT in_old THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN in_old AND NOT in_new THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN in_old AND in_new THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept
+    FROM j GROUP BY source
+    """,
+    survey_ref="north-star:snapshot-diff",
+)
+def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl content diff (operators/curation.py:
+    snapshot_diff): old = doc_id%4 in {0,1,2}, new = doc_id%4 in
+    {1,2,3} — a 3/4-overlap pair of snapshots, so added/removed/kept
+    are all live counts. Distinct-fingerprint sets diff in one
+    full-outer id-scale join; text never shuffles."""
+    from ..operators import curation
+
+    d = testdata.load(spark, sf_dir, "documents")
+    return curation.snapshot_diff(
+        d.filter(F.col("doc_id") % 4 < 3),
+        d.filter(F.col("doc_id") % 4 > 0),
+    )
+
+
+@query(
+    "x_doc_truncate",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, text,
+             rtrim(CASE WHEN regexp_matches(substr(text, 201, 1), '\\S')
+                   THEN regexp_replace(substr(text, 1, 200), '\\S*$', '')
+                   ELSE substr(text, 1, 200) END)
+             AS cut
+      FROM documents
+    ), o AS (
+      SELECT doc_id, text,
+             CASE WHEN length(text) <= 200 THEN text ELSE cut END AS out,
+             length(text) > 200 AS was_truncated
+      FROM c
+    )
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_in,
+           CAST(length(out) AS BIGINT) AS n_chars_out,
+           was_truncated, md5(out) AS fp_out
+    FROM o
+    """,
+    survey_ref="north-star:doc-truncate",
+)
+def x_doc_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-budget truncation at a whitespace boundary
+    (operators/chunking.py:truncate_chars, budget=200 — the sf0.01
+    median doc is ~290 chars so both branches are live). The trailing
+    run drops only on a mid-token cut — a token ending exactly at the
+    budget survives. Output text is compared by md5 fingerprint; the
+    regex tail-drop resolves to the same single match under Spark's
+    replace-all and DuckDB's replace-first."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return chunking.truncate_chars(d, budget=200)
+
+
+@query(
+    "x_classifier_calibration",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DTOKS}) AS token FROM documents
+    ), w AS (
+      SELECT doc_id,
+             ((CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 1024)
+              * 2654435761 % 1000003) / 1000003.0 * 2 - 1 AS w
+      FROM tok
+    ), scored AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             round(1.0 / (1.0 + exp(-(AVG(w) + 0.0))), 4) AS score
+      FROM w GROUP BY 1
+    )
+    SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(SUM(n_tokens) / COUNT(*), 4) AS mean_tokens,
+           MIN(score) AS min_score, MAX(score) AS max_score
+    FROM scored GROUP BY 1
+    """,
+    survey_ref="north-star:classifier-calibration",
+)
+def x_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-decile calibration report over the hashed classifier
+    (operators/text.py:classifier_calibration) — doc counts, mean
+    token count, and observed score range per bin; the table a
+    threshold choice is read off. Reuses the classifier's oracle
+    CTE verbatim, so the gate isolates the binning."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return text.classifier_calibration(d, buckets=1024, n_bins=10)
+
+
+@query(
+    "x_langid_confusion",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, lang, {_DTOKS} AS t FROM documents),
+    hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(t, x -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], x))) AS n_de,
+        len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS n_en,
+        len(list_filter(t, x -> list_contains(['el','la','de','y','es','un','una','que','en','los'], x))) AS n_es,
+        len(list_filter(t, x -> list_contains(['le','la','de','et','est','un','une','que','les','des'], x))) AS n_fr
+      FROM base
+    ), pred AS (
+      SELECT lang,
+        CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+             WHEN n_de = greatest(n_de, n_en, n_es, n_fr) THEN 'de'
+             WHEN n_en = greatest(n_de, n_en, n_es, n_fr) THEN 'en'
+             WHEN n_es = greatest(n_de, n_en, n_es, n_fr) THEN 'es'
+             ELSE 'fr' END AS lang_pred
+      FROM hits
+    ), m AS (
+      SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT lang, lang_pred, n_docs,
+           round(n_docs / (SUM(n_docs) OVER (PARTITION BY lang)), 4)
+           AS rate
+    FROM m
+    """,
+    survey_ref="north-star:langid-confusion",
+)
+def x_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix against the labeled lang column
+    (operators/text.py:langid_confusion) — per (true, predicted) pair,
+    count and per-true-language rate. The accuracy artifact deciding
+    whether the stopword heuristic suffices per language."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return text.langid_confusion(d)

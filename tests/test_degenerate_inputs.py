@@ -171,6 +171,28 @@ _FRAME_CASES = {
     ),
     "curation_funnel": lambda s, d: curation.curation_funnel(d, _eval_docs(s)),
     "drop_reasons": lambda s, d: curation.drop_reasons(d, _eval_docs(s)),
+    # late-r06 additions
+    "collocation_pmi": lambda s, d: T.collocation_pmi(d, min_count=1),
+    "classifier_calibration": lambda s, d: T.classifier_calibration(d),
+    "langid_confusion": lambda s, d: T.langid_confusion(
+        d, lang_col="source"
+    ),
+    "token_cms_sketches": lambda s, d: T.cms_lookup(
+        T.cms_merge(
+            T.token_cms_shard_sketches(d, (F.col("doc_id") % 2).cast("long"))
+        ),
+        d.select(F.explode(T.tokens("text")).alias("tok")).distinct(),
+    ),
+    "snapshot_diff": lambda s, d: curation.snapshot_diff(d, d.limit(3)),
+    "truncate_chars": lambda s, d: chunking.truncate_chars(d, budget=4),
+    "bloom_build_probe": lambda s, d: dedup.bloom_probe(
+        d.select("doc_id", T.content_fingerprint("text").alias("fp")),
+        dedup.bloom_merge(dedup.bloom_shard_blocks(
+            d.select("doc_id", T.content_fingerprint("text").alias("fp")),
+            "fp",
+        )),
+        "fp",
+    ),
 }
 
 

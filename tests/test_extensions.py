@@ -1829,3 +1829,88 @@ def test_embedding_covariance_degenerate_inputs(spark):
     nulls = spark.createDataFrame(
         [(0, None)], "vec_id long, embedding array<float>")
     assert similarity.embedding_covariance(nulls).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff / truncation / calibration / confusion
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_hand_fixture(spark):
+    """old={A,B}, new={B,C} -> 1 added, 1 removed, 1 kept; duplicate
+    contents within a snapshot collapse to one fingerprint."""
+    from snowflake_data_pipeline_demo_spark.operators import curation
+
+    old = spark.createDataFrame(
+        [(0, "s", "doc A"), (1, "s", "doc B"), (2, "s", "doc  B")],
+        "doc_id long, source string, text string")  # B twice, normalized
+    new = spark.createDataFrame(
+        [(10, "s", "doc B"), (11, "s", "doc C")],
+        "doc_id long, source string, text string")
+    [r] = curation.snapshot_diff(old, new).collect()
+    assert (r["n_old"], r["n_new"]) == (2, 2)
+    assert (r["n_added"], r["n_removed"], r["n_kept"]) == (1, 1, 1)
+
+
+def test_truncate_chars_contract(spark):
+    """Pass-through under budget; whitespace-boundary cut over budget;
+    empty result when the first token alone exceeds the budget."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(0, "short doc"),
+         (1, "alpha beta gamma delta"),
+         (2, "x" * 30),
+         (3, "")],
+        "doc_id long, text string")
+    from snowflake_data_pipeline_demo_spark.operators import chunking
+
+    rows = {r["doc_id"]: r for r in
+            chunking.truncate_chars(docs, budget=10).collect()}
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert rows[0]["was_truncated"] is False
+    assert rows[0]["fp_out"] == md5("short doc")
+    # budget=10 lands exactly after 'beta' (char 11 is a space) — the
+    # complete token SURVIVES the cut
+    assert rows[1]["was_truncated"] is True
+    assert rows[1]["fp_out"] == md5("alpha beta")
+    assert rows[1]["n_chars_out"] == 10
+    # budget=8 cuts mid-'beta' -> the partial run drops, space rtrims
+    mid = {r["doc_id"]: r for r in
+           chunking.truncate_chars(docs, budget=8).collect()}
+    assert mid[1]["fp_out"] == md5("alpha")
+    assert mid[1]["n_chars_out"] == 5
+    # a 30-char single token truncates to ''
+    assert rows[2]["fp_out"] == md5("")
+    assert rows[2]["n_chars_out"] == 0
+    assert rows[3]["n_chars_in"] == 0 and rows[3]["fp_out"] == md5("")
+
+
+def test_classifier_calibration_partitions_the_corpus(spark, docs):
+    rows = text.classifier_calibration(docs).collect()
+    assert all(0 <= r["bin"] <= 9 for r in rows)
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["bin"] / 10 <= r["min_score"] <= r["max_score"]
+        # top bin owns score=1.0; every other bin's max stays inside
+        if r["bin"] < 9:
+            assert r["max_score"] < (r["bin"] + 1) / 10
+
+
+def test_langid_confusion_rates_and_fixture(spark):
+    fx = spark.createDataFrame(
+        [(0, "en", "the cat of the house"),
+         (1, "en", "the dog and it"),
+         (2, "en", "zzz qqq"),          # no stopwords -> und
+         (3, "de", "der hund und die katze")],
+        "doc_id long, lang string, text string")
+    rows = {(r["lang"], r["lang_pred"]): r
+            for r in text.langid_confusion(fx).collect()}
+    assert rows[("en", "en")]["n_docs"] == 2
+    assert rows[("en", "und")]["n_docs"] == 1
+    assert rows[("de", "de")]["rate"] == 1.0
+    en_total = sum(r["rate"] for (lang, _), r in rows.items()
+                   if lang == "en")
+    assert abs(en_total - 1.0) < 1e-9
