@@ -112,6 +112,7 @@ HEADLINE = [
     "x_cms_heavy_hitters",
     "x_token_pmi",
     "x_embed_covariance_prod",
+    "x_stream_corpus_profile",
 ]
 
 

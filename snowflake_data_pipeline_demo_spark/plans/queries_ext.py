@@ -4082,3 +4082,83 @@ def x_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether the stopword heuristic suffices per language."""
     d = testdata.load(spark, sf_dir, "documents")
     return text.langid_confusion(d)
+
+
+@query(
+    "x_stream_corpus_profile",
+    oracle=f"""
+    WITH b AS (
+      SELECT source,
+             CASE WHEN length(text) < 1 THEN -1
+                  ELSE CAST(FLOOR(LN(CAST(length(text) AS DOUBLE))
+                       / LN(1.1)) AS INT) END AS bucket
+      FROM documents WHERE text IS NOT NULL
+    ), m AS (
+      SELECT source, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+    ), c AS (
+      SELECT source, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS total
+      FROM m
+    )
+    SELECT source, CAST(MAX(total) AS BIGINT) AS n_values,
+           {", ".join(_hist_q_sql(q) for q in (0.25, 0.5, 0.75, 0.9, 0.99))},
+           TRUE AS est_ok
+    FROM c GROUP BY source
+    """,
+    survey_ref="north-star:stream-corpus-profile",
+)
+def x_stream_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-maintained corpus profile (streaming/profile.py:
+    profile_batch_fn -> corpus_profile): three deterministic
+    micro-batches each append their own fixed-size sketch state (HLL
+    token sketches + log-bucketed length histograms, shard = batch
+    id); the lane then reads the profile purely from the persisted
+    state tables. The histogram side is a hash gate (the oracle
+    replays the bucket math over the whole corpus — merging is exact
+    and shard-invariant); the HLL side is graded through its error
+    envelope boolean, the x_hll_cross_run_merge pattern. This is the
+    lane that proves the CONTINUOUS ingest keeps the same state the
+    batch sketch operators persist."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.catalog import Table
+    from ..streaming.profile import corpus_profile, profile_batch_fn
+
+    d = testdata.load(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="stream_profile_")
+    hll = Table(spark, f"{tmp}/hll", T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("sketch", T.BinaryType()),
+    ]))
+    hist = Table(spark, f"{tmp}/hist", T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("gamma", T.DoubleType()),
+    ]))
+    fn = profile_batch_fn(hll, hist)
+    for i in range(3):
+        fn(d.filter(F.col("doc_id") % 3 == i), i)
+
+    prof = corpus_profile(hll, hist)
+    exact = (
+        d.select("source", F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").cast("long").alias("_exact"))
+    )
+    # lgConfigK=14 -> rse ~0.81%; same 5x envelope as the HLL lanes
+    return prof.join(F.broadcast(exact), "source").select(
+        "source", "n_values",
+        *[F.round(F.col(c), 4).alias(c)
+          for c in ("p25", "p50", "p75", "p90", "p99")],
+        (
+            F.abs(F.col("est_tokens") - F.col("_exact"))
+            / F.greatest(F.col("_exact"), F.lit(1))
+            <= 0.0406
+        ).alias("est_ok"),
+    )

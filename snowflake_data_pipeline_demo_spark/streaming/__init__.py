@@ -8,10 +8,12 @@ from .pipeline import CitibikePipeline
 from .dedup import (
     dedup_stream, minhash_dedup_batch_fn, semantic_dedup_batch_fn,
 )
+from .profile import corpus_profile, profile_batch_fn
 
 __all__ = [
     "COPY_HISTORY_SCHEMA", "TASK_HISTORY_SCHEMA", "stream_data", "Pipe",
     "TableStream", "Task", "TaskRunner", "CitibikePipeline",
     "stream_metrics", "watermark_lag_seconds",
     "dedup_stream", "minhash_dedup_batch_fn", "semantic_dedup_batch_fn",
+    "corpus_profile", "profile_batch_fn",
 ]

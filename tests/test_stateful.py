@@ -804,3 +804,122 @@ def test_minhash_dedup_survives_index_compaction(spark, tmp_path):
     assert sigs.count() == n_sigs_before + 1
     assert {r["doc_id"] for r in
             bands.read().select("doc_id").distinct().collect()} == {1, 2, 4}
+
+
+def test_streaming_profile_state_matches_batch_and_survives_replay(
+        spark, tmp_path):
+    """profile_batch_fn over three deterministic micro-batches must
+    leave sketch state whose merged report (a) gives EXACTLY the
+    single-pass histogram quantiles — bucket merging is exact —
+    (b) lands the HLL distinct-token estimate inside its envelope, and
+    (c) is untouched by a crash-replay of any batch (batch-keyed
+    overwrites + the committed-subdir gate)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from snowflake_data_pipeline_demo_spark.operators import text as TX
+    from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+    from snowflake_data_pipeline_demo_spark.sources.testdata import load
+    from snowflake_data_pipeline_demo_spark.streaming.profile import (
+        corpus_profile, profile_batch_fn,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    hll = Table(spark, str(tmp_path / "hll"), T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("sketch", T.BinaryType()),
+    ]))
+    hist = Table(spark, str(tmp_path / "hist"), T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("gamma", T.DoubleType()),
+    ]))
+    fn = profile_batch_fn(hll, hist)
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        fn(b, i)
+
+    prof = {r["source"]: r for r in corpus_profile(hll, hist).collect()}
+
+    # (a) histogram side: exactly the single-pass quantiles
+    single = {r["source"]: r for r in TX.histogram_merge_quantiles(
+        TX.length_histogram_shard_sketches(
+            docs.withColumn("n_chars", F.length("text").cast("long")),
+            F.lit(0).cast("long"),
+        )
+    ).collect()}
+    for src, row in prof.items():
+        for c in ("n_values", "p25", "p50", "p75", "p90", "p99"):
+            assert row[c] == single[src][c], (src, c)
+
+    # (b) HLL side: inside the envelope of the exact distinct count
+    exact = {r["source"]: r["n"] for r in docs.select(
+        "source", F.explode(TX.tokens("text")).alias("tok")
+    ).groupBy("source").agg(F.countDistinct("tok").alias("n")).collect()}
+    for src, row in prof.items():
+        assert abs(row["est_tokens"] - exact[src]) <= \
+            max(1, 0.05 * exact[src]), src
+
+    # (c) crash-replay of a mid-stream batch changes nothing
+    n_hll, n_hist = hll.read().count(), hist.read().count()
+    fn(batches[1], 1)
+    assert hll.read().count() == n_hll
+    assert hist.read().count() == n_hist
+    replayed = {r["source"]: r for r in
+                corpus_profile(hll, hist).collect()}
+    assert {s: r["p50"] for s, r in replayed.items()} == \
+        {s: r["p50"] for s, r in prof.items()}
+
+
+def test_streaming_profile_interoperates_with_batch_appends(
+        spark, tmp_path):
+    """A later BATCH job appending shard sketches to the same state
+    tables (same shapes) must fold into the streaming-maintained
+    profile — the interop the module docstring claims."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from snowflake_data_pipeline_demo_spark.operators import text as TX
+    from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+    from snowflake_data_pipeline_demo_spark.sources.testdata import load
+    from snowflake_data_pipeline_demo_spark.streaming.profile import (
+        corpus_profile, profile_batch_fn,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    hll = Table(spark, str(tmp_path / "hll"), T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("sketch", T.BinaryType()),
+    ]))
+    hist = Table(spark, str(tmp_path / "hist"), T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("gamma", T.DoubleType()),
+    ]))
+    profile_batch_fn(hll, hist)(half_a, 0)
+    n_before = {r["source"]: r["n_values"]
+                for r in corpus_profile(hll, hist).collect()}
+
+    # batch job appends its own shard rows directly
+    hb = half_b.withColumn("n_chars", F.length("text").cast("long"))
+    hll.append(TX.token_hll_shard_sketches(hb, F.lit(99).cast("long")))
+    hist.append(TX.length_histogram_shard_sketches(
+        hb, F.lit(99).cast("long")))
+
+    after = {r["source"]: r["n_values"]
+             for r in corpus_profile(hll, hist).collect()}
+    total = {r["source"]: r["n"] for r in docs.groupBy("source")
+             .agg(F.count("*").alias("n")).collect()}
+    assert after == total
+    # a tiny source can sit entirely in half_a; the corpus as a whole
+    # must have grown
+    assert all(after[s] >= n_before.get(s, 0) for s in after)
+    assert sum(after.values()) > sum(n_before.values())
