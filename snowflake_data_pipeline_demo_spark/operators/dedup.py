@@ -1229,3 +1229,32 @@ def bloom_probe(df: DataFrame, blocks: DataFrame, key_col: str = "fp",
             ).alias("maybe_member")
         )
     )
+
+
+def cross_source_dup_matrix(df: DataFrame, text_col: str = "text",
+                            group_col: str = "source") -> DataFrame:
+    """Cross-SOURCE duplication matrix: for every source pair (a < b),
+    how many distinct normalized contents appear in both — the
+    provenance report that shows which feeds mirror each other (and
+    therefore which order dedup should keep representatives in, or
+    which source to drop outright). The within-source view is
+    :func:`exact_dedup_clusters`; this is the between-source view.
+
+    Scale shape: reduce to distinct (source, 16-byte fp) first (text
+    never shuffles), self-join on fp — per fingerprint the join emits
+    at most sources-choose-2 pairs, so the blowup is bounded by the
+    SOURCE count, not the corpus — then one pair-key count agg.
+
+    Output: (source_a, source_b, n_shared long).
+    """
+    fps = df.select(
+        F.col(group_col), content_fingerprint(text_col).alias("_fp")
+    ).distinct()
+    a = fps.select(F.col(group_col).alias("source_a"), "_fp")
+    b = fps.select(F.col(group_col).alias("source_b"), "_fp")
+    return (
+        a.join(b, "_fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )

@@ -4162,3 +4162,59 @@ def x_stream_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.0406
         ).alias("est_ok"),
     )
+
+
+@query(
+    "x_cross_source_dups",
+    oracle="""
+    WITH corpus AS (
+      SELECT source, text FROM documents
+      UNION ALL
+      SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 7 = 0
+    ), fps AS (
+      SELECT DISTINCT source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM corpus
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    survey_ref="north-star:cross-source-dups",
+)
+def x_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (operators/dedup.py:
+    cross_source_dup_matrix) — shared distinct contents per source
+    pair, the feed-mirroring provenance report. The testdata corpus
+    has ZERO cross-source duplicates (every document is unique), which
+    would make the lane structurally empty; instead the lane plants
+    the real-world shape the report exists to catch — a 'mirror'
+    source re-hosting every 7th document (7 is coprime with the
+    source assignment's modulus, so every source pairs with the
+    mirror) — so each (mirror, src*) cell
+    is a live nonzero count. Distinct-fingerprint reduction first, fp
+    equi-join bounded by sources-choose-2 per fingerprint."""
+    d = testdata.load(spark, sf_dir, "documents")
+    corpus = d.select("source", "text").unionByName(
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(F.lit("mirror").alias("source"), "text")
+    )
+    return dedup.cross_source_dup_matrix(corpus)
+
+
+@query(
+    "x_compression_ratio",
+    oracle=None,  # zlib is not exposed by any SQL engine — rows-only;
+    # the determinism pin (test_oracle_parity) and the hand-computed
+    # unit fixtures (test_extensions) are the gates
+    survey_ref="north-star:compression-ratio",
+)
+def x_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio (operators/text.py:
+    compression_signals) — the redundancy quality signal (boilerplate
+    compresses low, high-entropy garbage near 1.0). Arrow-batched
+    pandas UDF driving C-speed zlib; DEFLATE level pinned for
+    determinism."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return text.compression_signals(d)

@@ -185,6 +185,8 @@ _FRAME_CASES = {
     ),
     "snapshot_diff": lambda s, d: curation.snapshot_diff(d, d.limit(3)),
     "truncate_chars": lambda s, d: chunking.truncate_chars(d, budget=4),
+    "cross_source_dup_matrix": lambda s, d: dedup.cross_source_dup_matrix(d),
+    "compression_signals": lambda s, d: T.compression_signals(d),
     "bloom_build_probe": lambda s, d: dedup.bloom_probe(
         d.select("doc_id", T.content_fingerprint("text").alias("fp")),
         dedup.bloom_merge(dedup.bloom_shard_blocks(

@@ -1914,3 +1914,26 @@ def test_langid_confusion_rates_and_fixture(spark):
     en_total = sum(r["rate"] for (lang, _), r in rows.items()
                    if lang == "en")
     assert abs(en_total - 1.0) < 1e-9
+
+
+def test_compression_signals_orders_redundancy(spark):
+    """Repetitive text must compress far below mixed prose, which sits
+    below unique-token noise; hand-pinned contracts for empty/null."""
+    import zlib
+
+    docs = spark.createDataFrame(
+        [(0, "spam " * 200),
+         (1, "the quick brown fox jumps over the lazy dog " * 20),
+         (2, " ".join(f"tok{i}" for i in range(200))),
+         (3, ""),
+         (4, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            text.compression_signals(docs).collect()}
+    assert rows[0]["ratio"] < rows[1]["ratio"] < rows[2]["ratio"]
+    assert rows[0]["ratio"] < 0.05
+    # exact value contract against the local zlib
+    expected = len(zlib.compress(("spam " * 200).encode(), 6))
+    assert rows[0]["n_compressed"] == expected
+    assert rows[3]["n_compressed"] == len(zlib.compress(b"", 6))
+    assert rows[4]["n_compressed"] is None and rows[4]["ratio"] is None
