@@ -140,6 +140,29 @@ def main() -> None:
         .groupBy("split").agg(F.count("*").alias("n_docs")) \
         .orderBy("split").show()
 
+    # cross-run state the NEXT ingest run reads instead of this text:
+    # Bloom seen-set (membership), CMS counters (frequency) — persist
+    # these beside the HLL/histogram profile sketches and tomorrow's
+    # batch probes/merges them at O(state) cost
+    keyed = kept.select(
+        "doc_id", text.content_fingerprint("text").alias("fp"))
+    seen = dedup.bloom_merge(dedup.bloom_shard_blocks(keyed, "fp"))
+    novel = dedup.bloom_probe(keyed.limit(50), seen, "fp") \
+        .filter(~F.col("maybe_member")).count()
+    print(f"== bloom seen-set: {seen.count()} blocks; "
+          f"{novel} of 50 re-probed docs read as new (expect 0)")
+
+    cms = text.cms_merge(text.token_cms_shard_sketches(
+        kept, (F.col("doc_id") % 4).cast("long")))
+    top = text.cms_lookup(
+        cms,
+        kept.select(F.explode(text.tokens("text")).alias("tok"))
+            .groupBy("tok").agg(F.count("*").cast("long").alias("exact"))
+            .orderBy(F.desc("exact"), "tok").limit(5),
+    )
+    print("== CMS heavy hitters (exact vs sketch estimate):")
+    top.orderBy(F.desc("exact")).show()
+
 
 if __name__ == "__main__":
     main()
