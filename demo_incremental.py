@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Run-book for INCREMENTAL ingest — the day-2 story.
+
+Day 1 curates a corpus and persists the state a later run needs:
+the MinHash signature + banded-key LSH index, the Bloom seen-set,
+and the corpus-profile sketches (HLL + length histograms). Day 2
+ingests a fresh batch touching ONLY that state — no day-1 text is
+re-read anywhere — which is the entire operating model at 100 TB:
+every run pays O(its own batch); corpus-wide reports stay one merge
+over persisted sketch rows.
+
+The day-2 batch is built to exercise every path: exact re-deliveries
+(Bloom catches them join-free), near-duplicates (the banded index
+flags them at O(batch) probe cost), and novel documents (signed and
+appended, so day 3 sees them).
+
+Usage: python demo_incremental.py [sf_dir] [state_dir]
+       (defaults /root/testdata/sf0.01, a temp dir)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from snowflake_data_pipeline_demo_spark.operators import dedup, text
+from snowflake_data_pipeline_demo_spark.session import get_spark
+from snowflake_data_pipeline_demo_spark.sources import testdata
+from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+from snowflake_data_pipeline_demo_spark.streaming.dedup import (
+    minhash_dedup_batch_fn,
+)
+from snowflake_data_pipeline_demo_spark.streaming.profile import (
+    corpus_profile, profile_batch_fn,
+)
+
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("source", T.StringType()),
+])
+SIG_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sig", T.ArrayType(T.LongType())),
+])
+BAND_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("band", T.IntegerType()),
+    T.StructField("key", T.StringType()),
+])
+BLOOM_SCHEMA = T.StructType([
+    T.StructField("shard", T.LongType()),
+    T.StructField("block", T.IntegerType()),
+    T.StructField("bits", T.LongType()),
+])
+HLL_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("shard", T.LongType()),
+    T.StructField("sketch", T.BinaryType()),
+])
+HIST_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("shard", T.LongType()),
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("cnt", T.LongType()),
+    T.StructField("gamma", T.DoubleType()),
+])
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    state = (sys.argv[2] if len(sys.argv) > 2
+             else tempfile.mkdtemp(prefix="incremental_state_"))
+    spark = get_spark("demo_incremental")
+    d = testdata.load(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "source")
+
+    clean = Table(spark, f"{state}/clean", DOC_SCHEMA)
+    sigs = Table(spark, f"{state}/sigs", SIG_SCHEMA)
+    bands = Table(spark, f"{state}/bands", BAND_SCHEMA)
+    bloom = Table(spark, f"{state}/bloom", BLOOM_SCHEMA)
+    hll = Table(spark, f"{state}/hll", HLL_SCHEMA)
+    hist = Table(spark, f"{state}/hist", HIST_SCHEMA)
+
+    # ---- day 1: curate, persist all state ----
+    day1 = d.filter(F.col("doc_id") % 3 < 2)
+    ingest = minhash_dedup_batch_fn(clean, sigs, bands_table=bands,
+                                    threshold=0.5)
+    ingest(day1, 0)
+    bloom.overwrite_subdir(
+        dedup.bloom_shard_blocks(
+            clean.read().select(
+                text.content_fingerprint("text").alias("fp")),
+            "fp",
+        ),
+        "run=day1",
+    )
+    profile_batch_fn(hll, hist)(day1, 0)
+    n1 = clean.read().count()
+    print(f"== day 1: ingested {day1.count()} docs, kept {n1}; "
+          f"state: {sigs.read().count()} sigs, "
+          f"{bands.read().count()} band keys, "
+          f"{bloom.read().count()} bloom blocks")
+
+    # ---- day 2: exact re-deliveries + near-dups + novel docs ----
+    redelivered = day1.limit(40)                       # exact repeats
+    neardup = day1.limit(60).subtract(redelivered).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        # perturb one token: still >= 0.5 estimated Jaccard
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "source",
+    )
+    novel = d.filter(F.col("doc_id") % 3 == 2)
+    print(f"== day 2 batch: {redelivered.count()} re-delivered, "
+          f"{neardup.count()} near-dup, {novel.count()} novel")
+
+    # stage 1: Bloom pre-filter kills exact re-deliveries join-free
+    seen = dedup.bloom_merge(bloom.read())
+    keyed = redelivered.unionByName(neardup).unionByName(novel) \
+        .withColumn("fp", text.content_fingerprint("text"))
+    probed = dedup.bloom_probe(keyed, seen, "fp").join(
+        keyed.select("doc_id", "text", "source"), "doc_id")
+    fresh = probed.filter(~F.col("maybe_member")) \
+        .select("doc_id", "text", "source")
+    n_skipped = probed.count() - fresh.count()
+    print(f"== bloom pre-filter: skipped {n_skipped} already-ingested "
+          f"docs without touching the history table")
+
+    # stage 2: banded-index near-dup probe over the survivors
+    ingest(fresh, 1)
+    kept2 = clean.read().count() - n1
+    print(f"== banded-index ingest: kept {kept2} of {fresh.count()} "
+          f"(near-dups dropped at O(batch) probe cost)")
+
+    # stage 3: profile state stays current; report reads state only
+    profile_batch_fn(hll, hist)(novel, 1)
+    print("== corpus profile from persisted sketch state alone:")
+    corpus_profile(hll, hist).orderBy("source").show(5)
+
+    # day-3 bloom state: merge day-2 novel fingerprints in
+    bloom.overwrite_subdir(
+        dedup.bloom_shard_blocks(
+            fresh.select(text.content_fingerprint("text").alias("fp")),
+            "fp", shard_col=F.lit(1).cast("long"),
+        ),
+        "run=day2",
+    )
+    print(f"== day-3-ready: bloom now {bloom.read().count()} block rows "
+          f"across 2 runs (bit_or-merged at probe time)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1142,11 +1142,22 @@ def bloom_shard_blocks(df: DataFrame, key_col: str = "fp",
     "seen-set" a 100 TB ingest keeps so a new crawl snapshot can skip
     already-ingested content (URLs, content fingerprints) WITHOUT
     joining against the full history table. State is (shard, block,
-    bits): the m-bit filter packed into 32-bit blocks — m/32 rows total
-    regardless of corpus size (m=2^18 -> 8,192 rows), vs the
-    O(distinct keys) history table an exact anti-join needs. Blocks are
-    32-bit (bit masks <= 2^31) so the identical math runs in the DuckDB
-    oracle, whose BIGINT << errors at shift 63.
+    bits): the m-bit filter packed into 32-bit blocks, m/32 rows
+    (m=2^18 -> 8,192 rows). Blocks are 32-bit (bit masks <= 2^31) so
+    the identical math runs in the DuckDB oracle, whose BIGINT <<
+    errors at shift 63.
+
+    Honest scale accounting: Bloom state is O(n) BITS, not constant —
+    holding a target FPR needs ~10 bits per expected distinct key at
+    1% (m = -n*ln(p)/ln(2)^2, k = m/n*ln(2)). The win over the exact
+    history anti-join is the ~25x compression (10 bits vs a 32-byte
+    fingerprint row) plus a join-free probe: up to m in the
+    low-gigabytes (~10^9..10^10 keys) the block table broadcasts and
+    the probe is exchange-free; beyond that, partition the probe by
+    block id (equi-join blocks<->positions — the same plan, one
+    shuffle) or shard the filter by key range. Size m for the
+    EXPECTED history: the filter never needs a rebuild until n
+    outgrows it (then rebuild = one pass over history keys).
 
     Merging runs/shards is ``bit_or`` per block (:func:`bloom_merge`) —
     associative, idempotent, commutative, so re-delivered batches

@@ -1365,7 +1365,10 @@ def cms_lookup(cms, candidates, token_col: str = "tok",
     per-candidate min re-group (carries one long per row). Candidates
     come from wherever the report wants them (exact top-k of a sample,
     an eval vocabulary, yesterday's heavy hitters) — the point of CMS
-    is answering them WITHOUT rescanning the corpus."""
+    is answering them WITHOUT rescanning the corpus.
+
+    The candidate frame must not already carry columns named ``r``,
+    ``bucket``, or ``cnt`` (the probe staging uses them)."""
     probes = [
         candidates.select(
             "*", F.lit(r).alias("r"),

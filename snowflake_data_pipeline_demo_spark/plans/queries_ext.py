@@ -3699,8 +3699,10 @@ def x_bloom_cross_run_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit math.
 
     At 100 TB this replaces the exact-history anti-join for
-    skip-already-ingested checks: constant m/32-row state per filter
-    vs an O(distinct-keys) history table, broadcastable probe, and
+    skip-already-ingested checks: ~10 bits per expected key (a ~25x
+    compression of the fingerprint history, sized up front for the
+    target FPR — see bloom_shard_blocks' honest scale accounting), a
+    broadcast join-free probe while m stays low-gigabytes, and
     merge-by-bit_or across ingest runs forever."""
     import tempfile
 

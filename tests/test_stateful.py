@@ -863,9 +863,11 @@ def test_streaming_profile_state_matches_batch_and_survives_replay(
         assert abs(row["est_tokens"] - exact[src]) <= \
             max(1, 0.05 * exact[src]), src
 
-    # (c) crash-replay of a mid-stream batch changes nothing
+    # (c) crash-replay of a mid-stream batch changes nothing; an EMPTY
+    # micro-batch (a trigger with no new files) commits cleanly too
     n_hll, n_hist = hll.read().count(), hist.read().count()
     fn(batches[1], 1)
+    fn(batches[0].filter(F.lit(False)), 3)
     assert hll.read().count() == n_hll
     assert hist.read().count() == n_hist
     replayed = {r["source"]: r for r in
