@@ -452,3 +452,62 @@ def test_histogram_quantiles_match_type1_within_envelope(
             r = got / true
             assert 1 / math.sqrt(gamma) < r <= math.sqrt(gamma) + 1e-9, (
                 q, true, got)
+
+
+@given(
+    st.sets(st.text(st.characters(min_codepoint=33, max_codepoint=1000),
+                    min_size=1, max_size=12), min_size=1, max_size=25),
+    st.sets(st.text(st.characters(min_codepoint=33, max_codepoint=1000),
+                    min_size=1, max_size=12), max_size=25),
+)
+@_SLOW
+def test_bloom_never_false_negative(spark, members, probes):
+    """For ANY key sets (unicode included), every built key probes
+    true — the Bloom guarantee holds under arbitrary inputs, not just
+    the fixture's ascii fingerprints. Probe keys outside the member
+    set may collide (false positive) but must never crash."""
+    from snowflake_data_pipeline_demo_spark.operators import dedup
+
+    m = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(sorted(members))],
+        "doc_id long, fp string")
+    blocks = dedup.bloom_merge(dedup.bloom_shard_blocks(m, "fp"))
+    got = dedup.bloom_probe(m, blocks, "fp").collect()
+    assert all(r["maybe_member"] for r in got)
+    p = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(sorted(members | probes))],
+        "doc_id long, fp string")
+    out = dedup.bloom_probe(p, blocks, "fp").collect()
+    by_key = {r["fp"]: r["maybe_member"] for r in out}
+    assert all(by_key[k] for k in members)
+
+
+@given(st.lists(
+    st.text(st.sampled_from("ab "), min_size=0, max_size=30),
+    min_size=1, max_size=10,
+))
+@_SLOW
+def test_cms_estimate_dominates_exact_count(spark, texts):
+    """CMS one-sided guarantee under arbitrary tiny-alphabet corpora
+    (maximal collisions): exact <= est <= exact + eps*N for every
+    token, and cross-shard merge equals a single build exactly."""
+    import math
+
+    from snowflake_data_pipeline_demo_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    width, depth = 4, 3  # tiny: force heavy collisions
+    merged = T.cms_merge(T.token_cms_shard_sketches(
+        docs, (F.col("doc_id") % 3).cast("long"),
+        depth=depth, width=width))
+    exact = (
+        docs.select(F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("tok").agg(F.count("*").cast("long").alias("exact_cnt"))
+    )
+    looked = T.cms_lookup(merged, exact, token_col="tok",
+                          depth=depth, width=width).collect()
+    n = sum(r["exact_cnt"] for r in looked)
+    eps = math.e / width
+    for r in looked:
+        assert r["exact_cnt"] <= r["cms_est"] <= r["exact_cnt"] + eps * n
