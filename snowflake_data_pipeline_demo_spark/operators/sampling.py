@@ -262,3 +262,46 @@ def temperature_weights(df: DataFrame, alpha: float = 0.7,
             F.lit(0.0),
         ).alias("weight"),
     )
+
+
+def gumbel_topk_resample(scored: DataFrame, k: int = 50,
+                         id_col: str = "doc_id",
+                         logweight_col: str = "importance") -> DataFrame:
+    """Gumbel top-k importance resampling — the SELECTION step of DSIR
+    (Xie et al. 2023): drawing k documents without replacement with
+    probability proportional to exp(log-weight) is exactly taking the
+    top k by ``log_weight + Gumbel(0,1)`` (the Gumbel-top-k trick,
+    Vieira 2014). The noise is DETERMINISTIC — u = md5-uniform of the
+    doc id in the portable hash family, g = -ln(-ln(u)) — so the draw
+    is reproducible, cross-engine replayable, and stable across reruns
+    (the same property every sampler in this module has; a fresh draw
+    is a salt away).
+
+    Here ``logweight_col`` is dsir_importance's MEAN per-token LLR —
+    the length-normalized variant; pass a sum-scaled column for the
+    paper's raw-weight behavior.
+
+    Hash-gate care: the perturbed key rounds to 6 dp and ties break on
+    id, so engine ulp differences in ln can never flip the cut.
+
+    Scale shape: a per-row projection plus one distributed top-k
+    (TakeOrderedAndProject) — no shuffle beyond the k-row collect per
+    partition.
+
+    Output: scored's columns + ``gumbel_key``, the k selected rows.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("g:"), F.col(id_col).cast("string"))),
+            1, 15,
+        ), 16, 10,
+    ).cast("double")
+    u = (h + 1.0) / float((1 << 60) + 1)
+    key = F.round(
+        F.col(logweight_col) + (-F.log(-F.log(u))), 6
+    ).alias("gumbel_key")
+    return (
+        scored.select("*", key)
+        .orderBy(F.desc("gumbel_key"), F.col(id_col))
+        .limit(k)
+    )

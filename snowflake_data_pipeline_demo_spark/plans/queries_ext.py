@@ -4220,3 +4220,37 @@ def x_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism."""
     d = testdata.load(spark, sf_dir, "documents")
     return text.compression_signals(d)
+
+
+@query(
+    "x_dsir_resample",
+    oracle=f"""
+    WITH scored AS ({_REGISTRY["x_dsir_importance"].oracle}),
+    keyed AS (
+      SELECT doc_id, n_tokens, importance,
+             round(importance + (-ln(-ln(
+               (CAST(concat('0x', substr(md5('g:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
+               / 1152921504606846977.0
+             ))), 6) AS gumbel_key
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, importance, gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 50
+    """,
+    survey_ref="north-star:dsir-resample",
+)
+def x_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR SELECTION step (operators/sampling.py:
+    gumbel_topk_resample): 50 documents drawn without replacement with
+    probability proportional to exp(importance) via the deterministic
+    Gumbel-top-k trick over dsir_importance's weights. Completes the
+    DSIR story: x_dsir_importance scores, this lane actually draws the
+    training subset — reproducibly, so the oracle replays the exact
+    selection (6 dp key rounding + id tiebreak make the cut
+    ulp-stable)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    target = d.filter(F.col("doc_id") % 10 == 0)
+    return sampling.gumbel_topk_resample(
+        text.dsir_importance(d, target), k=50
+    )

@@ -186,6 +186,9 @@ _FRAME_CASES = {
     "snapshot_diff": lambda s, d: curation.snapshot_diff(d, d.limit(3)),
     "truncate_chars": lambda s, d: chunking.truncate_chars(d, budget=4),
     "cross_source_dup_matrix": lambda s, d: dedup.cross_source_dup_matrix(d),
+    "gumbel_topk_resample": lambda s, d: sampling.gumbel_topk_resample(
+        T.dsir_importance(d, d.limit(3)), k=5
+    ),
     "compression_signals": lambda s, d: T.compression_signals(d),
     "bloom_build_probe": lambda s, d: dedup.bloom_probe(
         d.select("doc_id", T.content_fingerprint("text").alias("fp")),

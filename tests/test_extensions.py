@@ -1937,3 +1937,21 @@ def test_compression_signals_orders_redundancy(spark):
     assert rows[0]["n_compressed"] == expected
     assert rows[3]["n_compressed"] == len(zlib.compress(b"", 6))
     assert rows[4]["n_compressed"] is None and rows[4]["ratio"] is None
+
+
+def test_gumbel_topk_resample_bias_determinism_and_small_n(spark):
+    """Selection must be reproducible, biased toward high log-weights,
+    and degrade to 'take everything' when k >= n."""
+    from snowflake_data_pipeline_demo_spark.operators import sampling
+
+    rows = [(i, 3.0 if i < 20 else -3.0) for i in range(200)]
+    scored = spark.createDataFrame(rows, "doc_id long, importance double")
+    sel = sampling.gumbel_topk_resample(scored, k=30)
+    ids = {r["doc_id"] for r in sel.collect()}
+    assert ids == {r["doc_id"] for r in sel.collect()}  # deterministic
+    # exp(3)/exp(-3) ~ 400:1 odds — nearly all of the 20 heavy docs in
+    assert len(ids & set(range(20))) >= 15
+    assert len(ids) == 30
+
+    tiny = sampling.gumbel_topk_resample(scored.limit(5), k=50)
+    assert tiny.count() == 5
