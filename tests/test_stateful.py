@@ -925,3 +925,45 @@ def test_streaming_profile_interoperates_with_batch_appends(
     # must have grown
     assert all(after[s] >= n_before.get(s, 0) for s in after)
     assert sum(after.values()) > sum(n_before.values())
+
+
+def test_streaming_profile_survives_state_compaction(spark, tmp_path):
+    """Minutes-cadence profile maintenance accretes one subdir per
+    batch; the maintenance-window compaction (Table.compact) must not
+    change the merged report — HLL union and bucket summation are
+    order- and layout-independent by construction, pinned here."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+    from snowflake_data_pipeline_demo_spark.sources.testdata import load
+    from snowflake_data_pipeline_demo_spark.streaming.profile import (
+        corpus_profile, profile_batch_fn,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    hll = Table(spark, str(tmp_path / "hll"), T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("sketch", T.BinaryType()),
+    ]))
+    hist = Table(spark, str(tmp_path / "hist"), T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("gamma", T.DoubleType()),
+    ]))
+    fn = profile_batch_fn(hll, hist)
+    for i in range(4):
+        fn(docs.filter(F.col("doc_id") % 4 == i), i)
+
+    before = sorted(
+        tuple(r) for r in corpus_profile(hll, hist).collect())
+    ra = hll.compact(target_file_bytes=1 << 20)
+    rb = hist.compact(target_file_bytes=1 << 20)
+    assert ra["files_after"] <= ra["files_before"]
+    assert rb["files_after"] <= rb["files_before"]
+    after = sorted(
+        tuple(r) for r in corpus_profile(hll, hist).collect())
+    assert after == before
