@@ -106,8 +106,10 @@ def main() -> None:
           f"{bloom.read().count()} bloom blocks")
 
     # ---- day 2: exact re-deliveries + near-dups + novel docs ----
-    redelivered = day1.limit(40)                       # exact repeats
-    neardup = day1.limit(60).subtract(redelivered).select(
+    # deterministic doc_id predicates, not limit(): an unordered limit
+    # is re-evaluated per job and can return different rows each time
+    redelivered = day1.filter(F.col("doc_id") % 12 == 0)  # exact repeats
+    neardup = day1.filter(F.col("doc_id") % 12 == 1).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         # perturb one token: still >= 0.5 estimated Jaccard
         F.concat(F.col("text"), F.lit(" tail")).alias("text"),

@@ -69,10 +69,14 @@ def truncate_chars(df: DataFrame, budget: int = 200,
     alone exceeds the budget truncates to '' (documented contract —
     the curation funnel's min-length gate catches those).
 
-    Whitespace = ASCII ``\\s`` on both engines; the regex
-    ``\\S*$`` drops the trailing run after the cut, which both Spark
-    (replace-all) and DuckDB (replace-first) resolve to the same
-    single match.
+    Whitespace = ASCII ``\\s`` on both engines. Both the tail-drop
+    (``\\S*\\z``) and the final trim (``\\s+\\z``) anchor with ``\\z``,
+    NOT ``$``: Java's ``$`` also matches BEFORE a final line
+    terminator (so ``\\S*$`` on a prefix ending in ``\\n`` deletes the
+    complete last token) while RE2's ``$`` is end-of-text only —
+    ``\\z`` means end-of-input in both engines. The trim handles every
+    whitespace class (``rtrim`` strips spaces only), so output never
+    carries trailing tabs/newlines and whitespace-only cuts become ''.
 
     Shape: pure per-row projection — no shuffle, no UDF; at 100 TB
     this rides whatever scan already touches the text.
@@ -84,9 +88,10 @@ def truncate_chars(df: DataFrame, budget: int = 200,
     t = F.col(text_col)
     prefix = F.substring(t, 1, budget)
     mid_token = F.substring(t, budget + 1, 1).rlike(r"\S")
-    cut = F.rtrim(
-        F.when(mid_token, F.regexp_replace(prefix, r"\S*$", ""))
-        .otherwise(prefix)
+    cut = F.regexp_replace(
+        F.when(mid_token, F.regexp_replace(prefix, r"\S*\z", ""))
+        .otherwise(prefix),
+        r"\s+\z", "",
     )
     out = F.when(F.length(t) <= budget, t).otherwise(cut)
     return df.select(

@@ -1173,7 +1173,12 @@ def bloom_shard_blocks(df: DataFrame, key_col: str = "fp",
     """
     if shard_col is None:
         shard_col = F.lit(0).cast("long")
-    pos = df.select(
+    # NULL keys (null text -> null fingerprint) would hash to NULL
+    # positions and write a garbage (block=NULL, bits=NULL) row into
+    # the persisted state forever (review fix). A NULL key is never
+    # "seen": the build drops it here, and bloom_probe reports it
+    # definitely-new (its NULL positions miss the join -> false).
+    pos = df.filter(F.col(key_col).isNotNull()).select(
         shard_col.alias("shard"),
         F.explode(F.array(*_bloom_positions(F.col(key_col), m_bits, k)))
         .alias("pos"),

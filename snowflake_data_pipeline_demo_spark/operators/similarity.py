@@ -600,7 +600,15 @@ def embedding_covariance_pandas(df: DataFrame,
     batch-at-a-time instead of interpreted per-element lambdas, and
     the partials merge in the same O(dim^2)-group hash agg. The only
     float difference vs the oracle lane is summation ORDER (~1e-13
-    relative), far below the 4 dp rounding both lanes share."""
+    relative), far below the 4 dp rounding both lanes share.
+
+    Dirty-input parity with the interpreted twin (code-review fix —
+    np.stack used to crash where the lambda lane returned rows):
+    vectors are grouped by LENGTH before stacking (a ragged corpus
+    contributes each row's own i<=j pairs, like the per-row
+    transform), and NULL elements become NaN zeroed out of the sums
+    while still counting in n — exactly Spark's null-skipping
+    sum / null-counting count(*) aggregate semantics."""
     import numpy as np
 
     from pyspark.sql.types import (
@@ -621,15 +629,27 @@ def embedding_covariance_pandas(df: DataFrame,
             vecs = pdf[vec_col].to_numpy()
             if len(vecs) == 0:
                 continue
-            x = np.stack(vecs).astype("float64")
-            g = x.T @ x
-            s = x.sum(axis=0)
-            iu, ju = np.triu_indices(x.shape[1])
-            yield pd.DataFrame({
-                "i": iu.astype("int64"), "j": ju.astype("int64"),
-                "sp": g[iu, ju], "si": s[iu], "sj": s[ju],
-                "n": np.full(len(iu), x.shape[0], dtype="int64"),
-            })
+            by_len: dict = {}
+            for v in vecs:
+                by_len.setdefault(len(v), []).append(v)
+            for dim, group in by_len.items():
+                if dim == 0:
+                    continue
+                # None -> NaN; NaN products/values zero out of the
+                # sums (Spark's sum skips nulls) but rows still count
+                x = np.array(
+                    [np.asarray(v, dtype="float64") for v in group],
+                    dtype="float64",
+                )
+                xz = np.nan_to_num(x, nan=0.0)
+                g = xz.T @ xz
+                s = xz.sum(axis=0)
+                iu, ju = np.triu_indices(dim)
+                yield pd.DataFrame({
+                    "i": iu.astype("int64"), "j": ju.astype("int64"),
+                    "sp": g[iu, ju], "si": s[iu], "sj": s[ju],
+                    "n": np.full(len(iu), len(group), dtype="int64"),
+                })
 
     partials = _nonnull(df, vec_col).select(vec_col).mapInPandas(
         gram, schema=partial_schema

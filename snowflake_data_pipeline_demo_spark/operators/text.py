@@ -1319,26 +1319,32 @@ def token_cms_shard_sketches(df, shard_col: Column | str,
     1-delta for eps = e/width, delta = e^-depth — the standard
     Cormode-Muthukrishnan bound.
 
-    Build shape: tokens explode per row, the bucket hash sits at the
-    top level of the projection (codegen), and the groupBy combines
-    map-side into at most depth*width groups per shard.
+    Build shape: ONE scan — tokens explode per row, then all depth
+    (r, bucket) pairs explode from a single array projection (the
+    bucket hashes sit at the top level of that projection, codegen'd;
+    a union of depth selects would re-scan and re-tokenize the corpus
+    depth times, since Spark does not dedupe common subplans across
+    union branches — review fix, same shape as bloom_shard_blocks).
+    The groupBy combines map-side into at most depth*width groups per
+    shard.
     """
     toks = df.select(
         _col(shard_col).alias("shard"),
         F.explode(tokens(text_col)).alias("_tok"),
     )
-    rows = [
-        toks.select(
-            "shard", F.lit(r).alias("r"),
-            _cms_bucket(F.col("_tok"), r, width).alias("bucket"),
-        )
-        for r in range(depth)
-    ]
-    stacked = rows[0]
-    for extra in rows[1:]:
-        stacked = stacked.unionByName(extra)
     return (
-        stacked.groupBy("shard", "r", "bucket")
+        toks.select(
+            "shard",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    _cms_bucket(F.col("_tok"), r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ])).alias("_rb"),
+        )
+        .groupBy("shard", F.col("_rb.r").alias("r"),
+                 F.col("_rb.bucket").alias("bucket"))
         .agg(F.count("*").cast("long").alias("cnt"))
     )
 
@@ -1368,17 +1374,21 @@ def cms_lookup(cms, candidates, token_col: str = "tok",
     is answering them WITHOUT rescanning the corpus.
 
     The candidate frame must not already carry columns named ``r``,
-    ``bucket``, or ``cnt`` (the probe staging uses them)."""
-    probes = [
-        candidates.select(
-            "*", F.lit(r).alias("r"),
-            _cms_bucket(F.col(token_col), r, width).alias("bucket"),
-        )
-        for r in range(depth)
-    ]
-    stacked = probes[0]
-    for extra in probes[1:]:
-        stacked = stacked.unionByName(extra)
+    ``bucket``, or ``cnt`` (the probe staging uses them). Probes
+    explode from one array projection — a union of depth selects
+    would re-execute the candidate plan (often itself an aggregate)
+    depth times (review fix)."""
+    stacked = candidates.select(
+        "*",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(r).alias("r"),
+                _cms_bucket(F.col(token_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ])).alias("_rb"),
+    ).select("*", F.col("_rb.r").alias("r"),
+             F.col("_rb.bucket").alias("bucket")).drop("_rb")
     keep = [c for c in candidates.columns]
     return (
         stacked.join(F.broadcast(cms), ["r", "bucket"], "left")
@@ -1503,10 +1513,16 @@ def langid_confusion(df, lang_col: str = "lang",
 
     Shape: one (lang, pred)-key agg, then the per-lang totals join
     back via broadcast (the matrix is languages², dim-scale).
+
+    Unlabeled docs (NULL lang) are kept as the 'unlabeled' row — a
+    NULL key would silently vanish at the non-null-safe totals join
+    and the matrix would under-report corpus coverage (review fix).
     """
     m = (
-        df.select(F.col(lang_col).alias("lang"),
-                  lang_id(text_col).alias("lang_pred"))
+        df.select(
+            F.coalesce(F.col(lang_col), F.lit("unlabeled")).alias("lang"),
+            lang_id(text_col).alias("lang_pred"),
+        )
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )

@@ -3984,9 +3984,11 @@ def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT doc_id, text,
-             rtrim(CASE WHEN regexp_matches(substr(text, 201, 1), '\\S')
-                   THEN regexp_replace(substr(text, 1, 200), '\\S*$', '')
-                   ELSE substr(text, 1, 200) END)
+             regexp_replace(
+               CASE WHEN regexp_matches(substr(text, 201, 1), '\\S')
+                    THEN regexp_replace(substr(text, 1, 200), '\\S*\\z', '')
+                    ELSE substr(text, 1, 200) END,
+               '\\s+\\z', '')
              AS cut
       FROM documents
     ), o AS (

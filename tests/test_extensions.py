@@ -1888,6 +1888,37 @@ def test_truncate_chars_contract(spark):
     assert rows[3]["n_chars_in"] == 0 and rows[3]["fp_out"] == md5("")
 
 
+def test_truncate_chars_newline_boundary(spark):
+    """The Java-regex trap the code-review caught live: with the old
+    $-anchored patterns, a prefix ending in '\\n' lost its complete
+    last token (Java's $ matches BEFORE a final line terminator; RE2's
+    does not). \\z anchors must keep 'abc' from 'abc\\ndef' at
+    budget=4, and the \\s+\\z trim must strip tabs/newlines, not just
+    spaces."""
+    import hashlib
+
+    from snowflake_data_pipeline_demo_spark.operators import chunking
+
+    docs = spark.createDataFrame(
+        [(0, "abc\ndef"),        # prefix 'abc\n', cut mid-'def'
+         (1, "ab cd\nef"),       # prefix 'ab cd\n', cut mid-'ef'
+         (2, "x\t\n" + "y" * 20)],  # whitespace run before the cut
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            chunking.truncate_chars(docs, budget=4).collect()}
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert rows[0]["fp_out"] == md5("abc")
+    assert rows[0]["n_chars_out"] == 3
+    assert rows[2]["fp_out"] == md5("x")
+
+    six = {r["doc_id"]: r for r in
+           chunking.truncate_chars(docs, budget=6).collect()}
+    assert six[1]["fp_out"] == md5("ab cd")
+
+
 def test_classifier_calibration_partitions_the_corpus(spark, docs):
     rows = text.classifier_calibration(docs).collect()
     assert all(0 <= r["bin"] <= 9 for r in rows)
@@ -1955,3 +1986,38 @@ def test_gumbel_topk_resample_bias_determinism_and_small_n(spark):
 
     tiny = sampling.gumbel_topk_resample(scored.limit(5), k=50)
     assert tiny.count() == 5
+
+
+def test_bloom_build_drops_null_keys(spark):
+    """NULL keys must not write garbage (NULL block) rows into the
+    persisted filter state; probing a NULL key reads definitely-new."""
+    df = spark.createDataFrame(
+        [(0, "k0"), (1, None), (2, "k2")], "doc_id long, fp string")
+    blocks = dedup.bloom_merge(dedup.bloom_shard_blocks(df, "fp"))
+    rows = blocks.collect()
+    assert all(r["block"] is not None and r["bits"] is not None
+               for r in rows)
+    probed = {r["doc_id"]: r["maybe_member"]
+              for r in dedup.bloom_probe(df, blocks, "fp").collect()}
+    assert probed[0] is True and probed[2] is True
+    assert probed[1] is False
+
+
+def test_embedding_covariance_pandas_ragged_and_null_elements(spark):
+    """The production Gram twin must match the interpreted twin on
+    dirty input too: ragged dims (each row contributes its own i<=j
+    pairs) and NULL elements (skipped by sums, counted by n)."""
+    dirty = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]),
+         (1, [4.0, 5.0]),
+         (2, [1.0, None, 2.0]),
+         (3, [2.0, 1.0, 4.0])],
+        "vec_id long, embedding array<double>")
+    a = {(r["i"], r["j"]): (r["n"], r["cov"])
+         for r in similarity.embedding_covariance(dirty).collect()}
+    b = {(r["i"], r["j"]): (r["n"], r["cov"])
+         for r in similarity.embedding_covariance_pandas(dirty).collect()}
+    assert a == b
+    # dim (2,2) exists only for the three 3-dim rows
+    assert a[(2, 2)][0] == 3
+    assert a[(0, 0)][0] == 4
