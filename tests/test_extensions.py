@@ -1935,13 +1935,18 @@ def test_langid_confusion_rates_and_fixture(spark):
         [(0, "en", "the cat of the house"),
          (1, "en", "the dog and it"),
          (2, "en", "zzz qqq"),          # no stopwords -> und
-         (3, "de", "der hund und die katze")],
+         (3, "de", "der hund und die katze"),
+         (4, None, "the big cat")],     # unlabeled doc must not vanish
         "doc_id long, lang string, text string")
     rows = {(r["lang"], r["lang_pred"]): r
             for r in text.langid_confusion(fx).collect()}
     assert rows[("en", "en")]["n_docs"] == 2
     assert rows[("en", "und")]["n_docs"] == 1
     assert rows[("de", "de")]["rate"] == 1.0
+    # NULL lang keeps its row (review fix: a NULL key silently dropped
+    # at the non-null-safe totals join)
+    assert rows[("unlabeled", "en")]["n_docs"] == 1
+    assert sum(r["n_docs"] for r in rows.values()) == 5
     en_total = sum(r["rate"] for (lang, _), r in rows.items()
                    if lang == "en")
     assert abs(en_total - 1.0) < 1e-9
