@@ -665,3 +665,73 @@ def embedding_covariance_pandas(df: DataFrame,
             ).alias("cov"),
         )
     )
+
+
+def pca_components(cov_rows, dim: int, k: int = 8,
+                   iters: int = 50) -> list:
+    """Top-k principal components from a COLLECTED covariance matrix
+    (the (i, j, cov) upper-triangle rows of
+    :func:`embedding_covariance`): orthogonal (power) iteration with
+    deflation on the driver. dim x dim is MODEL-scale math (64x64 =
+    4 KB) — the same driver-side boundary as kmeans_centroids' argmax
+    and BPE's merge loop: the corpus-scale pass is the covariance
+    build; everything after it is constant-size.
+
+    Deterministic by construction: the start vectors are fixed basis
+    vectors (e_0..e_{k-1}) and the iteration count is pinned, so two
+    runs (or two engines) produce identical components up to float
+    ulps. Sign convention: each component's largest-|coord| entry is
+    made positive.
+
+    Returns a list of k lists (each dim floats), eigenvalue-ordered.
+    """
+    import numpy as np
+
+    c = np.zeros((dim, dim))
+    for r in cov_rows:
+        c[r["i"], r["j"]] = r["cov"]
+        c[r["j"], r["i"]] = r["cov"]
+    comps = []
+    for ki in range(k):
+        v = np.zeros(dim)
+        v[ki % dim] = 1.0
+        for _ in range(iters):
+            # deflate: project out already-found components
+            for u in comps:
+                v -= np.dot(v, u) * u
+            w = c @ v
+            n = np.linalg.norm(w)
+            if n < 1e-12:
+                break
+            v = w / n
+        for u in comps:
+            v -= np.dot(v, u) * u
+        n = np.linalg.norm(v)
+        v = v / n if n > 1e-12 else v
+        top = int(np.argmax(np.abs(v)))
+        if v[top] < 0:
+            v = -v
+        comps.append(v)
+    return [[float(x) for x in v] for v in comps]
+
+
+def project_embeddings(df: DataFrame, components: list,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Distributed projection onto PCA components: (id, proj array of
+    k doubles) — the dimensionality-reduction / whitening application
+    of :func:`pca_components`. Each component is a broadcast-inlined
+    literal array; the dot products run through the same
+    aggregate-HOF shape as :func:`dot` (keep the HOF — unrolled
+    GetArrayItem chains measured 5-10x slower, see module docstring
+    history). Pure per-row projection, no shuffle.
+    """
+    vecs = [F.array(*[F.lit(float(x)) for x in comp])
+            for comp in components]
+    return _nonnull(df, vec_col).select(
+        F.col(id_col),
+        F.array(*[
+            F.round(dot(F.col(vec_col), cvec), 4)
+            for cvec in vecs
+        ]).alias("proj"),
+    )

@@ -4256,3 +4256,33 @@ def x_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.gumbel_topk_resample(
         text.dsir_importance(d, target), k=50
     )
+
+
+@query(
+    "x_embed_pca_project",
+    oracle=None,  # orthogonal power iteration is a driver-side
+    # iterative algorithm — not SQL-expressible; gated by the
+    # determinism pin plus unit tests against numpy's eigh
+    # (tests/test_extensions.py)
+    survey_ref="north-star:embedding-pca",
+)
+def x_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction end to end
+    (operators/similarity.py: embedding_covariance_pandas ->
+    pca_components -> project_embeddings): the corpus-scale pass is
+    the covariance build (Arrow Gram twin); the eigensolve is
+    model-scale driver math (64x64, fixed basis starts + pinned
+    iteration count -> deterministic); the projection is a per-row
+    broadcast-literal dot-product projection, no shuffle. Output
+    serializes the k=4 projection array to a comma string (driver
+    canonicalizer rejects array columns)."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cov = similarity.embedding_covariance_pandas(emb).collect()
+    dim = 1 + max(r["j"] for r in cov)
+    comps = similarity.pca_components(cov, dim=dim, k=4)
+    proj = similarity.project_embeddings(emb, comps)
+    return proj.select(
+        "vec_id",
+        F.array_join(F.col("proj").cast("array<string>"), ",")
+        .alias("proj"),
+    )

@@ -2026,3 +2026,50 @@ def test_embedding_covariance_pandas_ragged_and_null_elements(spark):
     # dim (2,2) exists only for the three 3-dim rows
     assert a[(2, 2)][0] == 3
     assert a[(0, 0)][0] == 4
+
+
+def test_pca_components_recover_known_spectrum(spark):
+    """Orthogonal power iteration must recover the eigenvectors of a
+    synthetic covariance with a well-separated known spectrum, in
+    eigenvalue order, mutually orthonormal."""
+    import numpy as np
+
+    rng_basis = np.linalg.qr(
+        np.array([[(i * 7 + j * 3 + 1) % 11 - 5.0 for j in range(6)]
+                  for i in range(6)]))[0]
+    evals = np.array([16.0, 8.0, 4.0, 2.0, 1.0, 0.5])
+    c = rng_basis @ np.diag(evals) @ rng_basis.T
+    iu, ju = np.triu_indices(6)
+    rows = [{"i": int(i), "j": int(j), "cov": float(c[i, j])}
+            for i, j in zip(iu, ju)]
+    comps = np.array(similarity.pca_components(rows, dim=6, k=4))
+    for k in range(4):
+        align = abs(float(comps[k] @ rng_basis[:, k]))
+        assert align > 0.999, (k, align)
+    gram = comps @ comps.T
+    assert np.allclose(gram, np.eye(4), atol=1e-6)
+
+
+def test_project_embeddings_identity_and_nulls(spark):
+    """Projection onto basis vectors returns the original coordinates
+    (rounded); NULL embeddings are dropped at the boundary."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, None)],
+        "vec_id long, embedding array<float>")
+    comps = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = similarity.project_embeddings(df, comps).collect()
+    assert len(rows) == 1
+    assert rows[0]["proj"] == [1.0, 2.0]
+
+
+def test_pca_zero_covariance_degenerate(spark):
+    """An all-zero covariance (constant embeddings) must yield unit
+    vectors, not NaNs or a crash."""
+    import math
+
+    rows = [{"i": i, "j": j, "cov": 0.0}
+            for i in range(4) for j in range(i, 4)]
+    comps = similarity.pca_components(rows, dim=4, k=2)
+    for v in comps:
+        assert all(not math.isnan(x) for x in v)
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9
