@@ -281,6 +281,13 @@ _EMB_CASES = {
         d, nlist=2, iters=3, sample=16
     ),
     "embedding_dim_stats": lambda s, d: similarity.embedding_dim_stats(d),
+    "embedding_covariance": lambda s, d: similarity.embedding_covariance(d),
+    "embedding_covariance_pandas": lambda s, d: (
+        similarity.embedding_covariance_pandas(d)
+    ),
+    "project_embeddings": lambda s, d: similarity.project_embeddings(
+        d, [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    ),
 }
 
 

@@ -967,3 +967,70 @@ def test_streaming_profile_survives_state_compaction(spark, tmp_path):
     after = sorted(
         tuple(r) for r in corpus_profile(hll, hist).collect())
     assert after == before
+
+
+def test_streaming_profile_through_real_stream(spark, tmp_path):
+    """profile_batch_fn attached to an ACTUAL Structured Streaming
+    query (file source -> foreachBatch, availableNow): the state
+    tables fill from real micro-batches, and a checkpointed restart
+    with no new files adds nothing — the exactly-once contract under
+    the genuine streaming machinery, not a direct fn() call."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from snowflake_data_pipeline_demo_spark.operators import text as TX
+    from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+    from snowflake_data_pipeline_demo_spark.streaming.profile import (
+        corpus_profile, profile_batch_fn,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "f1.json").write_text("\n".join(json.dumps(r) for r in [
+        {"doc_id": 1, "source": "s0", "text": "alpha beta gamma"},
+        {"doc_id": 2, "source": "s0", "text": "alpha beta"},
+    ]))
+    (src / "f2.json").write_text("\n".join(json.dumps(r) for r in [
+        {"doc_id": 3, "source": "s0", "text": "delta epsilon"},
+        {"doc_id": 4, "source": "s1", "text": "zeta"},
+    ]))
+
+    hll = Table(spark, str(tmp_path / "hll"), T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("sketch", T.BinaryType()),
+    ]))
+    hist = Table(spark, str(tmp_path / "hist"), T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("gamma", T.DoubleType()),
+    ]))
+    fn = profile_batch_fn(hll, hist)
+
+    def run():
+        stream = (
+            spark.readStream
+            .schema("doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    prof = {r["source"]: r for r in corpus_profile(hll, hist).collect()}
+    assert prof["s0"]["n_values"] == 3
+    assert prof["s1"]["n_values"] == 1
+    assert prof["s0"]["est_tokens"] == 5  # tiny corpus: HLL is exact
+    assert prof["s1"]["est_tokens"] == 1
+
+    n_rows = (hll.read().count(), hist.read().count())
+    run()  # checkpointed restart, no new files
+    assert (hll.read().count(), hist.read().count()) == n_rows
