@@ -609,6 +609,17 @@ def embedding_covariance_pandas(df: DataFrame,
     transform), and NULL elements become NaN zeroed out of the sums
     while still counting in n — exactly Spark's null-skipping
     sum / null-counting count(*) aggregate semantics."""
+    return covariance_finalize(embedding_covariance_state(df, vec_col))
+
+
+def embedding_covariance_state(df: DataFrame,
+                               vec_col: str = "embedding") -> DataFrame:
+    """This run's PERSISTABLE second-moment state from raw embeddings:
+    (i, j, sp, si, sj, n) — write it to parquet and a later run merges
+    its own via :func:`covariance_partial_state` over the union, then
+    :func:`covariance_finalize` for the corpus covariance. The Gram
+    work is one numpy matmul per Arrow batch; the output is dim²/2
+    rows regardless of corpus size."""
     import numpy as np
 
     from pyspark.sql.types import (
@@ -654,16 +665,36 @@ def embedding_covariance_pandas(df: DataFrame,
     partials = _nonnull(df, vec_col).select(vec_col).mapInPandas(
         gram, schema=partial_schema
     )
-    return (
-        partials.groupBy("i", "j")
-        .agg(
-            F.sum("n").cast("long").alias("n"),
-            F.round(
-                F.sum("sp") / F.sum("n")
-                - (F.sum("si") / F.sum("n")) * (F.sum("sj") / F.sum("n")),
-                4,
-            ).alias("cov"),
-        )
+    return covariance_partial_state(partials)
+
+
+def covariance_partial_state(partials: DataFrame) -> DataFrame:
+    """Aggregate raw Gram partials into the PERSISTABLE second-moment
+    state: one (i, j, sp, si, sj, n) row per pair — the covariance
+    member of the cross-run state family (HLL = cardinality,
+    histograms = quantiles, Bloom = membership, CMS = frequency,
+    THIS = second moments). Merging runs is exact sum-per-pair over
+    the union of their state tables (re-apply this function), so a
+    later run updates the corpus covariance — and everything derived
+    from it, PCA included — at O(its own batch) cost plus an
+    O(dim²)-row merge, never re-reading prior embeddings."""
+    return partials.groupBy("i", "j").agg(
+        F.sum("sp").alias("sp"), F.sum("si").alias("si"),
+        F.sum("sj").alias("sj"), F.sum("n").cast("long").alias("n"),
+    )
+
+
+def covariance_finalize(state: DataFrame) -> DataFrame:
+    """(i, j, n, cov) from second-moment state:
+    cov = sp/n - (si/n)(sj/n), rounded to the 4 dp contract both
+    covariance twins share."""
+    return state.select(
+        "i", "j", F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("sp") / F.col("n")
+            - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n")),
+            4,
+        ).alias("cov"),
     )
 
 
@@ -735,3 +766,32 @@ def project_embeddings(df: DataFrame, components: list,
             for cvec in vecs
         ]).alias("proj"),
     )
+
+
+def pca_eigenvalues(cov_rows, components) -> list:
+    """Rayleigh quotients v^T C v of each component against the
+    collected covariance — the variance captured along each principal
+    direction. Driver-side dim² math like :func:`pca_components`."""
+    import numpy as np
+
+    dim = len(components[0])
+    c = np.zeros((dim, dim))
+    for r in cov_rows:
+        c[r["i"], r["j"]] = r["cov"]
+        c[r["j"], r["i"]] = r["cov"]
+    return [float(np.asarray(v) @ c @ np.asarray(v)) for v in components]
+
+
+def whiten_components(components, eigenvalues, eps: float = 1e-9) -> list:
+    """Scale principal components to whitening vectors: projecting
+    onto component_k / sqrt(eigenvalue_k) gives unit variance along
+    every kept direction (PCA whitening). Near-zero eigenvalues are
+    floored by ``eps`` — a dead direction stays ~dead instead of
+    amplifying float noise to unit scale. Feed the result straight to
+    :func:`project_embeddings`."""
+    import math
+
+    return [
+        [x / math.sqrt(max(ev, eps)) for x in comp]
+        for comp, ev in zip(components, eigenvalues)
+    ]

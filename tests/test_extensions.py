@@ -2073,3 +2073,55 @@ def test_pca_zero_covariance_degenerate(spark):
     for v in comps:
         assert all(not math.isnan(x) for x in v)
         assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+
+
+def test_covariance_state_merges_across_runs(spark, emb, tmp_path):
+    """The second-moment member of the cross-run state family: run A
+    persists its (i, j, sp, si, sj, n) Gram state; run B reads the
+    bytes back, adds its own, and the finalized covariance equals a
+    single pass over both halves (the shared 4 dp rounding absorbs
+    the summation-order ulps of the merge)."""
+    run_a = emb.filter(F.col("vec_id") % 2 == 0)
+    run_b = emb.filter(F.col("vec_id") % 2 == 1)
+    similarity.embedding_covariance_state(run_a).write.parquet(
+        str(tmp_path / "run_a"))
+
+    merged = similarity.covariance_finalize(
+        similarity.covariance_partial_state(
+            spark.read.parquet(str(tmp_path / "run_a")).unionByName(
+                similarity.embedding_covariance_state(run_b))))
+    single = similarity.embedding_covariance_pandas(emb)
+    a = {(r["i"], r["j"]): (r["n"], r["cov"]) for r in merged.collect()}
+    b = {(r["i"], r["j"]): (r["n"], r["cov"]) for r in single.collect()}
+    assert a == b
+
+
+def test_pca_eigenvalues_and_whitening(spark):
+    """Rayleigh quotients recover the planted spectrum, and whitened
+    projections have ~unit variance along every kept direction."""
+    import numpy as np
+
+    basis = np.linalg.qr(
+        np.array([[(i * 5 + j * 2 + 1) % 7 - 3.0 for j in range(4)]
+                  for i in range(4)]))[0]
+    evals_true = np.array([9.0, 4.0, 1.0, 0.25])
+    c = basis @ np.diag(evals_true) @ basis.T
+    iu, ju = np.triu_indices(4)
+    rows = [{"i": int(i), "j": int(j), "cov": float(c[i, j])}
+            for i, j in zip(iu, ju)]
+    comps = similarity.pca_components(rows, dim=4, k=3)
+    evals = similarity.pca_eigenvalues(rows, comps)
+    assert np.allclose(evals, evals_true[:3], atol=1e-6)
+
+    # sample vectors with the planted covariance structure; whitened
+    # projections should have variance ~1 along each direction
+    rng = np.random.RandomState(7)
+    x = rng.randn(4000, 4) @ (basis * np.sqrt(evals_true)).T
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>")
+    white = similarity.whiten_components(comps, evals)
+    proj = np.array([r["proj"] for r in
+                     similarity.project_embeddings(df, white).collect()])
+    var = proj.var(axis=0)
+    assert np.all(np.abs(var - 1.0) < 0.15), var
