@@ -511,3 +511,69 @@ def test_cms_estimate_dominates_exact_count(spark, texts):
     eps = math.e / width
     for r in looked:
         assert r["exact_cnt"] <= r["cms_est"] <= r["exact_cnt"] + eps * n
+
+
+@given(st.lists(
+    st.text(alphabet="ab \t\n", min_size=0, max_size=40),
+    min_size=1, max_size=8,
+), st.integers(min_value=1, max_value=20))
+@_SLOW
+def test_truncate_chars_matches_python_replay(spark, texts, budget):
+    """A third engine for the truncation contract: replay the rule in
+    plain Python over hypothesis-generated whitespace-heavy text
+    (where the \\z-anchor review bug lived) and require byte equality.
+    Rule: <=budget passes through; else cut at budget, drop the
+    trailing non-whitespace run ONLY if the char after the cut is
+    non-whitespace, then strip trailing whitespace."""
+    import hashlib
+
+    from snowflake_data_pipeline_demo_spark.operators import chunking
+
+    def replay(t: str) -> str:
+        if len(t) <= budget:
+            return t
+        p = t[:budget]
+        if not t[budget].isspace():
+            ws = [i for i, ch in enumerate(p) if ch.isspace()]
+            p = p[:ws[-1] + 1] if ws else ""
+        return p.rstrip(" \t\n")
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            chunking.truncate_chars(df, budget=budget).collect()}
+    for i, t in enumerate(texts):
+        exp = replay(t)
+        got = rows[i]
+        assert got["fp_out"] == hashlib.md5(exp.encode()).hexdigest(), (
+            repr(t), budget, repr(exp), got["n_chars_out"])
+        assert got["n_chars_out"] == len(exp)
+
+
+@given(
+    st.sets(st.integers(0, 30), max_size=15),
+    st.sets(st.integers(0, 30), max_size=15),
+)
+@_SLOW
+def test_snapshot_diff_is_set_algebra(spark, old_ids, new_ids):
+    """added/removed/kept must be exactly the set differences of the
+    two snapshots' distinct contents."""
+    from snowflake_data_pipeline_demo_spark.operators import curation
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(i, "s", f"content {i}") for i in sorted(ids)] or
+            [(None, None, None)],
+            "doc_id long, source string, text string",
+        ).filter(F.col("doc_id").isNotNull())
+
+    rows = curation.snapshot_diff(frame(old_ids), frame(new_ids)).collect()
+    if not (old_ids | new_ids):
+        assert rows == []
+        return
+    [r] = rows
+    assert r["n_old"] == len(old_ids)
+    assert r["n_new"] == len(new_ids)
+    assert r["n_added"] == len(new_ids - old_ids)
+    assert r["n_removed"] == len(old_ids - new_ids)
+    assert r["n_kept"] == len(old_ids & new_ids)
