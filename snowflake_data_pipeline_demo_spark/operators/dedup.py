@@ -1274,3 +1274,43 @@ def cross_source_dup_matrix(df: DataFrame, text_col: str = "text",
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
+
+
+def merge_components_incremental(components: DataFrame,
+                                 new_ids: DataFrame,
+                                 new_pairs: DataFrame,
+                                 id_col: str = "doc_id",
+                                 max_iter: int = 25) -> DataFrame:
+    """Fold a new batch into PERSISTED connected components without
+    re-running dedup over history: the old assignment collapses to one
+    edge per non-representative node (id -> its component label), the
+    batch contributes its new pairs (new-new and new-old candidates
+    from the incremental LSH probe), and components re-solve over that
+    id-scale edge set. Equivalent to a full recompute over the union
+    graph — contracting each old component to a star preserves
+    connectivity, and labels are min-ids in both formulations — but
+    the input is O(ids + new pairs) labels, never history text or
+    history shingles (the same cost boundary as
+    incremental_neardup_indexed: history participates only through
+    its persisted artifact).
+
+    Output: (id, component_id) over history + batch ids — the new
+    persisted assignment.
+    """
+    old_edges = (
+        components.filter(F.col(id_col) != F.col("component_id"))
+        .select(
+            F.col(id_col).cast("long").alias("id_a"),
+            F.col("component_id").cast("long").alias("id_b"),
+        )
+    )
+    all_ids = components.select(id_col).unionByName(
+        new_ids.select(id_col)
+    ).distinct()
+    edges = old_edges.unionByName(
+        new_pairs.select(
+            F.col("id_a").cast("long"), F.col("id_b").cast("long")
+        )
+    )
+    return components_from_pairs(all_ids, edges, id_col=id_col,
+                                 max_iter=max_iter, algorithm="bigstar")

@@ -4286,3 +4286,48 @@ def x_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("proj").cast("array<string>"), ",")
         .alias("proj"),
     )
+
+
+@query(
+    "x_dedup_components_incremental",
+    # equivalence contract: incremental merge over (contracted history
+    # + batch-touching pairs) == full recompute, so the oracle is the
+    # SAME reachability fixpoint as x_dedup_components
+    oracle=_REGISTRY["x_dedup_components"].oracle,
+    survey_ref="north-star:dedup-components-incremental",
+)
+def x_dedup_components_incremental(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """INCREMENTAL component maintenance (operators/dedup.py:
+    merge_components_incremental): history (2/3 of the corpus) is
+    solved once and PERSISTED; the batch folds in via id-scale label
+    edges (one per non-representative history doc) plus only the new
+    pairs that touch a batch doc — history text and shingles are
+    never re-read. The oracle is the full-recompute fixpoint, so the
+    hash gate IS the equivalence proof: contracting each old component
+    to a star preserves connectivity and min-id labels."""
+    import tempfile
+
+    d = testdata.load(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % 3 < 2)
+    batch = d.filter(F.col("doc_id") % 3 == 2)
+
+    tmp = tempfile.mkdtemp(prefix="comp_state_")
+    dedup.neardup_components(hist, threshold=0.5).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/components")
+    persisted = spark.read.parquet(f"{tmp}/components")
+
+    # the incremental LSH probe's output shape: qualifying pairs with
+    # at least one batch endpoint (new-new and new-old)
+    new_pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5).filter(
+        (F.col("id_a") % 3 == 2) | (F.col("id_b") % 3 == 2)
+    )
+    merged = dedup.merge_components_incremental(
+        persisted.select("doc_id", "component_id"),
+        batch.select("doc_id"), new_pairs,
+    )
+    return merged.select(
+        "doc_id", "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_kept"),
+    )

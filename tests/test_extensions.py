@@ -2125,3 +2125,27 @@ def test_pca_eigenvalues_and_whitening(spark):
                      similarity.project_embeddings(df, white).collect()])
     var = proj.var(axis=0)
     assert np.all(np.abs(var - 1.0) < 0.15), var
+
+
+def test_merge_components_incremental_bridges_old_components(spark):
+    """The hard incremental case: a single batch doc whose pairs touch
+    TWO previously-separate history components must merge them — the
+    star contraction preserves connectivity through the new node."""
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (9, 9)],
+        "doc_id long, component_id long")
+    batch = spark.createDataFrame([(5,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(2, 5), (4, 5)], "id_a long, id_b long")
+    from snowflake_data_pipeline_demo_spark.operators import dedup as D
+
+    out = {r["doc_id"]: r["component_id"]
+           for r in D.merge_components_incremental(
+               comps, batch, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 9: 9}
+
+    # no new pairs: assignment unchanged, batch doc is its own comp
+    out2 = {r["doc_id"]: r["component_id"]
+            for r in D.merge_components_incremental(
+                comps, batch, pairs.filter(F.lit(False))).collect()}
+    assert out2 == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 9: 9}
