@@ -90,6 +90,10 @@ def main() -> None:
     ingest = minhash_dedup_batch_fn(clean, sigs, bands_table=bands,
                                     threshold=0.5)
     ingest(day1, 0)
+    # persist day-1's component assignment — day 2 folds into it
+    dedup.neardup_components(clean.read(), threshold=0.5) \
+        .select("doc_id", "component_id") \
+        .write.mode("overwrite").parquet(f"{state}/components")
     bloom.overwrite_subdir(
         dedup.bloom_shard_blocks(
             clean.read().select(
@@ -137,15 +141,22 @@ def main() -> None:
     print(f"== banded-index ingest: kept {kept2} of {fresh.count()} "
           f"(near-dups dropped at O(batch) probe cost)")
 
-    # stage 3: fold the batch into the persisted component assignment
-    # at id-scale cost (label edges + the batch's own pairs only)
-    comps = dedup.neardup_components(clean.read(), threshold=0.5) \
-        .select("doc_id", "component_id")
-    n_comp = comps.filter(
+    # stage 3: fold the batch into the PERSISTED component assignment —
+    # only batch shingles join the corpus (ngram_jaccard_pairs_probe)
+    # and history folds in as id-scale label edges; day-1 components
+    # are never recomputed (5.3x vs recompute at 4xsf0.1, SCALE.md)
+    is_day2 = (F.col("doc_id") % 3 == 2) | (F.col("doc_id") >= 1_000_000)
+    new_pairs = dedup.ngram_jaccard_pairs_probe(
+        clean.read(), probe=is_day2, threshold=0.5)
+    merged_comps = dedup.merge_components_incremental(
+        spark.read.parquet(f"{state}/components"),
+        clean.read().filter(is_day2).select("doc_id"),
+        new_pairs,
+    )
+    n_comp = merged_comps.filter(
         F.col("doc_id") != F.col("component_id")).count()
-    print(f"== components over clean table: {n_comp} docs labeled "
-          f"into another doc's cluster (incremental merge path: "
-          f"merge_components_incremental, 5.3x vs recompute at 4xsf0.1)")
+    print(f"== incremental component merge over persisted assignment: "
+          f"{n_comp} docs labeled into another doc's cluster")
 
     # stage 4: profile state stays current; report reads state only
     profile_batch_fn(hll, hist)(novel, 1)

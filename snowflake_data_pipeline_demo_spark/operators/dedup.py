@@ -1314,3 +1314,54 @@ def merge_components_incremental(components: DataFrame,
     )
     return components_from_pairs(all_ids, edges, id_col=id_col,
                                  max_iter=max_iter, algorithm="bigstar")
+
+
+def ngram_jaccard_pairs_probe(df: DataFrame, probe: Column,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", k: int = 3,
+                              threshold: float = 0.1) -> DataFrame:
+    """Qualifying Jaccard pairs where at least one endpoint satisfies
+    ``probe`` (a boolean Column over the row) — the INCREMENTAL pair
+    generator: only probe-side shingles join against the corpus, so
+    history-history pairs are never built, joined, or aggregated (the
+    review found the filtered-after-the-fact version paid the full
+    self-join it claimed to avoid). Each unordered pair is counted
+    exactly once: both-probe pairs via the id order, mixed pairs via
+    the probe doc always sitting on the build side.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b — the same contract
+    as :func:`ngram_jaccard_pairs` restricted to probe-touching pairs.
+    """
+    base = df.select(
+        F.col(id_col), shingles(text_col, k).alias("s"),
+        probe.alias("_b"),
+    ).cache()
+    ex = base.select(
+        F.col(id_col), F.size("s").alias("n_sh"), F.col("_b"),
+        F.explode("s").alias("sh"),
+    )
+    a = ex.filter(F.col("_b")).alias("a")
+    b = ex.alias("b")
+    cond = (
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        # both-probe pairs once (id order); mixed pairs once (the
+        # probe doc is always the a side)
+        & ((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) | ~F.col("b._b"))
+    )
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+            .alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+            .alias("id_b"),
+            (F.col("a.n_sh") + F.col("b.n_sh")).alias("n_sum"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_sum") - F.col("n_inter"))
+    return (
+        inter.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

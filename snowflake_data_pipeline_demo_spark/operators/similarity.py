@@ -698,34 +698,68 @@ def covariance_finalize(state: DataFrame) -> DataFrame:
     )
 
 
-def pca_components(cov_rows, dim: int, k: int = 8,
-                   iters: int = 50) -> list:
-    """Top-k principal components from a COLLECTED covariance matrix
-    (the (i, j, cov) upper-triangle rows of
-    :func:`embedding_covariance`): orthogonal (power) iteration with
-    deflation on the driver. dim x dim is MODEL-scale math (64x64 =
-    4 KB) — the same driver-side boundary as kmeans_centroids' argmax
-    and BPE's merge loop: the corpus-scale pass is the covariance
-    build; everything after it is constant-size.
-
-    Deterministic by construction: the start vectors are fixed basis
-    vectors (e_0..e_{k-1}) and the iteration count is pinned, so two
-    runs (or two engines) produce identical components up to float
-    ulps. Sign convention: each component's largest-|coord| entry is
-    made positive.
-
-    Returns a list of k lists (each dim floats), eigenvalue-ordered.
-    """
+def _cov_matrix(cov_rows, dim: int):
+    """Dense symmetric matrix from (i, j, cov) upper-triangle rows —
+    the single place the mirroring rule lives (pca_components and
+    pca_eigenvalues both read it)."""
     import numpy as np
 
     c = np.zeros((dim, dim))
     for r in cov_rows:
         c[r["i"], r["j"]] = r["cov"]
         c[r["j"], r["i"]] = r["cov"]
+    return c
+
+
+def _pca_start(ki: int, dim: int):
+    """Dense deterministic start vector for power-iteration round ki:
+    md5-derived values in (-1, 1). DENSE on purpose (review fix): a
+    basis-vector start that happens to be an exact eigenvector of a
+    weak direction never rotates toward the dominant one — easy to hit
+    once the 4 dp covariance rounding zeroes small cross terms. An
+    md5-mixed start has generic overlap with every eigendirection."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array([
+        int(hashlib.md5(f"pca{ki}:{d}".encode()).hexdigest()[:8], 16)
+        / float(1 << 31) - 1.0
+        for d in range(dim)
+    ])
+
+
+def pca_components(cov_rows, dim: int, k: int = 8,
+                   iters: int = 50) -> list:
+    """Top-k principal components from a COLLECTED covariance matrix
+    (the (i, j, cov) upper-triangle rows of
+    :func:`embedding_covariance`): orthogonal (power) iteration with
+    deflation on the driver, results sorted by Rayleigh quotient so
+    the eigenvalue order holds regardless of which start converged
+    where. dim x dim is MODEL-scale math (64x64 = 4 KB) — the same
+    driver-side boundary as kmeans_centroids' argmax and BPE's merge
+    loop: the corpus-scale pass is the covariance build; everything
+    after it is constant-size.
+
+    Deterministic by construction: the start vectors are fixed
+    md5-derived dense vectors and the iteration count is pinned, so
+    two runs produce identical components up to float ulps. Sign
+    convention: each component's largest-|coord| entry is made
+    positive. ``k`` is clamped to dim — there are only dim orthogonal
+    directions (review fix: the old code appended near-zero garbage
+    vectors past dim).
+
+    Returns a list of min(k, dim) lists (each dim floats),
+    eigenvalue-ordered.
+    """
+    import numpy as np
+
+    c = _cov_matrix(cov_rows, dim)
+    k = min(k, dim)
     comps = []
     for ki in range(k):
-        v = np.zeros(dim)
-        v[ki % dim] = 1.0
+        v = _pca_start(ki, dim)
+        v /= np.linalg.norm(v)
         for _ in range(iters):
             # deflate: project out already-found components
             for u in comps:
@@ -743,6 +777,7 @@ def pca_components(cov_rows, dim: int, k: int = 8,
         if v[top] < 0:
             v = -v
         comps.append(v)
+    comps.sort(key=lambda u: -float(u @ c @ u))
     return [[float(x) for x in v] for v in comps]
 
 
@@ -756,15 +791,23 @@ def project_embeddings(df: DataFrame, components: list,
     aggregate-HOF shape as :func:`dot` (keep the HOF — unrolled
     GetArrayItem chains measured 5-10x slower, see module docstring
     history). Pure per-row projection, no shuffle.
+
+    Dirty-input contract (review fix): a ragged or NULL-element
+    vector yields proj = NULL for the WHOLE row — one null coordinate
+    must not survive into the array, where a later array_join would
+    silently skip it and emit a misaligned shorter record.
     """
     vecs = [F.array(*[F.lit(float(x)) for x in comp])
             for comp in components]
+    raw = F.array(*[
+        F.round(dot(F.col(vec_col), cvec), 4) for cvec in vecs
+    ])
     return _nonnull(df, vec_col).select(
         F.col(id_col),
-        F.array(*[
-            F.round(dot(F.col(vec_col), cvec), 4)
-            for cvec in vecs
-        ]).alias("proj"),
+        F.when(
+            F.exists(raw, lambda x: x.isNull()),
+            F.lit(None).cast("array<double>"),
+        ).otherwise(raw).alias("proj"),
     )
 
 
@@ -774,11 +817,7 @@ def pca_eigenvalues(cov_rows, components) -> list:
     direction. Driver-side dim² math like :func:`pca_components`."""
     import numpy as np
 
-    dim = len(components[0])
-    c = np.zeros((dim, dim))
-    for r in cov_rows:
-        c[r["i"], r["j"]] = r["cov"]
-        c[r["j"], r["i"]] = r["cov"]
+    c = _cov_matrix(cov_rows, len(components[0]))
     return [float(np.asarray(v) @ c @ np.asarray(v)) for v in components]
 
 

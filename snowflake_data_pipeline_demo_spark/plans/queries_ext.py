@@ -4281,6 +4281,8 @@ def x_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = 1 + max(r["j"] for r in cov)
     comps = similarity.pca_components(cov, dim=dim, k=4)
     proj = similarity.project_embeddings(emb, comps)
+    # proj is NULL (whole row) for dirty vectors — never a partial
+    # array, so this join cannot silently misalign (review fix)
     return proj.select(
         "vec_id",
         F.array_join(F.col("proj").cast("array<string>"), ",")
@@ -4318,10 +4320,11 @@ def x_dedup_components_incremental(spark: SparkSession,
     ).parquet(f"{tmp}/components")
     persisted = spark.read.parquet(f"{tmp}/components")
 
-    # the incremental LSH probe's output shape: qualifying pairs with
-    # at least one batch endpoint (new-new and new-old)
-    new_pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5).filter(
-        (F.col("id_a") % 3 == 2) | (F.col("id_b") % 3 == 2)
+    # the incremental probe: only batch shingles join the corpus —
+    # history-history pairs are never built (review fix; the
+    # filtered-after version paid the full self-join anyway)
+    new_pairs = dedup.ngram_jaccard_pairs_probe(
+        d, probe=F.col("doc_id") % 3 == 2, threshold=0.5
     )
     merged = dedup.merge_components_incremental(
         persisted.select("doc_id", "component_id"),

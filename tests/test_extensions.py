@@ -2149,3 +2149,47 @@ def test_merge_components_incremental_bridges_old_components(spark):
             for r in D.merge_components_incremental(
                 comps, batch, pairs.filter(F.lit(False))).collect()}
     assert out2 == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 9: 9}
+
+
+def test_pca_dense_starts_escape_weak_eigendirections(spark):
+    """The second-review reproduction: diag(1, 16) — a basis-vector
+    start (old code) is an exact weak eigenvector and never rotates;
+    dense md5 starts must find the dominant direction, in eigenvalue
+    order, and k must clamp to dim instead of appending garbage."""
+    rows = [{"i": 0, "j": 0, "cov": 1.0}, {"i": 0, "j": 1, "cov": 0.0},
+            {"i": 1, "j": 1, "cov": 16.0}]
+    comps = similarity.pca_components(rows, dim=2, k=8)
+    assert len(comps) == 2  # clamped to dim
+    assert abs(comps[0][1]) > 0.999  # dominant = e_1 (variance 16)
+    assert abs(comps[1][0]) > 0.999
+    evals = similarity.pca_eigenvalues(rows, comps)
+    assert evals[0] > evals[1]
+
+
+def test_ngram_jaccard_pairs_probe_matches_filtered_full(spark, docs):
+    """The incremental pair generator must emit exactly the
+    batch-touching subset of the full self-join's pairs — both the
+    both-in-batch and mixed orderings counted once."""
+    probe = F.col("doc_id") % 3 == 2
+    inc = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs_probe(
+               docs, probe=probe, threshold=0.3).collect()}
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=0.3).collect()
+            if r["id_a"] % 3 == 2 or r["id_b"] % 3 == 2}
+    assert inc == full
+
+
+def test_project_embeddings_nulls_whole_row_on_dirty_vector(spark):
+    """A ragged or NULL-element vector yields proj = NULL (whole row),
+    never a shorter array that a serializer could misalign."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [1.0, None, 3.0]), (2, [1.0])],
+        "vec_id long, embedding array<double>")
+    comps = [[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]
+    rows = {r["vec_id"]: r["proj"] for r in
+            similarity.project_embeddings(df, comps).collect()}
+    assert rows[0] == [1.0, 3.0]
+    assert rows[1] is None
+    assert rows[2] is None
