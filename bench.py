@@ -113,6 +113,7 @@ HEADLINE = [
     "x_token_pmi",
     "x_embed_covariance_prod",
     "x_stream_corpus_profile",
+    "x_dedup_components_incremental",
 ]
 
 

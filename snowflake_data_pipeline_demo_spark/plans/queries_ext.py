@@ -4334,3 +4334,45 @@ def x_dedup_components_incremental(spark: SparkSession,
         "doc_id", "component_id",
         (F.col("doc_id") == F.col("component_id")).alias("is_kept"),
     )
+
+
+@query(
+    "x_winnow_clusters",
+    # composition oracle: the winnow-overlap pair oracle feeding the
+    # same reachability fixpoint the dedup components lanes use
+    oracle=f"""
+    WITH RECURSIVE p AS ({_REGISTRY["x_winnow_overlap"].oracle}
+    ), synth AS ({_DPLAG}
+    ), ed AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p
+    ), reach(nid, r) AS (
+      SELECT gid, gid FROM synth
+      UNION
+      SELECT reach.nid, ed.dst FROM reach JOIN ed ON ed.src = reach.r
+    )
+    SELECT nid AS gid, MIN(r) AS cluster_id, (nid = MIN(r)) AS is_kept
+    FROM reach GROUP BY nid
+    """,
+    survey_ref="north-star:winnow-clusters",
+)
+def x_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plagiarism CLUSTERS — the MOSS report's final step: winnowing
+    overlap pairs (operators/text.py:winnow_overlap_pairs) feed the
+    same connected-components machinery as near-dup dedup
+    (operators/dedup.py:components_from_pairs), so transitively-copied
+    documents (A copies B copies C) land in one cluster with a min-id
+    representative. Over the _DPLAG fixture exactly the five planted
+    copy pairs cluster; everything else stays a singleton. Pure
+    composition of two independently-gated operators — the lane pins
+    that their contracts actually compose."""
+    synth = _synth_plagiarism_docs(spark)
+    pairs = text.winnow_overlap_pairs(synth, id_col="gid",
+                                      k=8, w=4, min_shared=3)
+    comp = dedup.components_from_pairs(
+        synth.select("gid"), pairs.select("id_a", "id_b"), id_col="gid"
+    )
+    return comp.select(
+        "gid", F.col("component_id").alias("cluster_id"),
+        (F.col("gid") == F.col("component_id")).alias("is_kept"),
+    )
