@@ -1222,7 +1222,15 @@ def bloom_probe(df: DataFrame, blocks: DataFrame, key_col: str = "fp",
     key, broadcast-hash-join to the blocks, bool_and the bit tests back
     per id (map-side combinable; the groupBy carries booleans only).
     An absent block means those bits were never set -> coalesce false.
+
+    The filter side is ALWAYS passed through :func:`bloom_merge` first
+    (idempotent on already-merged blocks, O(m/32) rows): unmerged
+    multi-shard :func:`bloom_shard_blocks` output would otherwise match
+    one row per shard per position and bool_and would demand the bit in
+    EVERY shard — silent false negatives, breaking the only guarantee a
+    Bloom filter offers.
     """
+    blocks = bloom_merge(blocks)
     pos = df.select(
         F.col(id_col), F.col(key_col),
         F.explode(F.array(*_bloom_positions(F.col(key_col), m_bits, k)))

@@ -264,27 +264,47 @@ def ivf_assign_pandas(
     C = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
+    dim = Cn.shape[1] if len(Cn) else 0
+
     @pandas_udf("struct<centroid_id: long, centroid_cos: double>")
     def assign(vecs: pd.Series) -> pd.DataFrame:
-        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        if len(X) == 0:
+        n = len(vecs)
+        if n == 0:
             return pd.DataFrame(
                 {"centroid_id": pd.Series([], dtype="int64"),
                  "centroid_cos": pd.Series([], dtype="float64")}
             )
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        # HALF_UP rounding to match Spark's F.round (np.round is
-        # half-to-even: a score landing exactly on a .00005 midpoint
-        # would round differently and could flip the argmax tie-break
-        # vs the expr path). HALF_UP = ties away from zero, hence the
-        # sign split — cosines can be negative.
-        raw = Xn @ Cn.T
-        cos = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
-        # ids sorted ascending + argmax-first-occurrence = lowest-id tie
-        best = np.argmax(cos, axis=1)
+        arrs = [np.asarray(v, dtype=np.float64) for v in vecs]
+        lens = np.asarray([a.shape[0] for a in arrs])
+        # Length-mismatched vectors (empty arrays from failed encodes,
+        # ragged dims) can't join the BLAS stack — and on the expr twin
+        # their zip_with dot is NULL-contaminated, coalesced to cosine
+        # 0.0, so the argmax tie falls to the LOWEST centroid id. Same
+        # contract here: preassign ids[0]/0.0, overwrite the dim-true
+        # rows with the matmul result. Without this split, np.asarray
+        # over a ragged batch builds an object array and norm/matmul
+        # crash the whole corpus job (degenerate-input sweep pins it).
+        out_id = np.full(n, ids[0], dtype="int64")
+        out_cos = np.zeros(n, dtype="float64")
+        ok = np.flatnonzero(lens == dim)
+        if len(ok):
+            X = np.stack([arrs[i] for i in ok])
+            Xn = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            # HALF_UP rounding to match Spark's F.round (np.round is
+            # half-to-even: a score landing exactly on a .00005 midpoint
+            # would round differently and could flip the argmax
+            # tie-break vs the expr path). HALF_UP = ties away from
+            # zero, hence the sign split — cosines can be negative.
+            raw = Xn @ Cn.T
+            cos = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
+            # ids ascending + argmax-first-occurrence = lowest-id tie
+            best = np.argmax(cos, axis=1)
+            out_id[ok] = ids[best]
+            out_cos[ok] = cos[np.arange(len(best)), best]
         return pd.DataFrame({
-            "centroid_id": ids[best],
-            "centroid_cos": cos[np.arange(len(best)), best],
+            "centroid_id": out_id,
+            "centroid_cos": out_cos,
         })
 
     out = corpus.select(
@@ -461,9 +481,22 @@ def kmeans_centroids(
     import numpy as np
 
     rows = (
-        _nonnull(corpus, vec_col).select(id_col, vec_col)
+        _nonnull(corpus, vec_col)
+        # empty vectors have no geometry to train on — and one ragged
+        # row turns the np.asarray below into an object array that
+        # crashes norm/matmul (degenerate-input sweep pins this)
+        .filter(F.size(F.col(vec_col)) > 0)
+        .select(id_col, vec_col)
         .orderBy(id_col).limit(sample).collect()
     )
+    # guard residual raggedness deterministically: train on the modal
+    # length (ties -> smallest), drop the rest
+    from collections import Counter
+
+    counts = Counter(len(r[vec_col]) for r in rows)
+    if counts:
+        modal = min(counts, key=lambda d: (-counts[d], d))
+        rows = [r for r in rows if len(r[vec_col]) == modal]
     X = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
 
@@ -549,8 +582,18 @@ def embedding_covariance(df: DataFrame,
     equality-tested in tests/test_extensions.py.
 
     Output: (i long, j long [i<=j], n long, cov double 4 dp).
+
+    Empty vectors (size 0) are skipped like NULLs — without the guard,
+    ``F.sequence(0, dim - 1)`` with dim=0 DESCENDS to [0, -1] and
+    element_at faults on the empty array (the sequence(start>stop)
+    hazard class the degenerate-input sweep pins); the pandas twin's
+    ``dim == 0: continue`` skip is the same contract.
     """
-    e = _nonnull(df, vec_col).select(F.col(vec_col).alias("_v"))
+    e = (
+        _nonnull(df, vec_col)
+        .filter(F.size(F.col(vec_col)) > 0)
+        .select(F.col(vec_col).alias("_v"))
+    )
     dim = F.size("_v")
     pairs = e.select(
         F.explode(

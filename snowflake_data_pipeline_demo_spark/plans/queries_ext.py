@@ -3667,7 +3667,13 @@ def _dbloom_hash(salt: str, key: str) -> str:
       FROM bpos LEFT JOIN blocks b ON b.block = CAST(pos // 32 AS INT)
       GROUP BY 1, 2, 3
     ), truth AS (
-      SELECT source, maybe, (fp IN (SELECT fp FROM hist)) AS is_member
+      -- EXISTS, not IN: a NULL fp in hist would make `fp IN (...)`
+      -- NULL for every non-member (SQL three-valued IN), silently
+      -- zeroing n_false_pos while Spark's non-null-safe join counts
+      -- them. EXISTS matches Spark's equi-join semantics exactly.
+      SELECT source, maybe,
+             EXISTS (SELECT 1 FROM hist h WHERE h.fp = probe.fp)
+               AS is_member
       FROM probe
     )
     SELECT source,

@@ -235,6 +235,10 @@ def demb(spark):
         (6, [float(i) for i in range(_DIM)]),       # plain
         (7, [float(_DIM - i) for i in range(_DIM)]),
         (8, None),                                  # NULL embedding
+        (9, []),                                    # EMPTY array (dim 0):
+        # sequence(0, size-1) descends to [0, -1] without a guard — the
+        # exact hazard class that crashed embedding_covariance (r06
+        # advice); every _EMB_CASES entry must tolerate it.
     ]
     return spark.createDataFrame(
         rows, "vec_id long, embedding array<float>"

@@ -1646,6 +1646,22 @@ def test_bloom_shard_merge_equals_single_build(spark):
     assert twice == single
 
 
+def test_bloom_probe_tolerates_unmerged_shard_blocks(spark):
+    """Passing UNMERGED multi-shard bloom_shard_blocks output straight
+    to bloom_probe must behave exactly like probing the merged filter.
+    Before the r06-advice hardening, each position matched one row per
+    shard and bool_and demanded the bit set in EVERY shard — silent
+    false negatives on the one guarantee a Bloom filter makes.
+    bloom_probe now bloom_merges its filter side internally
+    (idempotent, O(m/32) rows)."""
+    df = _bloom_fixture(spark)
+    shard = (F.col("doc_id") % 4).cast("long")
+    sharded = dedup.bloom_shard_blocks(df, "fp", shard_col=shard)
+    assert "shard" in sharded.columns  # the hazardous input shape
+    probed = dedup.bloom_probe(df, sharded, "fp")
+    assert probed.filter(~F.col("maybe_member")).count() == 0
+
+
 def test_bloom_cross_run_persistence(spark, tmp_path):
     """Run A persists its blocks to parquet and ends; run B reads the
     bytes back, merges its own blocks, and the merged filter equals a
