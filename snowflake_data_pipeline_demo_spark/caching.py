@@ -1,0 +1,46 @@
+"""Lane-scoped cache tracking.
+
+Registry lanes cache materialization boundaries (the VARIANT parse
+boundary, LSH probe bases, winnow posting frames) because the lane's
+plan reuses them; but a sequential sweep over the full ~130-lane
+registry in ONE JVM (the driver's correctness pass, bench.py, the
+oracle-parity suite) would otherwise stack every lane's cached
+partitions until executor-memory eviction pressure decides for us.
+
+The contract: operators call :func:`lane_cache` instead of bare
+``.cache()`` for any cache whose useful life ends with the lane, and
+the ``@query`` wrapper drains ALL tracked caches before building the
+next lane. Safe because every runner collects lane N's result before
+invoking lane N+1 — a tracked cache is never unpersisted while a
+not-yet-collected plan still needs it. Long-lived caches (streaming
+foreachBatch scratch that unpersists itself in-loop) stay untracked.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def lane_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` + register the frame for end-of-lane release."""
+    df = df.cache()
+    _TRACKED.append(df)
+    return df
+
+
+def release_lane_caches() -> int:
+    """Unpersist every tracked cache (blocking=False: executors free
+    the blocks asynchronously; the JVM-side bookkeeping is immediate).
+    Returns the number released — bench.py reports it so cached-RDD
+    growth across a full sweep is observable, not assumed."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            # a stopped SparkContext at teardown is not an error
+            pass
+    return n

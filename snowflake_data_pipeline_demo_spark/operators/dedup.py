@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import lane_cache
 from .text import content_fingerprint, tokens
 
 
@@ -412,9 +413,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     exploded row (measured 30x slowdown). At warehouse scale this
     boundary is a staged shingle table.
     """
-    base = df.select(
+    base = lane_cache(df.select(
         F.col(id_col), shingles(text_col, k).alias("s")
-    ).cache()
+    ))
     ex = base.select(
         F.col(id_col), F.size("s").alias("n_sh"), F.explode("s").alias("sh")
     )
@@ -850,10 +851,11 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).cache()
-    labels = ids.select(
+    )
+    sym = lane_cache(sym)
+    labels = lane_cache(ids.select(
         F.col(id_col).alias("nid"), F.col(id_col).cast("long").alias("comp")
-    ).cache()
+    ))
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["nid"])
@@ -1117,6 +1119,35 @@ def cluster_size_histogram(components: DataFrame,
 # mergeable Bloom-filter membership (seen-set for cross-run dedup)
 # ---------------------------------------------------------------------------
 
+def bloom_size(n_expected: int, fpr: float = 0.01) -> tuple[int, int]:
+    """Closed-form Bloom sizing for :func:`bloom_shard_blocks` /
+    :func:`bloom_probe`: returns ``(m_bits, k)`` for ``n_expected``
+    distinct keys at target false-positive rate ``fpr``.
+
+    m = ceil(-n * ln(p) / ln(2)^2)  rounded UP to the next power of
+    two — Kirsch-Mitzenmacher double hashing wants the odd stride to
+    cycle a power-of-two table, and the round-up only ever LOWERS the
+    realized FPR; k = round(m/n * ln 2), floored at 1. At the 1%
+    default this is ~10 bits/key (the docstring prose above, now as
+    the function the run-book calls instead of hand-picked constants).
+
+    Size for the EXPECTED HISTORY, not the first batch: the filter
+    never needs a rebuild until the accreted key count outgrows
+    ``n_expected`` (then rebuild = one pass over history keys at the
+    next size). State cost is m/32 32-bit block rows.
+    """
+    import math
+
+    if n_expected < 1:
+        raise ValueError(f"n_expected must be >= 1, got {n_expected}")
+    if not 0.0 < fpr < 1.0:
+        raise ValueError(f"fpr must be in (0, 1), got {fpr}")
+    m_exact = -n_expected * math.log(fpr) / (math.log(2) ** 2)
+    m_bits = 1 << max(5, math.ceil(math.log2(m_exact)))  # >= one block
+    k = max(1, round(m_bits / n_expected * math.log(2)))
+    return m_bits, k
+
+
 def _bloom_positions(key: Column, m_bits: int, k: int) -> list[Column]:
     """The ``k`` bit positions for ``key`` via Kirsch-Mitzenmacher double
     hashing: ``pos_i = (h1 + i * stride) % m`` with an ODD stride so the
@@ -1340,10 +1371,10 @@ def ngram_jaccard_pairs_probe(df: DataFrame, probe: Column,
     Output: (id_a, id_b, jaccard) with id_a < id_b — the same contract
     as :func:`ngram_jaccard_pairs` restricted to probe-touching pairs.
     """
-    base = df.select(
+    base = lane_cache(df.select(
         F.col(id_col), shingles(text_col, k).alias("s"),
         probe.alias("_b"),
-    ).cache()
+    ))
     ex = base.select(
         F.col(id_col), F.size("s").alias("n_sh"), F.col("_b"),
         F.explode("s").alias("sh"),

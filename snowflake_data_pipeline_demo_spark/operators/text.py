@@ -19,6 +19,8 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..caching import lane_cache
+
 #: tiny per-language stopword tables for the n-gram/stopword heuristic
 #: language-ID (deterministic, oracle-expressible)
 STOPWORDS = {
@@ -1246,12 +1248,12 @@ def winnow_overlap_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     """
     mod = F.lit(ROLLING_MOD).cast("long")
     cf = _winnow_code_frame(df, text_col, id_col, k, w)
-    fp = cf.select(
+    fp = lane_cache(cf.select(
         F.col(id_col),
         F.array_distinct(
             F.transform("_codes", lambda cd: F.pmod(cd, mod))
         ).alias("_hv"),
-    ).cache()
+    ))
     ex = fp.select(
         id_col, F.size("_hv").alias("n_fp"), F.explode("_hv").alias("h")
     )
