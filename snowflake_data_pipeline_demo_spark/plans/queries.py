@@ -15,12 +15,15 @@ UDFs anywhere in this file.
 
 from __future__ import annotations
 
+import functools
+
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import lane_cache, release_lane_caches
 from ..operators.merge import merge_result
 from ..sources import testdata
 from .citibike import (
@@ -44,7 +47,16 @@ QUERIES: dict[str, Query] = {}
 
 def query(name: str, oracle: str | None, survey_ref: str):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = Query(fn, oracle, survey_ref)
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # drain the PREVIOUS lane's tracked caches (see caching.py:
+            # every runner collects lane N before invoking lane N+1, so
+            # nothing still needs them) — a full-registry sweep in one
+            # JVM otherwise stacks ~130 lanes of cached partitions
+            release_lane_caches()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = Query(wrapped, oracle, survey_ref)
         return fn
     return deco
 
@@ -69,7 +81,7 @@ def _materialize(df: DataFrame) -> DataFrame:
     is the ``raw.trips_raw`` table write (dp_setup.sql:140); caching is
     its in-plan equivalent: one parse pass, columnar reuse after.
     """
-    df = df.cache()
+    df = lane_cache(df)
     df.count()
     return df
 
@@ -100,8 +112,8 @@ def _dim_tables(ext: DataFrame) -> tuple[DataFrame, DataFrame]:
     report at sf0.1. Post-aggregation the dims are dim-scale (930/25
     rows), so the cache is a few KB regardless of fact size."""
     return (
-        stations_from_raw(ext).cache(),
-        programs_from_raw(ext).cache(),
+        lane_cache(stations_from_raw(ext)),
+        lane_cache(programs_from_raw(ext)),
     )
 
 
@@ -862,103 +874,114 @@ from . import queries_ext  # noqa: E402,F401
 #: that window; long-verified scalar one-liners drift past position 50
 #: (their green rows live in CORRECTNESS_r01..r03).
 _VERIFY_FIRST = [
-    # -- r06 rotation cut (policy: fixed this round, new this round,
-    # -- code changed this round, then the oldest-verified remainder).
-    # -- Last-green ledger going into r06: five entries at r03 (fronted
-    # -- below), 47 at r04, 50 at r05. The window carries 2 fixed + 4
-    # -- new + 5 r03-stale + 39 of the 47 r04 entries; the 8 deferred
-    # -- r04 entries (flagship_secure_report — smoke-checked by entry()
-    # -- every round — plus the three rows-only prod twins and four
-    # -- stable scalar projections listed at the end of _VERIFY_LAST)
-    # -- MUST front the r07 window.
-    # fixed this round (single-token bigram guard) / code changed
-    # (literal \Q..\E separator)
-    "x_distinct_tokens_hll",
-    "x_paragraph_dedup",
-    # new this round
-    "x_length_quantiles_sketch",
-    "x_shard_manifest_audit",
-    "x_stream_minhash_dedup",
-    "x_hll_cross_run_merge",
-    "x_temperature_mixture",
-    # last driver-green r03 (deferred from r05 by design)
-    "x_vocab_topk",
-    "x_embed_quantize",
-    "x_profile_lengths",
-    "x_sample_hash_split",
-    "x_text_redact",
-    # last driver-green r04 (39 of 47)
-    "x_ann_recall",
-    "x_asof_join",
-    "x_bigram_logprob",
-    "x_bpe_pairs",
-    "x_bpe_train",
-    "x_chunk_dedup_reassemble",
-    "x_chunk_tokens",
-    "x_cluster_quota",
-    "x_contamination_matrix",
-    "x_corpus_report",
-    "x_curation_funnel",
-    "x_decontaminate",
-    "x_dedup_cluster_sizes",
-    "x_dedup_components_bigstar",
-    "x_dedup_incremental",
-    "x_dedup_keep_longest",
-    "x_dedup_minhash_incremental",
-    "x_dedup_pipeline_components",
-    "x_drop_reasons",
-    "x_dsir_importance",
-    "x_dup_ngram_coverage",
-    "x_embed_dedup_incremental",
-    "x_global_shuffle",
-    "x_interleave_sources",
-    "x_length_quantiles",
-    "x_mixture_budget",
-    "x_multimodal_resize",
-    "x_oov_rate",
-    "x_pack_sequences",
-    "x_quality_classifier",
-    "x_quality_gopher",
-    "x_range_join",
-    "x_repetition_metrics",
-    "x_sample_mixture",
-    "x_semdedup",
-    "x_sim_ivf_kmeans",
-    "x_skew_salted_agg",
-    "x_source_quota",
-]
-
-#: Verified-every-round scalar/one-liner queries that can safely sit
-#: past the 50-row window (green in r01..r03; still oracle-gated locally
-#: by tests/test_oracle_parity.py which parametrizes the whole registry).
-_VERIFY_LAST = [
-    "p7_distinct",
-    "p8_iff_projection",
-    "f13_md5",
-    "f4_to_date_auto",
-    "f5_object_construct_roundtrip",
-    "a2_count_distinct",
-    "a5_groupby_ordinals",
-    "o5_top16",
-    "j4_computed_key_join",
-    "j5_onless_inner_join",
-    "u1_union_distinct",
-    "s6_stage_select",
-    "s7_metadata_filename",
-    "a7_distinct_days",
-    "f_datetime_kit",
-    "f6_variant_extract",
-    # r04-green entries deferred from the r06 window — front these in
-    # the r07 cut (rotation policy):
-    "x_split_leakage",
+    # -- r07 rotation cut (policy: fixed/code-changed this round, then
+    # -- never-driver-graded, then oldest-green, then refresh picks).
+    # -- Last-green ledger going into r07 (full table: ROTATION.md,
+    # -- regenerated by scripts/rotation_ledger.py): 22 entries NEVER
+    # -- graded (registered after the r06 cut), 9 at r04 (the
+    # -- freshness limit), 48 at r05, 50 at r06. The window carries
+    # -- all 31 obligated entries (22 never + 9 r04) plus 19 refresh
+    # -- picks from the r05 set; the 29 remaining r05 entries MUST
+    # -- front the r08 window (they hit the two-round limit there).
+    #
+    # never driver-graded (registered late-r06) — 22.
+    # x_bloom_cross_run_probe, x_embed_covariance(+_prod) also carry
+    # this round's code changes (bloom_probe internal merge, empty-
+    # vector guard), so their r07 rows double as regression gates.
+    "x_histogram_quantiles",
+    "x_dedup_threshold_sweep",
+    "x_line_dedup",
+    "x_embed_dim_stats",
+    "x_winnow_fingerprints",
+    "x_winnow_overlap",
+    "x_winnow_clusters",
+    "x_bloom_cross_run_probe",
+    "x_cms_heavy_hitters",
+    "x_token_pmi",
+    "x_embed_covariance",
+    "x_embed_covariance_prod",
+    "x_snapshot_diff",
+    "x_doc_truncate",
+    "x_classifier_calibration",
+    "x_langid_confusion",
+    "x_stream_corpus_profile",
+    "x_cross_source_dups",
+    "x_compression_ratio",
+    "x_dsir_resample",
+    "x_embed_pca_project",
+    "x_dedup_components_incremental",
+    # last driver-green r04 (freshness limit) — 9.
+    # x_semdedup_prod / x_sim_lsh_ann_prod also exercise this round's
+    # ivf_assign_pandas ragged-batch guard.
     "flagship_secure_report",
+    "x_encoding_quality",
+    "x_length_filter",
     "x_repetition_metrics_prod",
     "x_semdedup_prod",
     "x_sim_lsh_ann_prod",
-    "x_encoding_quality",
-    "x_length_filter",
+    "x_split_leakage",
     "x_tfidf_topk",
     "x_unigram_logprob",
+    # refresh picks (r05-green, 19 of 48): extension lanes first —
+    # x_cluster_quota_trained carries the kmeans_centroids modal-
+    # length guard added this round; the 29 r05 leftovers (listed in
+    # _VERIFY_LAST) front the r08 cut.
+    "x_cluster_quota_trained",
+    "secure_view_masked_rows",
+    "x_dedup_components",
+    "x_dedup_embedding_neardup",
+    "x_dedup_exact",
+    "x_dedup_minhash_lsh",
+    "x_dedup_minhash_xxhash",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_simhash",
+    "x_multimodal_byte_histogram",
+    "x_multimodal_frame_sample",
+    "x_multimodal_metadata",
+    "x_pack_boundaries",
+    "x_sample_stratified",
+    "x_sessionize",
+    "x_shard_tokens",
+    "x_sim_cosine_topk",
+    "x_sim_ivf_ann",
+    "x_sim_lsh_ann",
+]
+
+#: r05-green entries NOT refreshed in the r07 window — they hit the
+#: two-round freshness limit at r08, so this exact list MUST front the
+#: r08 cut (rotation ledger: ROTATION.md). All remain oracle-gated
+#: locally every run by tests/test_oracle_parity.py, which
+#: parametrizes the whole registry.
+_VERIFY_LAST = [
+    "a2_count_distinct",
+    "a5_groupby_ordinals",
+    "a6_dashboard_subqueries",
+    "a7_distinct_days",
+    "f13_md5",
+    "f4_to_date_auto",
+    "f5_object_construct_roundtrip",
+    "f6_variant_extract",
+    "f7_variant_native",
+    "f_datetime_kit",
+    "j1_star_join_revenue",
+    "j2_role_playing_join",
+    "j4_computed_key_join",
+    "j5_onless_inner_join",
+    "j6_theta_like_join",
+    "j7_merge_insert_only",
+    "o5_top16",
+    "p2_date_range_filter",
+    "p6_in_subquery",
+    "p7_distinct",
+    "p8_iff_projection",
+    "s6_stage_select",
+    "s7_metadata_filename",
+    "u1_union_distinct",
+    "x_lang_id",
+    "x_text_quality",
+    "x_text_stats",
+    "x_token_ids",
+    "x_window_rollup",
 ]
 
 
