@@ -292,6 +292,33 @@ def main() -> None:
     # Emit (1) the full detail to a file, (2) cold detail as an EARLIER
     # stdout line (expendable if the tail truncates), and (3) LAST a
     # compact line: totals + warm per-query at 2dp, no whitespace.
+    # Bootstrap/steady lane pairs (r06 verdict ask #7): some lanes time
+    # a from-nothing BOOTSTRAP so the driver can hash-gate the whole
+    # contract; their `steady` twin times the marginal cost a day-2 /
+    # per-micro-batch run actually pays. Tagged so the headline's
+    # consumers can't misread a bootstrap number as marginal cost.
+    # Untagged lanes are plain queries (shape: query).
+    shapes = {
+        "x_stream_minhash_dedup": "bootstrap",
+        "x_stream_minhash_steady_batch": "steady",
+        "x_dedup_cluster_sizes": "bootstrap",
+        "x_dedup_cluster_sizes_persisted": "steady",
+        "x_dedup_pipeline_components": "bootstrap",
+        "x_components_incremental_steady": "steady",
+        "x_stream_corpus_profile": "bootstrap",
+    }
+    # cache-hygiene audit (r06 verdict ask #4): after draining the last
+    # lane's tracked caches, the JVM must hold ZERO persistent RDDs —
+    # growth here means some lane cached outside lane_cache()'s
+    # tracking and a full-registry sweep would stack partitions.
+    from snowflake_data_pipeline_demo_spark.caching import (
+        release_lane_caches,
+    )
+
+    release_lane_caches()
+    cached_rdds_end = len(
+        spark.sparkContext._jsc.getPersistentRDDs()
+    )
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -299,6 +326,8 @@ def main() -> None:
         "queries": timings,
         "cold_total": cold_total,
         "cold_queries": cold,
+        "shapes": shapes,
+        "cached_rdds_end": cached_rdds_end,
         "sf": sf_val,
     }
     detail_path = os.path.join(
