@@ -26,7 +26,9 @@ import tempfile
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from snowflake_data_pipeline_demo_spark.operators import dedup, text
+from snowflake_data_pipeline_demo_spark.operators import (
+    dedup, similarity, text,
+)
 from snowflake_data_pipeline_demo_spark.session import get_spark
 from snowflake_data_pipeline_demo_spark.sources import testdata
 from snowflake_data_pipeline_demo_spark.sources.catalog import Table
@@ -77,6 +79,12 @@ def main() -> None:
     spark = get_spark("demo_incremental")
     d = testdata.load(spark, sf_dir, "documents") \
         .select("doc_id", "text", "source")
+    # Bloom sizing from the closed form, not hand-picked constants
+    # (r06 verdict ask #5): size for the EXPECTED HISTORY — here ~4
+    # snapshots of this corpus before the one-pass rebuild — at 1% FPR.
+    bloom_m, bloom_k = dedup.bloom_size(4 * d.count(), fpr=0.01)
+    print(f"== bloom sized by closed form: m=2^{bloom_m.bit_length() - 1}"
+          f" bits ({bloom_m // 32} block rows), k={bloom_k}")
 
     clean = Table(spark, f"{state}/clean", DOC_SCHEMA)
     sigs = Table(spark, f"{state}/sigs", SIG_SCHEMA)
@@ -98,11 +106,19 @@ def main() -> None:
         dedup.bloom_shard_blocks(
             clean.read().select(
                 text.content_fingerprint("text").alias("fp")),
-            "fp",
+            "fp", m_bits=bloom_m, k=bloom_k,
         ),
         "run=day1",
     )
     profile_batch_fn(hll, hist)(day1, 0)
+    # covariance state (the 6th state-family member): day-1 embeddings
+    # reduce to (i, j, sp, si, sj, n) second-moment rows — dim^2-scale,
+    # exact-mergeable, so day 2 refreshes corpus PCA at O(own batch)
+    emb = testdata.load(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    similarity.embedding_covariance_state(
+        emb.filter(F.col("vec_id") % 3 < 2)
+    ).write.mode("overwrite").parquet(f"{state}/covstate")
     n1 = clean.read().count()
     print(f"== day 1: ingested {day1.count()} docs, kept {n1}; "
           f"state: {sigs.read().count()} sigs, "
@@ -127,7 +143,8 @@ def main() -> None:
     seen = dedup.bloom_merge(bloom.read())
     keyed = redelivered.unionByName(neardup).unionByName(novel) \
         .withColumn("fp", text.content_fingerprint("text"))
-    probed = dedup.bloom_probe(keyed, seen, "fp").join(
+    probed = dedup.bloom_probe(keyed, seen, "fp",
+                               m_bits=bloom_m, k=bloom_k).join(
         keyed.select("doc_id", "text", "source"), "doc_id")
     fresh = probed.filter(~F.col("maybe_member")) \
         .select("doc_id", "text", "source")
@@ -168,11 +185,39 @@ def main() -> None:
         dedup.bloom_shard_blocks(
             fresh.select(text.content_fingerprint("text").alias("fp")),
             "fp", shard_col=F.lit(1).cast("long"),
+            m_bits=bloom_m, k=bloom_k,
         ),
         "run=day2",
     )
     print(f"== day-3-ready: bloom now {bloom.read().count()} block rows "
           f"across 2 runs (bit_or-merged at probe time)")
+
+    # stage 5: PCA refresh from MERGED covariance state — day 2 grams
+    # only its own embeddings, sums them into day-1's persisted
+    # second-moment rows, and re-derives the corpus components; day-1
+    # vectors are never re-read. The from-scratch comparison below is
+    # the live merge==recompute assertion (e2e twin:
+    # tests/test_stateful.py::test_day2_pca_refresh_equals_scratch).
+    import numpy as np
+
+    day2_state = similarity.embedding_covariance_state(
+        emb.filter(F.col("vec_id") % 3 == 2))
+    merged_state = similarity.covariance_partial_state(
+        spark.read.parquet(f"{state}/covstate").unionByName(day2_state))
+    dim = int(emb.select(F.size("embedding")).first()[0])
+    comps = similarity.pca_components(
+        similarity.covariance_finalize(merged_state).collect(), dim, k=4)
+    scratch = similarity.pca_components(
+        similarity.embedding_covariance(emb).collect(), dim, k=4)
+    assert np.allclose(np.asarray(comps), np.asarray(scratch),
+                       atol=1e-4), "merged-state PCA drifted"
+    merged_state.write.mode("overwrite").parquet(
+        f"{state}/covstate_day2")
+    ev = similarity.pca_eigenvalues(
+        similarity.covariance_finalize(merged_state).collect(), comps)
+    print(f"== PCA refreshed from merged covariance state "
+          f"(day-1 embeddings untouched): top eigenvalues "
+          f"{[round(e, 4) for e in ev]} == from-scratch day1+2")
 
 
 if __name__ == "__main__":

@@ -2209,3 +2209,54 @@ def test_project_embeddings_nulls_whole_row_on_dirty_vector(spark):
     assert rows[0] == [1.0, 3.0]
     assert rows[1] is None
     assert rows[2] is None
+
+
+def test_bloom_size_closed_form():
+    """bloom_size must match the textbook optimum: m = -n ln p / ln2^2
+    rounded up to a power of two (KM double hashing wants it; rounding
+    up only lowers FPR), k = round(m/n * ln2) floored at 1, and the
+    realized FPR bound (1 - e^{-kn/m})^k must come in at or under the
+    target for the returned size."""
+    import math
+
+    # NOTE: the module's historical hand-picked default (m=2^18, k=5
+    # at n=2^15) REALIZES ~1.6% but is below the closed-form optimum
+    # for targeting it (2^19, k=11) — which is exactly why the sizing
+    # now lives in a function instead of prose constants.
+    assert dedup.bloom_size(2 ** 15, 0.016) == (1 << 19, 11)
+    for n, p in [(1000, 0.01), (10 ** 6, 0.001), (7, 0.05), (1, 0.5)]:
+        m, k = dedup.bloom_size(n, p)
+        assert m & (m - 1) == 0 and m >= 32  # power of two, >= 1 block
+        assert k >= 1
+        realized = (1 - math.exp(-k * n / m)) ** k
+        assert realized <= p * 1.0001, (n, p, m, k, realized)
+    with pytest.raises(ValueError):
+        dedup.bloom_size(0)
+    with pytest.raises(ValueError):
+        dedup.bloom_size(100, 1.5)
+
+
+def test_day2_pca_refresh_equals_scratch(spark, emb, tmp_path):
+    """The run-book's stage-5 contract (demo_incremental.py): day 1
+    persists covariance state; day 2 grams only ITS OWN embeddings,
+    merges into the persisted rows, and the PCA derived from the
+    merged state equals a from-scratch computation over all vectors —
+    day-1 embeddings are never re-read. This is the e2e twin of the
+    demo's inline assertion."""
+    import numpy as np
+
+    day1 = emb.filter(F.col("vec_id") % 3 < 2)
+    day2 = emb.filter(F.col("vec_id") % 3 == 2)
+    similarity.embedding_covariance_state(day1).write.parquet(
+        str(tmp_path / "covstate"))
+
+    merged = similarity.covariance_partial_state(
+        spark.read.parquet(str(tmp_path / "covstate")).unionByName(
+            similarity.embedding_covariance_state(day2)))
+    dim = int(emb.select(F.size("embedding")).first()[0])
+    refreshed = similarity.pca_components(
+        similarity.covariance_finalize(merged).collect(), dim, k=4)
+    scratch = similarity.pca_components(
+        similarity.embedding_covariance_pandas(emb).collect(), dim, k=4)
+    assert np.allclose(np.asarray(refreshed), np.asarray(scratch),
+                       atol=1e-4)
