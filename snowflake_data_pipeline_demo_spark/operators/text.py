@@ -1245,6 +1245,14 @@ def winnow_overlap_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     The containment denominator is the distinct-hash-value set size
     (a position-repeated hash counts once), deliberately different
     from winnow_fingerprints' positional ``n_fps``.
+
+    Measured on a realistic 10k-word Zipf vocabulary at 5k/20k/80k
+    docs (scripts/winnow_scale_run.py; SCALE.md round-7): posting df
+    grows linearly with corpus size, so raw join pairs grow
+    QUADRATICALLY (4.97M -> 1.27B at 16x docs) while ``max_df=64``
+    bounds output pairs near-linearly (94k -> 217k) at planted-copy
+    recall 1.0 — always set ``max_df`` at corpus scale; it is the
+    posting-list analog of dropping stopwords.
     """
     mod = F.lit(ROLLING_MOD).cast("long")
     cf = _winnow_code_frame(df, text_col, id_col, k, w)
