@@ -29,6 +29,31 @@ def lane_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def release_stray_persistent_rdds(spark) -> int:
+    """Force-unpersist EVERY persistent RDD still registered with the
+    context — including ``localCheckpoint`` blocks, which neither
+    ``spark.catalog.clearCache()`` (catalog-level caches only) nor
+    :func:`release_lane_caches` (tracked frames only) can reach, so a
+    multi-pass sweep (bench.py runs 4 passes over ~80 lanes) slowly
+    accumulates checkpoint partitions from the iterative lanes
+    (bigstar components, streaming dedup scratch).
+
+    ONLY safe when the caller knows no live plan still depends on a
+    checkpoint: a localCheckpoint TRUNCATES lineage, so an unpersisted
+    one cannot be recomputed. bench.py qualifies — it fully executes
+    each lane (noop write) before sweeping. The @query wrapper does
+    NOT call this: a test may hold its own checkpointed fixture across
+    lane invocations.
+    """
+    # py4j wraps the java.util.Map as a dict-like JavaMap; snapshot the
+    # values before unpersisting mutates the underlying map
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    rdds = list(jmap.values())
+    for jrdd in rdds:
+        jrdd.unpersist(False)
+    return len(rdds)
+
+
 def release_lane_caches() -> int:
     """Unpersist every tracked cache (blocking=False: executors free
     the blocks asynchronously; the JVM-side bookkeeping is immediate).

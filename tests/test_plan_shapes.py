@@ -523,3 +523,31 @@ def test_lane_caches_drain_between_registry_lanes(spark):
     release_lane_caches()
     assert n_cached() == base, \
         "a lane cached outside lane_cache tracking"
+
+
+def test_stray_persistent_rdd_sweep_reaches_local_checkpoints(spark):
+    """release_stray_persistent_rdds must free what neither
+    spark.catalog.clearCache() nor release_lane_caches can reach:
+    localCheckpoint blocks (bigstar lineage cuts, streaming scratch).
+    bench.py calls it after each fully-executed lane so a 4-pass sweep
+    over ~80 lanes ends at ZERO persistent RDDs (r06 bench exited with
+    18 leftovers). Only bench may call it — a checkpoint's lineage is
+    truncated, so unpersisting one that a live plan still needs is
+    unrecoverable; the @query wrapper deliberately does not."""
+    from snowflake_data_pipeline_demo_spark.caching import (
+        release_lane_caches, release_stray_persistent_rdds,
+    )
+
+    release_lane_caches()
+    release_stray_persistent_rdds(spark)  # clear earlier tests' leftovers
+    base = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert base == 0
+    ck = spark.range(100).localCheckpoint()
+    assert ck.count() == 100
+    cached = spark.range(50).cache()
+    cached.count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 2
+    spark.catalog.clearCache()  # reaches the cache, NOT the checkpoint
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 1
+    assert release_stray_persistent_rdds(spark) == 1
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
