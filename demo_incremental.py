@@ -140,7 +140,8 @@ def main() -> None:
           f"{neardup.count()} near-dup, {novel.count()} novel")
 
     # stage 1: Bloom pre-filter kills exact re-deliveries join-free
-    seen = dedup.bloom_merge(bloom.read())
+    # (bloom_probe bit_or-merges the multi-run blocks internally)
+    seen = bloom.read()
     keyed = redelivered.unionByName(neardup).unionByName(novel) \
         .withColumn("fp", text.content_fingerprint("text"))
     probed = dedup.bloom_probe(keyed, seen, "fp",
@@ -197,7 +198,7 @@ def main() -> None:
     # second-moment rows, and re-derives the corpus components; day-1
     # vectors are never re-read. The from-scratch comparison below is
     # the live merge==recompute assertion (e2e twin:
-    # tests/test_stateful.py::test_day2_pca_refresh_equals_scratch).
+    # tests/test_extensions.py::test_day2_pca_refresh_equals_scratch).
     import numpy as np
 
     day2_state = similarity.embedding_covariance_state(

@@ -93,11 +93,12 @@ def main() -> None:
         lines.append(f"| {k} | {hist[k]} |")
     lines += [
         "",
-        "Policy: a lane graded at rN is due again by rN+2 (the "
-        "two-round freshness budget); never-graded lanes front the "
-        "next cut unconditionally. The leftover cohort that misses a "
-        "window is recorded in `_VERIFY_LAST` and MUST front the "
-        "round after.",
+        "Policy: a lane graded green at rN stays fresh through rN+2 "
+        "(the two-round freshness budget) and is due again by rN+3 — "
+        "matching the `due` column above; never-graded lanes front "
+        "the next cut unconditionally. The leftover cohort that "
+        "misses a window is recorded in `_VERIFY_LAST` and MUST "
+        "front the round after.",
         "",
     ]
     with open(os.path.join(REPO, "ROTATION.md"), "w") as f:

@@ -14,6 +14,13 @@ next lane. Safe because every runner collects lane N's result before
 invoking lane N+1 — a tracked cache is never unpersisted while a
 not-yet-collected plan still needs it. Long-lived caches (streaming
 foreachBatch scratch that unpersists itself in-loop) stay untracked.
+
+Long-lived sessions that call lane_cache'd operators OUTSIDE the
+registry (the incremental run-book scripts, ad-hoc batch loops) must
+call :func:`release_lane_caches` themselves between batches — Spark's
+CacheManager pins SQL caches until an explicit unpersist regardless
+of Python reachability, and _TRACKED keeps a strong reference per
+cache until drained. demo_incremental / the scale scripts do.
 """
 from __future__ import annotations
 
@@ -66,6 +73,14 @@ def release_lane_caches() -> int:
             df.unpersist()
             n += 1
         except Exception:
-            # a stopped SparkContext at teardown is not an error
-            pass
+            # a stopped SparkContext at interpreter teardown is not an
+            # error — anything else is: swallowing it would let the
+            # bench's cached_rdds_end audit read clean while blocks
+            # actually leaked (review r07 finding)
+            from pyspark.sql import SparkSession
+
+            active = SparkSession.getActiveSession()
+            if active is not None and not active.sparkContext._jsc.sc() \
+                    .isStopped():
+                raise
     return n

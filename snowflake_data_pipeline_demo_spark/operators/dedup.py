@@ -861,7 +861,11 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
             sym.join(labels, sym["dst"] == labels["nid"])
             .groupBy("src").agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        # lane_cache, not bare cache: superseded iterations unpersist
+        # in-loop below, but the FINAL labels frame survives the loop
+        # and must be reachable by the end-of-lane drain (review r07
+        # finding: every components lane leaked one label cache)
+        new_labels = lane_cache(
             labels.join(nbr_min, labels["nid"] == nbr_min["src"], "left")
             .select(
                 "nid",
@@ -869,7 +873,6 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .cache()
         )
         changed = (
             new_labels.alias("n")

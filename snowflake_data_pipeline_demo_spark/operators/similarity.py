@@ -497,6 +497,14 @@ def kmeans_centroids(
     if counts:
         modal = min(counts, key=lambda d: (-counts[d], d))
         rows = [r for r in rows if len(r[vec_col]) == modal]
+    if not rows:
+        # a corpus whose every vector is NULL/empty has no geometry at
+        # all: return an EMPTY centroid frame (same schema) so
+        # downstream assignment joins go empty instead of the shape-
+        # (0,) matrix crashing norm/matmul (review r07 finding)
+        return corpus.sparkSession.createDataFrame(
+            [], f"centroid_id long, {vec_col} array<float>"
+        )
     X = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
 

@@ -3725,13 +3725,14 @@ def x_bloom_cross_run_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(f"{tmp}/run_a_blocks")
 
     persisted = spark.read.parquet(f"{tmp}/run_a_blocks")
-    merged = dedup.bloom_merge(
-        persisted.unionByName(
-            dedup.bloom_shard_blocks(run_b, "fp", m_bits=_BLOOM_M,
-                                     k=_BLOOM_K)
-        )
+    # bloom_probe bit_or-merges the cross-run union internally — no
+    # caller-side bloom_merge needed (it would just run the same
+    # O(m/32) aggregation twice)
+    blocks = persisted.unionByName(
+        dedup.bloom_shard_blocks(run_b, "fp", m_bits=_BLOOM_M,
+                                 k=_BLOOM_K)
     )
-    probed = dedup.bloom_probe(keyed, merged, "fp", m_bits=_BLOOM_M,
+    probed = dedup.bloom_probe(keyed, blocks, "fp", m_bits=_BLOOM_M,
                                k=_BLOOM_K)
     hist = (
         run_a.select("fp").unionByName(run_b.select("fp")).distinct()

@@ -303,6 +303,22 @@ def test_embedding_operator_survives_degenerate_vectors(spark, demb, name):
         assert len(rows) == 2  # zero vectors must not collapse training
 
 
+def test_kmeans_on_fully_degenerate_corpus_returns_empty(spark):
+    """A corpus whose EVERY embedding is NULL or [] has no geometry at
+    all: kmeans_centroids must return an empty centroid frame (same
+    schema), not crash on a shape-(0,) matrix — the r07 review found
+    the mixed-corpus guard introduced exactly that crash on the
+    all-degenerate case (np.linalg.norm axis=1 on ndim-1)."""
+    d = spark.createDataFrame(
+        [(1, None), (2, []), (3, None)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.kmeans_centroids(d, nlist=2, iters=2, sample=8)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == \
+        ["centroid_id", "embedding"]
+
+
 def test_quantize_zero_vector_contract(spark, demb):
     got = {
         r["vec_id"]: r["qz"]

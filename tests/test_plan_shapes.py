@@ -510,9 +510,11 @@ def test_lane_caches_drain_between_registry_lanes(spark):
     base = n_cached()
     sf = "/root/testdata/sf0.001"
     counts = []
-    # each of these lanes caches at least one boundary frame
+    # each of these lanes caches at least one boundary frame;
+    # x_dedup_components covers the propagation loop's label caches
+    # (r07 review: the FINAL labels frame leaked as a bare .cache())
     for name in ["flagship_secure_report", "x_dedup_ngram_jaccard",
-                 "x_winnow_overlap"]:
+                 "x_winnow_overlap", "x_dedup_components"]:
         QUERIES[name].builder(spark, sf).write.format("noop").mode(
             "overwrite").save()
         counts.append(n_cached() - base)
