@@ -150,6 +150,11 @@ def main() -> None:
     fresh = probed.filter(~F.col("maybe_member")) \
         .select("doc_id", "text", "source")
     n_skipped = probed.count() - fresh.count()
+    # NOTE: n_skipped can be LESS than the re-delivered count — the
+    # Bloom state holds only docs actually KEPT on day 1, so a
+    # re-delivery of a doc that day 1 dropped as a near-dup reads
+    # "definitely new" here (its fp was never ingested) and is
+    # correctly re-dropped by the banded-index probe in stage 2.
     print(f"== bloom pre-filter: skipped {n_skipped} already-ingested "
           f"docs without touching the history table")
 
