@@ -26,6 +26,7 @@ import tempfile
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from snowflake_data_pipeline_demo_spark.caching import release_lane_caches
 from snowflake_data_pipeline_demo_spark.operators import (
     dedup, similarity, text,
 )
@@ -124,6 +125,10 @@ def main() -> None:
           f"state: {sigs.read().count()} sigs, "
           f"{bands.read().count()} band keys, "
           f"{bloom.read().count()} bloom blocks")
+    # day boundary: drain the operators' lane-scoped caches (the
+    # caching.py contract for long-lived sessions — a day-N loop pays
+    # one lane's caches at a time, not N days' worth)
+    release_lane_caches()
 
     # ---- day 2: exact re-deliveries + near-dups + novel docs ----
     # deterministic doc_id predicates, not limit(): an unordered limit
@@ -211,19 +216,25 @@ def main() -> None:
     merged_state = similarity.covariance_partial_state(
         spark.read.parquet(f"{state}/covstate").unionByName(day2_state))
     dim = int(emb.select(F.size("embedding")).first()[0])
-    comps = similarity.pca_components(
-        similarity.covariance_finalize(merged_state).collect(), dim, k=4)
+    # one collect, reused for components AND eigenvalues — the merged
+    # plan re-runs the day-2 gram pass per action otherwise
+    cov_rows = similarity.covariance_finalize(merged_state).collect()
+    comps = similarity.pca_components(cov_rows, dim, k=4)
     scratch = similarity.pca_components(
         similarity.embedding_covariance(emb).collect(), dim, k=4)
     assert np.allclose(np.asarray(comps), np.asarray(scratch),
                        atol=1e-4), "merged-state PCA drifted"
     merged_state.write.mode("overwrite").parquet(
         f"{state}/covstate_day2")
-    ev = similarity.pca_eigenvalues(
-        similarity.covariance_finalize(merged_state).collect(), comps)
+    ev = similarity.pca_eigenvalues(cov_rows, comps)
     print(f"== PCA refreshed from merged covariance state "
           f"(day-1 embeddings untouched): top eigenvalues "
           f"{[round(e, 4) for e in ev]} == from-scratch day1+2")
+    # lane_cache'd operator caches (shingle frames, probe bases) end
+    # their useful life with the run — drain them like the registry
+    # runners do (the caching.py contract for long-lived sessions; a
+    # day-N loop would call this per day)
+    release_lane_caches()
 
 
 if __name__ == "__main__":

@@ -1147,8 +1147,17 @@ def bloom_size(n_expected: int, fpr: float = 0.01) -> tuple[int, int]:
         raise ValueError(f"fpr must be in (0, 1), got {fpr}")
     m_exact = -n_expected * math.log(fpr) / (math.log(2) ** 2)
     m_bits = 1 << max(5, math.ceil(math.log2(m_exact)))  # >= one block
-    k = max(1, round(m_bits / n_expected * math.log(2)))
-    return m_bits, k
+    while True:
+        k = max(1, round(m_bits / n_expected * math.log(2)))
+        # the round-up USUALLY provides slack, but when m_exact lands
+        # just under a power of two the integer-rounded k can push the
+        # theoretical bound (1 - e^{-kn/m})^k a hair ABOVE the target
+        # (e.g. n=109396 p=0.01 -> m=2^20: 0.010039 for both k=6,7;
+        # r07 second review) — the at-or-under promise then needs the
+        # next doubling, which converges immediately
+        if (1 - math.exp(-k * n_expected / m_bits)) ** k <= fpr:
+            return m_bits, k
+        m_bits <<= 1
 
 
 def _bloom_positions(key: Column, m_bits: int, k: int) -> list[Column]:

@@ -2224,7 +2224,12 @@ def test_bloom_size_closed_form():
     # for targeting it (2^19, k=11) — which is exactly why the sizing
     # now lives in a function instead of prose constants.
     assert dedup.bloom_size(2 ** 15, 0.016) == (1 << 19, 11)
-    for n, p in [(1000, 0.01), (10 ** 6, 0.001), (7, 0.05), (1, 0.5)]:
+    # adversarial: m_exact just under 2^20 — at m=2^20 BOTH k=6 and 7
+    # realize >0.01 (0.010039), so the at-or-under promise needs the
+    # next doubling (r07 second review, reproduced numerically)
+    assert dedup.bloom_size(109396, 0.01)[0] == 1 << 21
+    for n, p in [(1000, 0.01), (10 ** 6, 0.001), (7, 0.05), (1, 0.5),
+                 (109396, 0.01), (109395, 0.01), (109397, 0.01)]:
         m, k = dedup.bloom_size(n, p)
         assert m & (m - 1) == 0 and m >= 32  # power of two, >= 1 block
         assert k >= 1

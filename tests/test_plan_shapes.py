@@ -508,14 +508,13 @@ def test_lane_caches_drain_between_registry_lanes(spark):
     # cuts), which clearCache deliberately does not touch — none of
     # the three lanes below localCheckpoints, so they cancel out
     base = n_cached()
-    sf = "/root/testdata/sf0.001"
     counts = []
     # each of these lanes caches at least one boundary frame;
     # x_dedup_components covers the propagation loop's label caches
     # (r07 review: the FINAL labels frame leaked as a bare .cache())
     for name in ["flagship_secure_report", "x_dedup_ngram_jaccard",
                  "x_winnow_overlap", "x_dedup_components"]:
-        QUERIES[name].builder(spark, sf).write.format("noop").mode(
+        QUERIES[name].builder(spark, SF).write.format("noop").mode(
             "overwrite").save()
         counts.append(n_cached() - base)
     assert counts[0] >= 1  # the tracking is live, not vacuous
