@@ -666,3 +666,64 @@ def test_winnow_shared_substring_guarantees_shared_fingerprint(
     got = {r["doc_id"]: {c % ROLLING_MOD for c in r["c"]} for r in df.select(
         "doc_id", winnow_codes("text", k=k, w=w).alias("c")).collect()}
     assert got[0] & got[1], (doc_a, doc_b, got)
+
+
+@given(
+    st.integers(min_value=1, max_value=10 ** 9),
+    st.floats(min_value=1e-6, max_value=0.5),
+)
+@settings(max_examples=300, deadline=None)
+def test_bloom_size_realizes_at_or_under_target(n, p):
+    """bloom_size's at-or-under promise for ANY (n, fpr): the
+    closed-form bound (1 - e^{-kn/m})^k at the returned size must not
+    exceed the target (the r07 review found inputs where the
+    power-of-two round-up alone did NOT provide enough slack and the
+    doubling loop is required), m stays a power of two >= one 32-bit
+    block, and k >= 1. Pure math — no Spark session."""
+    import math
+
+    from snowflake_data_pipeline_demo_spark.operators.dedup import (
+        bloom_size,
+    )
+
+    m, k = bloom_size(n, p)
+    assert m & (m - 1) == 0 and m >= 32
+    assert k >= 1
+    assert (1 - math.exp(-k * n / m)) ** k <= p * (1 + 1e-12), (n, p, m, k)
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=0, max_size=25,
+))
+@_SLOW
+def test_incremental_component_merge_equals_recompute(spark, all_edges):
+    """merge_components_incremental == full recompute over the union
+    graph, for ANY random edge set split into a 'history' half and a
+    'batch' half: history collapses to its persisted (id -> label)
+    star edges, the batch contributes its pairs, and the merged labels
+    must equal components_from_pairs over ALL edges at once. This is
+    the star-contraction equivalence the day-2 run-book stands on,
+    held for arbitrary graphs rather than the oracle lane's fixture
+    (hidden bridge nodes, self-loops, duplicate edges included)."""
+    from snowflake_data_pipeline_demo_spark.operators.dedup import (
+        components_from_pairs, merge_components_incremental,
+    )
+
+    ids = list(range(15))
+    split = len(all_edges) // 2
+    hist_edges, batch_edges = all_edges[:split], all_edges[split:]
+    ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+    def pairs_df(edges):
+        rows = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+        return spark.createDataFrame(
+            rows or [], "id_a long, id_b long")
+
+    hist = components_from_pairs(ids_df, pairs_df(hist_edges))
+    merged = merge_components_incremental(
+        hist, ids_df.limit(0), pairs_df(batch_edges))
+    full = components_from_pairs(ids_df, pairs_df(all_edges))
+    got = {r["doc_id"]: r["component_id"] for r in merged.collect()}
+    want = {r["doc_id"]: r["component_id"] for r in full.collect()}
+    assert got == want
