@@ -50,28 +50,28 @@ DOC_SCHEMA = T.StructType([
 ])
 
 
-def corpus(spark, lo: int, hi: int):
-    """Deterministic docs gid in [lo, hi): token j of doc gid drawn
-    from the vocab by squashing a uniform md5 draw through pow(u, 2.2)
-    (Zipf-ish head skew) — same generator shape as the winnow study."""
-    base = spark.range(lo, hi).select(F.col("id").alias("gid"))
-
+def gen_text(src_gid):
+    """Deterministic document text for a source gid COLUMN: token j is
+    drawn from the vocab by squashing a uniform md5 draw through
+    pow(u, 2.2) (Zipf-ish head skew) — same generator shape as the
+    winnow study. ONE shared generator: the benchmark's 'verbatim
+    re-delivery' invariant is that equal src_gid means byte-identical
+    text, so the day-0 path and the re-delivery path MUST evaluate
+    the identical expression (r07 third review killed the duplicated
+    closure that invariant was one drive-by edit from breaking)."""
     def tok(j):
         u = F.conv(
             F.substring(
-                F.md5(F.concat_ws("-", F.col("gid").cast("string"),
+                F.md5(F.concat_ws("-", src_gid.cast("string"),
                                   j.cast("string"))), 1, 8),
             16, 10,
         ).cast("double") / F.lit(float(1 << 32))
         idx = F.floor(F.pow(u, F.lit(2.2)) * VOCAB).cast("long")
         return F.concat(F.lit("w"), idx.cast("string"))
 
-    return base.select(
-        "gid",
-        F.array_join(
-            F.transform(F.sequence(F.lit(0), F.lit(TOKENS_PER_DOC - 1)),
-                        tok), " ",
-        ).alias("text"),
+    return F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(TOKENS_PER_DOC - 1)),
+                    tok), " ",
     )
 
 
@@ -79,37 +79,18 @@ def day_batch(spark, day: int):
     """Day ``day``'s 10k-doc batch: doc_ids are day-offset; for
     day > 0, every REDELIVER_FRAC-th doc re-delivers day-0 TEXT
     verbatim under a fresh doc_id (the exact-duplicate flood the
-    banded probe must drop against 10k*day rows of history)."""
+    banded probe must drop against 10k*day rows of history). The
+    re-delivered text is REBUILT from the day-0 gid through the same
+    generator — identical md5 draws, no day-0 scan needed."""
     lo, hi = day * DOCS_PER_DAY, (day + 1) * DOCS_PER_DAY
-    fresh = corpus(spark, lo, hi)
-    if day == 0:
-        return fresh.select(F.col("gid").alias("doc_id"), "text")
-    src = F.when(
-        (F.col("gid") % REDELIVER_FRAC == 0),
-        F.col("gid") % DOCS_PER_DAY,         # a day-0 gid
-    ).otherwise(F.col("gid"))
-    # rebuild text from the SOURCE gid: identical md5 draws -> verbatim
-    # re-delivery, no day-0 scan needed
-    base = fresh.select(F.col("gid").alias("doc_id"),
-                        src.alias("src_gid"))
-
-    def tok(j):
-        u = F.conv(
-            F.substring(
-                F.md5(F.concat_ws("-", F.col("src_gid").cast("string"),
-                                  j.cast("string"))), 1, 8),
-            16, 10,
-        ).cast("double") / F.lit(float(1 << 32))
-        idx = F.floor(F.pow(u, F.lit(2.2)) * VOCAB).cast("long")
-        return F.concat(F.lit("w"), idx.cast("string"))
-
-    return base.select(
-        "doc_id",
-        F.array_join(
-            F.transform(F.sequence(F.lit(0), F.lit(TOKENS_PER_DOC - 1)),
-                        tok), " ",
-        ).alias("text"),
-    )
+    base = spark.range(lo, hi).select(F.col("id").alias("doc_id"))
+    src = F.col("doc_id")
+    if day > 0:
+        src = F.when(
+            F.col("doc_id") % REDELIVER_FRAC == 0,
+            F.col("doc_id") % DOCS_PER_DAY,   # a day-0 gid
+        ).otherwise(F.col("doc_id"))
+    return base.select("doc_id", gen_text(src).alias("text"))
 
 
 def make_tables(spark, root: str):
@@ -145,8 +126,11 @@ def main() -> None:
         t0 = time.time()
         fn(batches[day], day)
         secs = round(time.time() - t0, 2)
+        # tracked caches only INSIDE the timed loop — the stray-RDD
+        # sweep's async block removals would contaminate the next
+        # day's timing (the verify-skill per-pass-not-per-query rule;
+        # the ~12 leftover checkpoint RDDs are id+16-long rows)
         release_lane_caches()
-        release_stray_persistent_rdds(spark)
         row = {
             "day": day,
             "sec": secs,
@@ -156,6 +140,7 @@ def main() -> None:
         }
         out["per_day"].append(row)
         print(json.dumps(row), flush=True)
+    release_stray_persistent_rdds(spark)
 
     # contrast: bootstrap-from-scratch over the union at day 2 and 5 —
     # the cost a pipeline WITHOUT persisted state pays every day

@@ -623,6 +623,20 @@ def semdedup(emb: DataFrame, centroids: DataFrame,
     """
     from .similarity import cosine, ivf_assign, ivf_assign_pandas
 
+    if centroids.limit(1).count() == 0:
+        # no clusters -> no within-cluster pairs -> NOTHING is a
+        # semantic duplicate: keep everything, with NULL cluster
+        # metadata. This is the one keep/drop consumer with a sound
+        # no-clusters semantics; the assignment twins themselves RAISE
+        # on empty centroids because a zero-row assignment would
+        # silently drop 100% of the corpus through the is_kept filter
+        # (r07 third review).
+        return emb.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias(centroid_id_col),
+            F.lit(None).cast("double").alias("centroid_cos"),
+            F.lit(True).alias("is_kept"),
+        )
     assign_fn = ivf_assign_pandas if assignment_impl == "pandas" else ivf_assign
     assigned = assign_fn(emb, centroids, id_col, vec_col,
                          centroid_id_col, with_score=True)
@@ -1127,12 +1141,17 @@ def bloom_size(n_expected: int, fpr: float = 0.01) -> tuple[int, int]:
     :func:`bloom_probe`: returns ``(m_bits, k)`` for ``n_expected``
     distinct keys at target false-positive rate ``fpr``.
 
-    m = ceil(-n * ln(p) / ln(2)^2)  rounded UP to the next power of
-    two — Kirsch-Mitzenmacher double hashing wants the odd stride to
-    cycle a power-of-two table, and the round-up only ever LOWERS the
-    realized FPR; k = round(m/n * ln 2), floored at 1. At the 1%
-    default this is ~10 bits/key (the docstring prose above, now as
-    the function the run-book calls instead of hand-picked constants).
+    m = ceil(-n * ln(p) / ln(2)^2) rounded UP to the next power of
+    two (Kirsch-Mitzenmacher double hashing wants the odd stride to
+    cycle a power-of-two table), k = round(m/n * ln 2) floored at 1 —
+    then the closed-form bound (1 - e^{-kn/m})^k is VERIFIED and m
+    doubles until it comes in at or under ``fpr``: the round-up
+    usually over-provisions, but when m_exact lands just below a
+    power of two the integer k can push the bound a hair over target,
+    so callers sizing state bytes should budget for up to 2x the
+    unverified closed form. At the 1% default this is ~10-20
+    bits/key (the function the run-book calls instead of hand-picked
+    constants).
 
     Size for the EXPECTED HISTORY, not the first batch: the filter
     never needs a rebuild until the accreted key count outgrows

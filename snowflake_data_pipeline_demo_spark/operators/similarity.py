@@ -188,18 +188,26 @@ def lsh_signatures_pandas(dim: int, planes: int = 8, tables: int = 1):
     return sigs
 
 
-def _empty_assignment(corpus: DataFrame, id_col: str, vec_col: str,
-                      centroid_id_col: str, with_score: bool) -> DataFrame:
-    """Zero-row assignment frame with the ivf_assign* output schema —
-    the shared empty-centroid contract of both assignment twins (no
-    centroids means no assignments; downstream cluster groupBys and
-    pair generators go empty instead of crashing or, worse, dumping
-    the whole corpus into one NULL pseudo-cluster)."""
-    out = [F.col(id_col), F.col(vec_col),
-           F.lit(None).cast("long").alias(centroid_id_col)]
-    if with_score:
-        out.append(F.lit(None).cast("double").alias("centroid_cos"))
-    return corpus.select(*out).limit(0)
+def _require_centroids(rows, twin: str) -> None:
+    """Shared empty-centroid contract of both assignment twins: RAISE.
+    A zero-row centroid frame reaching assignment is an operational
+    error (a never-written centroid table reads as an empty typed
+    frame with no warning; kmeans_centroids over an all-degenerate
+    corpus returns empty by contract) — and every quiet alternative is
+    worse: a zero-row assignment silently drops 100% of the corpus
+    through semdedup's keep-filter, and a NULL pseudo-cluster silently
+    caps the whole corpus as ONE cluster in quota consumers. Loud
+    beats silent data loss (r07 third review). Keep/drop consumers
+    that have a sound no-clusters semantics implement it themselves
+    (dedup.semdedup: no clusters -> nothing is a duplicate)."""
+    if not rows:
+        raise ValueError(
+            f"{twin}: empty centroid frame — train centroids first "
+            "(kmeans_centroids returns empty only for a corpus with "
+            "no usable vectors) or check the centroid table was "
+            "actually written; assigning against zero centroids "
+            "would silently lose data downstream"
+        )
 
 
 def ivf_assign(
@@ -226,13 +234,7 @@ def ivf_assign(
     cent_rows = centroids.select(
         F.col(centroid_id_col), F.col(vec_col)
     ).collect()  # nlist rows — dim-scale, like the star-join dims
-    if not cent_rows:
-        # no centroids (kmeans_centroids over an all-degenerate corpus
-        # returns an empty frame) -> no assignments: zero-row output
-        # with the contract schema, NOT a crash at F.array(*[]) —
-        # r07 second review found the crash had just moved here
-        return _empty_assignment(corpus, id_col, vec_col,
-                                 centroid_id_col, with_score)
+    _require_centroids(cent_rows, "ivf_assign")
     scored = F.array(*[
         F.struct(
             F.round(
@@ -281,16 +283,12 @@ def ivf_assign_pandas(
         centroids.select(centroid_id_col, vec_col).collect(),
         key=lambda r: r[centroid_id_col],
     )
-    if not rows:
-        # same empty-centroid contract as the expr twin: zero-row
-        # frame, not a shape-(0,) norm crash (r07 second review)
-        return _empty_assignment(corpus, id_col, vec_col,
-                                 centroid_id_col, with_score)
+    _require_centroids(rows, "ivf_assign_pandas")
     ids = np.asarray([int(r[centroid_id_col]) for r in rows])
     C = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
-    dim = Cn.shape[1] if len(Cn) else 0
+    dim = Cn.shape[1]  # rows is non-empty past _require_centroids
 
     @pandas_udf("struct<centroid_id: long, centroid_cos: double>")
     def assign(vecs: pd.Series) -> pd.DataFrame:

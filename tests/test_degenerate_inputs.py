@@ -317,23 +317,26 @@ def test_kmeans_on_fully_degenerate_corpus_returns_empty(spark):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == \
         ["centroid_id", "embedding"]
-    # ... and the empty centroid frame must flow through BOTH
-    # assignment twins as zero assignments with the contract schema —
-    # the r07 SECOND review found the crash had just moved downstream
-    # (shape-(0,) norm in the pandas twin, F.array(*[]) analysis error
-    # in the expr twin). A healthy mixed corpus assigned against the
-    # empty frame goes empty too: no NULL pseudo-cluster that would
-    # turn semdedup's within-cluster pairs into all-pairs.
+    # ... and BOTH assignment twins must REFUSE the empty centroid
+    # frame loudly. The r07 SECOND review found the kmeans fix had
+    # moved the crash downstream (shape-(0,) norm / F.array(*[])
+    # analysis error); the THIRD found the zero-row-output fix was
+    # worse — it silently dropped 100% of a healthy corpus through
+    # semdedup's is_kept filter. Loud beats silent data loss.
     healthy = spark.createDataFrame(
         [(10, [1.0, 0.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0, 0.0])],
         "vec_id long, embedding array<float>",
     )
     for impl in (similarity.ivf_assign, similarity.ivf_assign_pandas):
-        got = impl(healthy, out, with_score=True)
-        assert got.count() == 0, impl.__name__
-        assert [f.name for f in got.schema.fields] == \
-            ["vec_id", "embedding", "centroid_id", "centroid_cos"], \
-            impl.__name__
+        with pytest.raises(ValueError, match="empty centroid frame"):
+            impl(healthy, out, with_score=True)
+    # the keep/drop consumer with a sound no-clusters semantics keeps
+    # EVERYTHING (nothing is a within-cluster duplicate), with NULL
+    # cluster metadata — never an empty (all-dropped) result
+    kept = dedup.semdedup(healthy, out).collect()
+    assert len(kept) == 2
+    assert all(r["is_kept"] for r in kept)
+    assert all(r["centroid_id"] is None for r in kept)
 
 
 def test_quantize_zero_vector_contract(spark, demb):
