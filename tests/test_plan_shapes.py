@@ -498,16 +498,18 @@ def test_lane_caches_drain_between_registry_lanes(spark):
     )
     from snowflake_data_pipeline_demo_spark.plans.queries import QUERIES
 
-    def n_cached() -> int:
-        return len(spark.sparkContext._jsc.getPersistentRDDs())
+    def cached_ids() -> set:
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
 
     spark.catalog.clearCache()
     release_lane_caches()
-    # measure DELTAS from here: earlier tests in a full-suite run leave
-    # localCheckpoint RDDs behind (streaming dedup, bigstar lineage
-    # cuts), which clearCache deliberately does not touch — none of
-    # the three lanes below localCheckpoints, so they cancel out
-    base = n_cached()
+    # track NEW RDD ids relative to this baseline SET: earlier tests in
+    # a full-suite run leave localCheckpoint RDDs behind, which
+    # clearCache deliberately does not touch AND which ContextCleaner
+    # may reclaim at any GC while this test runs (a count-based delta
+    # went NEGATIVE in a full-suite run for exactly that reason) —
+    # set-difference counts only what these lanes themselves persist
+    base_ids = cached_ids()
     counts = []
     # each of these lanes caches at least one boundary frame;
     # x_dedup_components covers the propagation loop's label caches
@@ -516,13 +518,13 @@ def test_lane_caches_drain_between_registry_lanes(spark):
                  "x_winnow_overlap", "x_dedup_components"]:
         QUERIES[name].builder(spark, SF).write.format("noop").mode(
             "overwrite").save()
-        counts.append(n_cached() - base)
+        counts.append(len(cached_ids() - base_ids))
     assert counts[0] >= 1  # the tracking is live, not vacuous
     # the live count only ever reflects the CURRENT lane's caches:
     # no lane-over-lane growth beyond the first lane's own cache count
     assert max(counts) <= counts[0] + 2, counts
     release_lane_caches()
-    assert n_cached() == base, \
+    assert not (cached_ids() - base_ids), \
         "a lane cached outside lane_cache tracking"
 
 

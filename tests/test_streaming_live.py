@@ -25,6 +25,13 @@ def _wait_until(fn, timeout_s: float = 90.0, poll_s: float = 2.0) -> bool:
 
 @pytest.mark.slow
 def test_live_pipe_and_tasks(spark, tables, tmp_path_factory):
+    # KNOWN RARE FLAKE (r07, ~1 in 3 full-suite runs is an
+    # overstatement — seen once): reading a table dir WHILE a live
+    # micro-batch commits can race hadoop's recursive listing against
+    # the commit protocol deleting batch_N/_temporary — the stat of an
+    # already-enumerated path throws ('cannot access .../_temporary').
+    # Passes in isolation and on re-run; a durable fix would gate
+    # reads on query.awaitTermination of the in-flight batch.
     root = str(tmp_path_factory.mktemp("live"))
     p = CitibikePipeline(spark, root)
     docs = trip_docs(tables["lineitem"], tables["supplier"], tables["nation"])
