@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Day-N ingest flatness for the SEMANTIC (IVF-indexed) dedup path
+(round-8 scale run; the round-7 run covered MinHash only).
+
+Same experimental shape as scripts/dayn_scale_run.py: SIX consecutive
+daily batches of 10,000 embedding vectors through
+streaming/dedup.semantic_dedup_batch_fn in INDEXED mode
+(assigned_table set — the persisted (id, vec, centroid_id) index), with
+20% of each post-day-0 batch re-delivering day-0 vectors verbatim under
+fresh ids. Measure per-day wall time while the index grows ~5x; the
+contrast is the from-scratch bootstrap at days 2 and 5 (fresh state,
+all history in one batch). The claim under test: an indexed-mode batch
+pays O(batch) assignment (one Arrow/numpy matmul pass) plus
+cluster-key equi-joins against the index — per-day cost flat while
+history grows.
+
+Vectors are deterministic (no RNG, same md5-squash idiom as the winnow
+corpus and the MinHash day-N run): element j of gid g is
+md5(g-j) mapped to [-1, 1). Re-delivery REBUILDS day-0 vectors from the
+day-0 gid through the same expression, so equal gid means bit-identical
+floats and the planted duplicates score cosine exactly 1.0. Centroids
+are 64 vectors from a disjoint gid range (salt 10^9) — fixed plan
+literals, as a production pipeline would persist from a one-time
+k-means.
+
+Results recorded in SCALE.md round-8. Run:
+    python scripts/dayn_semantic_scale_run.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+from snowflake_data_pipeline_demo_spark.caching import (  # noqa: E402
+    release_lane_caches, release_stray_persistent_rdds,
+)
+from snowflake_data_pipeline_demo_spark.session import get_spark  # noqa: E402
+from snowflake_data_pipeline_demo_spark.sources.catalog import Table  # noqa: E402
+from snowflake_data_pipeline_demo_spark.streaming.dedup import (  # noqa: E402
+    semantic_dedup_batch_fn,
+)
+
+DIM = 64
+NLIST = 64
+DOCS_PER_DAY = 10_000
+N_DAYS = 6
+REDELIVER_FRAC = 5  # 1-in-5 of each post-day-0 batch re-delivers day 0
+CENTROID_SALT = 1_000_000_000
+
+VEC_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.DoubleType())),
+])
+
+
+def gen_vec(src_gid):
+    """Deterministic dim-64 embedding for a source gid COLUMN: element
+    j is md5(gid-j)'s leading 8 hex digits as a uniform draw mapped to
+    [-1, 1). ONE shared generator (day-0 path and re-delivery path
+    evaluate the identical expression) so equal src_gid means
+    bit-identical vectors — the planted duplicates MUST score
+    cosine == 1.0 for the run's kept-counts to be an oracle."""
+    def elem(j):
+        u = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", src_gid.cast("string"),
+                                  j.cast("string"))), 1, 8),
+            16, 10,
+        ).cast("double") / F.lit(float(1 << 32))
+        return u * 2.0 - 1.0
+
+    return F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)), elem)
+
+
+def day_batch(spark, day: int):
+    """Day ``day``'s 10k-vector batch: vec_ids are day-offset; for
+    day > 0 every REDELIVER_FRAC-th vector re-delivers day-0 CONTENT
+    verbatim under a fresh vec_id — the duplicate flood the
+    cluster-key probe must drop against the growing index."""
+    lo, hi = day * DOCS_PER_DAY, (day + 1) * DOCS_PER_DAY
+    base = spark.range(lo, hi).select(F.col("id").alias("vec_id"))
+    src = F.col("vec_id")
+    if day > 0:
+        src = F.when(
+            F.col("vec_id") % REDELIVER_FRAC == 0,
+            F.col("vec_id") % DOCS_PER_DAY,   # a day-0 gid
+        ).otherwise(F.col("vec_id"))
+    return base.select("vec_id", gen_vec(src).alias("embedding"))
+
+
+def centroid_frame(spark):
+    """NLIST fixed centroids from a gid range disjoint from every
+    batch gid (salted) — stands in for the persisted k-means output a
+    production pipeline trains once. localCheckpoint so the 6-day loop
+    reuses one materialization instead of re-evaluating 64*64 md5s
+    into every assignment plan."""
+    c = spark.range(NLIST).select(
+        F.col("id").cast("int").alias("centroid_id"),
+        gen_vec(F.col("id") + CENTROID_SALT).alias("centroid"),
+    )
+    return c.localCheckpoint()
+
+
+def make_tables(spark, root: str):
+    clean = Table(spark, f"{root}/clean", VEC_SCHEMA)
+    assigned = Table(spark, f"{root}/assigned", T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("centroid_id", T.IntegerType()),
+    ]))
+    return clean, assigned
+
+
+def main() -> None:
+    spark = get_spark("dayn_semantic_scale")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+    centroids = centroid_frame(spark)
+
+    root = tempfile.mkdtemp(prefix="dayn_sem_state_")
+    clean, assigned = make_tables(spark, root)
+    fn = semantic_dedup_batch_fn(clean, centroids, threshold=0.85,
+                                 assigned_table=assigned)
+
+    batches = []
+    for day in range(N_DAYS):
+        b = day_batch(spark, day).repartition(32)
+        b.write.mode("overwrite").parquet(f"{root}/staged/day={day}")
+        batches.append(spark.read.parquet(f"{root}/staged/day={day}"))
+
+    out = {"per_day": [], "scratch": []}
+    for day in range(N_DAYS):
+        t0 = time.time()
+        fn(batches[day], day)
+        secs = round(time.time() - t0, 2)
+        # tracked caches only INSIDE the timed loop; the stray-RDD
+        # sweep waits until after (per-pass rule — async block
+        # removals would contaminate the next day's timing)
+        release_lane_caches()
+        row = {
+            "day": day,
+            "sec": secs,
+            "index_rows": assigned.read().count(),
+            "kept": spark.read.parquet(
+                f"{root}/clean/batch={day}").count(),
+        }
+        out["per_day"].append(row)
+        print(json.dumps(row), flush=True)
+    release_stray_persistent_rdds(spark)
+
+    # contrast: bootstrap-from-scratch over the union at day 2 and 5 —
+    # the cost a pipeline WITHOUT a persisted index pays every day
+    for upto in (2, 5):
+        sroot = tempfile.mkdtemp(prefix="dayn_sem_scratch_")
+        c2, a2 = make_tables(spark, sroot)
+        fn2 = semantic_dedup_batch_fn(c2, centroids, threshold=0.85,
+                                      assigned_table=a2)
+        union = batches[0]
+        for b in batches[1:upto + 1]:
+            union = union.unionByName(b)
+        t0 = time.time()
+        fn2(union, 0)
+        secs = round(time.time() - t0, 2)
+        release_lane_caches()
+        release_stray_persistent_rdds(spark)
+        row = {"scratch_through_day": upto,
+               "vecs": (upto + 1) * DOCS_PER_DAY, "sec": secs}
+        out["scratch"].append(row)
+        print(json.dumps(row), flush=True)
+        shutil.rmtree(sroot, ignore_errors=True)
+
+    print("== summary ==")
+    print(json.dumps(out, indent=1))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,15 +24,25 @@ cache until drained. demo_incremental / the scale scripts do.
 """
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+# The drain-before-next-lane convention assumes sequential lane
+# execution; the lock doesn't make concurrent lanes CORRECT (lane A's
+# drain would still unpersist lane B's in-flight cache — a silent
+# recompute, never wrong results), but it keeps the list itself
+# consistent so a threaded runner fails soft, not with a torn pop
+# (r07 ADVICE).
+_LOCK = threading.Lock()
 
 
 def lane_cache(df: DataFrame) -> DataFrame:
     """``df.cache()`` + register the frame for end-of-lane release."""
     df = df.cache()
-    _TRACKED.append(df)
+    with _LOCK:
+        _TRACKED.append(df)
     return df
 
 
@@ -67,8 +77,11 @@ def release_lane_caches() -> int:
     Returns the number released — bench.py reports it so cached-RDD
     growth across a full sweep is observable, not assumed."""
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    while True:
+        with _LOCK:
+            if not _TRACKED:
+                break
+            df = _TRACKED.pop()
         try:
             df.unpersist()
             n += 1
@@ -76,11 +89,21 @@ def release_lane_caches() -> int:
             # a stopped SparkContext at interpreter teardown is not an
             # error — anything else is: swallowing it would let the
             # bench's cached_rdds_end audit read clean while blocks
-            # actually leaked (review r07 finding)
-            from pyspark.sql import SparkSession
-
-            active = SparkSession.getActiveSession()
-            if active is not None and not active.sparkContext._jsc.sc() \
-                    .isStopped():
+            # actually leaked (review r07 finding). Decide from the
+            # frame's OWN session, not getActiveSession(): that one is
+            # thread-local and returns None from any non-Spark thread
+            # (atexit hooks, listeners), which used to swallow genuine
+            # failures (r07 ADVICE).
+            if not _owning_context_stopped(df):
                 raise
     return n
+
+
+def _owning_context_stopped(df: DataFrame) -> bool:
+    """True when df's own SparkContext is stopped or already torn down
+    so far that the question can't be answered (py4j gateway gone) —
+    the only condition under which an unpersist failure is benign."""
+    try:
+        return bool(df.sparkSession.sparkContext._jsc.sc().isStopped())
+    except Exception:
+        return True

@@ -623,7 +623,10 @@ def semdedup(emb: DataFrame, centroids: DataFrame,
     """
     from .similarity import cosine, ivf_assign, ivf_assign_pandas
 
-    if centroids.limit(1).count() == 0:
+    # take(1) instead of limit(1).count(): same one-partition probe
+    # plan but short-circuits on the first row found, and skips the
+    # count aggregation job on the hot non-empty path (r07 ADVICE).
+    if not centroids.take(1):
         # no clusters -> no within-cluster pairs -> NOTHING is a
         # semantic duplicate: keep everything, with NULL cluster
         # metadata. This is the one keep/drop consumer with a sound

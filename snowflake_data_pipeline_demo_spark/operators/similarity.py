@@ -675,7 +675,12 @@ def embedding_covariance_pandas(df: DataFrame,
     batch-at-a-time instead of interpreted per-element lambdas, and
     the partials merge in the same O(dim^2)-group hash agg. The only
     float difference vs the oracle lane is summation ORDER (~1e-13
-    relative), far below the 4 dp rounding both lanes share.
+    relative), far below the 4 dp rounding both lanes share. Rounding
+    absorbs MAGNITUDE ulps only — it does not normalize signed zero:
+    DuckDB's round() keeps -0.0 for cells in (-0.00005, 0) while
+    Spark's BigDecimal round emits +0.0, so the shared oracle appends
+    `+ 0` (IEEE: -0.0 + 0 = +0.0). Root cause of the r07 hash fails
+    on both covariance lanes (64 negative-zero cells at sf0.01).
 
     Dirty-input parity with the interpreted twin (code-review fix —
     np.stack used to crash where the lambda lane returned rows):

@@ -1421,7 +1421,12 @@ def collocation_pmi(df, text_col: str = "text", min_count: int = 5):
     exact integer triple (c_xy, c_x, c_y) if it needs a strict rank).
     All count products stay below 2^53 up to corpus sizes of ~10^8
     tokens per distinct token, so the double-math PMI input is EXACT
-    and both engines round the same value.
+    and both engines round the same MAGNITUDE. The sign-of-zero
+    channel is the one thing exact inputs + rounding do NOT close:
+    for pmi in (-0.00005, 0), DuckDB's round() returns -0.0 while
+    Spark's BigDecimal-backed round returns +0.0 (BigDecimal has no
+    signed zero) — the oracle twin appends `+ 0` to normalize
+    (IEEE: -0.0 + 0 = +0.0). Root cause of the r07 hash fail.
 
     Shape: unigram and pair counts are two map-side-combined hash aggs
     over per-row projections (the bigram stitch guards the

@@ -874,85 +874,29 @@ from . import queries_ext  # noqa: E402,F401
 #: that window; long-verified scalar one-liners drift past position 50
 #: (their green rows live in CORRECTNESS_r01..r03).
 _VERIFY_FIRST = [
-    # -- r07 rotation cut (policy: fixed/code-changed this round, then
-    # -- never-driver-graded, then oldest-green, then refresh picks).
-    # -- Last-green ledger going into r07 (full table: ROTATION.md,
-    # -- regenerated by scripts/rotation_ledger.py): 22 entries NEVER
-    # -- graded (registered after the r06 cut), 9 at r04 (the
-    # -- freshness limit), 48 at r05, 50 at r06. The window carries
-    # -- all 31 obligated entries (22 never + 9 r04) plus 19 refresh
-    # -- picks from the r05 set; the 29 remaining r05 entries MUST
-    # -- front the r08 window (they hit the two-round limit there).
+    # -- r08 rotation cut (policy: fixed/code-changed this round, then
+    # -- oldest-green, then refresh picks). Last-green ledger going
+    # -- into r08 (full table: ROTATION.md, regenerated by
+    # -- scripts/rotation_ledger.py from CORRECTNESS_r07): 3 lanes
+    # -- FAILED r07 (never green — the signed-zero oracle defect,
+    # -- fixed this round), 29 at r05 (the freshness limit), 50 at
+    # -- r06, 47 at r07. Window = 3 fixed + 29 r05 (both obligated by
+    # -- the r07 verdict, items 1/3) + 18 refresh picks from the r06
+    # -- cohort; the 32 remaining r06 entries MUST front the r09
+    # -- window (they hit the two-round limit there — see
+    # -- _VERIFY_LAST).
     #
-    # never driver-graded (registered late-r06) — 22.
-    # x_bloom_cross_run_probe, x_embed_covariance(+_prod) also carry
-    # this round's code changes (bloom_probe internal merge, empty-
-    # vector guard), so their r07 rows double as regression gates.
-    "x_histogram_quantiles",
-    "x_dedup_threshold_sweep",
-    "x_line_dedup",
-    "x_embed_dim_stats",
-    "x_winnow_fingerprints",
-    "x_winnow_overlap",
-    "x_winnow_clusters",
-    "x_bloom_cross_run_probe",
-    "x_cms_heavy_hitters",
+    # fixed this round — 3 (rotation category 1). r07 hash fails
+    # root-caused to DuckDB round() emitting -0.0 where Spark's
+    # BigDecimal round emits +0.0; oracles now append `+ 0`
+    # (queries_ext.py) and tests/oracle_utils.py compares float BIT
+    # patterns so the class can't ship silently again.
     "x_token_pmi",
     "x_embed_covariance",
     "x_embed_covariance_prod",
-    "x_snapshot_diff",
-    "x_doc_truncate",
-    "x_classifier_calibration",
-    "x_langid_confusion",
-    "x_stream_corpus_profile",
-    "x_cross_source_dups",
-    "x_compression_ratio",
-    "x_dsir_resample",
-    "x_embed_pca_project",
-    "x_dedup_components_incremental",
-    # last driver-green r04 (freshness limit) — 9.
-    # x_semdedup_prod / x_sim_lsh_ann_prod also exercise this round's
-    # ivf_assign_pandas ragged-batch guard.
-    "flagship_secure_report",
-    "x_encoding_quality",
-    "x_length_filter",
-    "x_repetition_metrics_prod",
-    "x_semdedup_prod",
-    "x_sim_lsh_ann_prod",
-    "x_split_leakage",
-    "x_tfidf_topk",
-    "x_unigram_logprob",
-    # refresh picks (r05-green, 19 of 48): extension lanes first —
-    # x_cluster_quota_trained carries the kmeans_centroids modal-
-    # length guard added this round; the 29 r05 leftovers (listed in
-    # _VERIFY_LAST) front the r08 cut.
-    "x_cluster_quota_trained",
-    "secure_view_masked_rows",
-    "x_dedup_components",
-    "x_dedup_embedding_neardup",
-    "x_dedup_exact",
-    "x_dedup_minhash_lsh",
-    "x_dedup_minhash_xxhash",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_simhash",
-    "x_multimodal_byte_histogram",
-    "x_multimodal_frame_sample",
-    "x_multimodal_metadata",
-    "x_pack_boundaries",
-    "x_sample_stratified",
-    "x_sessionize",
-    "x_shard_tokens",
-    "x_sim_cosine_topk",
-    "x_sim_ivf_ann",
-    "x_sim_lsh_ann",
-]
-
-#: r05-green entries NOT refreshed in the r07 window — they hit the
-#: two-round freshness limit at r08, so this exact list MUST front the
-#: r08 cut (rotation ledger: ROTATION.md). All remain oracle-gated
-#: locally every run by tests/test_oracle_parity.py, which
-#: parametrizes the whole registry.
-_VERIFY_LAST = [
+    # last driver-green r05 (freshness limit) — 29: the relational §2
+    # core + five extension lanes, exactly the r07 verdict's
+    # _VERIFY_LAST obligation.
     "a2_count_distinct",
     "a5_groupby_ordinals",
     "a6_dashboard_subqueries",
@@ -982,12 +926,98 @@ _VERIFY_LAST = [
     "x_text_stats",
     "x_token_ids",
     "x_window_rollup",
+    # refresh picks (r06-green, 18 of 50, alphabetical for a
+    # deterministic audit trail): pulls the r09 obligation down from
+    # 50 lanes to the 32 in _VERIFY_LAST.
+    "x_ann_recall",
+    "x_asof_join",
+    "x_bigram_logprob",
+    "x_bpe_pairs",
+    "x_bpe_train",
+    "x_chunk_dedup_reassemble",
+    "x_chunk_tokens",
+    "x_cluster_quota",
+    "x_contamination_matrix",
+    "x_corpus_report",
+    "x_curation_funnel",
+    "x_decontaminate",
+    "x_dedup_cluster_sizes",
+    "x_dedup_components_bigstar",
+    "x_dedup_incremental",
+    "x_dedup_keep_longest",
+    "x_dedup_minhash_incremental",
+    "x_distinct_tokens_hll",
 ]
+
+#: r06-green entries NOT refreshed in the r08 window — they hit the
+#: two-round freshness limit at r09, so this exact list MUST front the
+#: r09 cut (rotation ledger: ROTATION.md). All remain oracle-gated
+#: locally every run by tests/test_oracle_parity.py, which
+#: parametrizes the whole registry.
+_VERIFY_LAST = [
+    "x_dedup_pipeline_components",
+    "x_drop_reasons",
+    "x_dsir_importance",
+    "x_dup_ngram_coverage",
+    "x_embed_dedup_incremental",
+    "x_embed_quantize",
+    "x_global_shuffle",
+    "x_hll_cross_run_merge",
+    "x_interleave_sources",
+    "x_length_quantiles",
+    "x_length_quantiles_sketch",
+    "x_mixture_budget",
+    "x_multimodal_resize",
+    "x_oov_rate",
+    "x_pack_sequences",
+    "x_paragraph_dedup",
+    "x_profile_lengths",
+    "x_quality_classifier",
+    "x_quality_gopher",
+    "x_range_join",
+    "x_repetition_metrics",
+    "x_sample_hash_split",
+    "x_sample_mixture",
+    "x_semdedup",
+    "x_shard_manifest_audit",
+    "x_sim_ivf_kmeans",
+    "x_skew_salted_agg",
+    "x_source_quota",
+    "x_stream_minhash_dedup",
+    "x_temperature_mixture",
+    "x_text_redact",
+    "x_vocab_topk",
+]
+
+#: Window size the driver grades (observed r02..r07: first 50 rows).
+_WINDOW = 50
 
 
 def _reorder_for_driver_window() -> None:
-    front = [n for n in _VERIFY_FIRST if n in QUERIES]
-    back = [n for n in _VERIFY_LAST if n in QUERIES and n not in front]
+    # Loud validation (r07 ADVICE): a typo'd lane name used to be
+    # silently dropped by the `in QUERIES` filter, shrinking the
+    # graded window with no signal. Fail at import time instead.
+    missing = [n for n in _VERIFY_FIRST + _VERIFY_LAST if n not in QUERIES]
+    if missing:
+        raise AssertionError(
+            f"rotation lists name unknown lanes {missing} — fix the "
+            "typo or remove the entry (plans/queries.py)"
+        )
+    dup = set(_VERIFY_FIRST) & set(_VERIFY_LAST)
+    if dup:
+        raise AssertionError(
+            f"lanes listed in BOTH rotation lists: {sorted(dup)}"
+        )
+    if len(_VERIFY_FIRST) != len(set(_VERIFY_FIRST)):
+        raise AssertionError("_VERIFY_FIRST contains duplicates")
+    if len(_VERIFY_FIRST) != _WINDOW:
+        raise AssertionError(
+            f"_VERIFY_FIRST has {len(_VERIFY_FIRST)} entries; the "
+            f"driver grades exactly the first {_WINDOW} — the cut "
+            "must fill the window exactly"
+        )
+    front = list(_VERIFY_FIRST)
+    back = [n for n in _VERIFY_LAST if n not in front]
     mid = [n for n in QUERIES if n not in set(front) | set(back)]
     ordered = {n: QUERIES[n] for n in front + mid + back}
     QUERIES.clear()

@@ -1511,10 +1511,14 @@ def x_repetition_metrics_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ts.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           -- `+ 0` normalizes signed zero (house rule, SURVEY §5):
+           -- caught by the r08 negative-zero sweep at sf0.001 — one
+           -- doc's mean log-ratio rounds to -0.0 on DuckDB, +0.0 on
+           -- Spark; invisible at sf0.01, one data-drop from a fail.
            round(AVG(
              ln((m.cnt_t + 1.0) / (tots.tot_t + tots.vocab))
              - ln((m.cnt_s + 1.0) / (tots.tot_s + tots.vocab))
-           ), 4) AS importance
+           ), 4) + 0 AS importance
     FROM tok_src ts JOIN model m USING (token), tots
     GROUP BY ts.doc_id
     """,
@@ -3440,7 +3444,9 @@ def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings WHERE embedding IS NOT NULL
     )
     SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
-           round(avg(CAST(v AS DOUBLE)), 4) AS mean,
+           -- `+ 0` = house signed-zero normalization (SURVEY §5):
+           -- per-dim means hover near 0, the exact (-5e-5, 0) hazard
+           round(avg(CAST(v AS DOUBLE)), 4) + 0 AS mean,
            round(stddev_samp(CAST(v AS DOUBLE)), 4) AS std,
            round(CAST(min(v) AS DOUBLE), 4) AS vmin,
            round(CAST(max(v) AS DOUBLE), 4) AS vmax
@@ -3864,11 +3870,14 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2 HAVING COUNT(*) >= 5
     )
     SELECT b.x, b.y, b.c_xy,
+           -- `+ 0` normalizes signed zero: DuckDB round() emits -0.0
+           -- for values in (-0.00005, 0) while Spark's BigDecimal
+           -- round emits +0.0 (IEEE: -0.0 + 0 = +0.0). r07 fail fix.
            round(ln((CAST(b.c_xy AS DOUBLE)
                      * (SELECT COUNT(*) FROM unig)
                      * (SELECT COUNT(*) FROM unig))
                     / (CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE)
-                       * ux.c * uy.c)), 4) AS pmi
+                       * ux.c * uy.c)), 4) + 0 AS pmi
     FROM bc b
     JOIN uc ux ON ux.tok = b.x
     JOIN uc uy ON uy.tok = b.y
@@ -3881,7 +3890,10 @@ def x_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     its pointwise mutual information. The emitted set is
     count-thresholded, never float-ranked, so the lane is a hash gate
     (PMI's double input is exact integer math on both engines; only
-    the final ln can differ, below the 4 dp rounding)."""
+    the final ln can differ, below the 4 dp rounding). Rounding does
+    NOT close the sign-of-zero channel: DuckDB round() keeps -0.0
+    where Spark's BigDecimal round emits +0.0, so the oracle adds
+    `+ 0` to normalize (r07 hash-fail root cause, 1 row at sf0.01)."""
     d = testdata.load(spark, sf_dir, "documents")
     return text.collocation_pmi(d, min_count=5)
 
@@ -3904,8 +3916,11 @@ _DCOV_SQL = """
         FROM e) u
     )
     SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+           -- `+ 0` normalizes signed zero: DuckDB round() emits -0.0
+           -- for cells in (-0.00005, 0) (64 cells at sf0.01) while
+           -- Spark's BigDecimal round emits +0.0. r07 fail fix.
            round(SUM(p)/COUNT(*)
-                 - (SUM(vi)/COUNT(*)) * (SUM(vj)/COUNT(*)), 4) AS cov
+                 - (SUM(vi)/COUNT(*)) * (SUM(vj)/COUNT(*)), 4) + 0 AS cov
     FROM p GROUP BY 1, 2
 """
 
@@ -3920,7 +3935,10 @@ def x_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:embedding_covariance) — the PCA/whitening
     precursor. This is the interpreted-lambda ORACLE twin; the
     production Gram-matrix path is x_embed_covariance_prod, held to
-    the SAME oracle (4 dp rounding absorbs summation-order ulps)."""
+    the SAME oracle (4 dp rounding absorbs summation-order ulps in
+    MAGNITUDE; the sign-of-zero channel is closed separately by the
+    oracle's `+ 0` — DuckDB round() emits -0.0 where Spark's
+    BigDecimal round emits +0.0; r07 hash-fail root cause)."""
     emb = testdata.load(spark, sf_dir, "embeddings")
     return similarity.embedding_covariance(emb)
 
@@ -4237,11 +4255,12 @@ def x_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS ({_REGISTRY["x_dsir_importance"].oracle}),
     keyed AS (
       SELECT doc_id, n_tokens, importance,
+             -- `+ 0` = house signed-zero normalization (SURVEY §5)
              round(importance + (-ln(-ln(
                (CAST(concat('0x', substr(md5('g:' ||
                   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
                / 1152921504606846977.0
-             ))), 6) AS gumbel_key
+             ))), 6) + 0 AS gumbel_key
       FROM scored
     )
     SELECT doc_id, n_tokens, importance, gumbel_key

@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = (
@@ -74,17 +75,7 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
-            bad = 0
-            for x, y in zip(av, bv):
-                if (pd.isna(x)) != (pd.isna(y)):
-                    bad += 1
-                elif not pd.isna(x) and not math.isclose(x, y, rel_tol=1e-12, abs_tol=1e-12):
-                    bad += 1
-            exact = (av.fillna(0) == bv.fillna(0)).all()
-            if bad:
-                problems.append(f"col {c}: {bad} value mismatches (float)")
-            elif not exact:
-                problems.append(f"col {c}: floats equal at 1e-12 but NOT bit-exact (driver hash may fail)")
+            problems.extend(float_column_problems(c, av, bv))
         else:
             neq = ~((av == bv) | (av.isna() & bv.isna()))
             if neq.any():
@@ -92,5 +83,70 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
                 problems.append(
                     f"col {c}: {int(neq.sum())} mismatches; first at row {i}: "
                     f"spark={av[i]!r} duckdb={bv[i]!r}"
+                )
+    problems.extend(negative_zero_sweep({"spark": a, "duckdb": b}))
+    return problems
+
+
+def float_column_problems(c: str, av: pd.Series, bv: pd.Series) -> list[str]:
+    """Value check for one aligned float column pair.
+
+    "Bit-exact" must mean BIT patterns, not IEEE `==`: -0.0 == 0.0 is
+    True, yet the driver's canonicalizer serializes the two
+    differently and the hash diverges (the r07 x_token_pmi /
+    x_embed_covariance* fails shipped through exactly this blind spot
+    — the old check was `(av.fillna(0) == bv.fillna(0)).all()`).
+    Compares int64 views of the float64 payloads, NaN==NaN allowed."""
+    problems: list[str] = []
+    bad = 0
+    for x, y in zip(av, bv):
+        if (pd.isna(x)) != (pd.isna(y)):
+            bad += 1
+        elif not pd.isna(x) and not math.isclose(x, y, rel_tol=1e-12, abs_tol=1e-12):
+            bad += 1
+    xa = av.to_numpy(dtype="float64")
+    xb = bv.to_numpy(dtype="float64")
+    na_a, na_b = np.isnan(xa), np.isnan(xb)
+    both = ~na_a & ~na_b
+    bits_neq = xa[both].view("int64") != xb[both].view("int64")
+    exact = not (na_a != na_b).any() and not bits_neq.any()
+    if bad:
+        problems.append(f"col {c}: {bad} value mismatches (float)")
+    elif not exact:
+        signed_zero = int(
+            ((xa[both] == 0) & (xb[both] == 0)
+             & (xa[both].view("int64") != xb[both].view("int64"))).sum()
+        )
+        detail = (f" ({signed_zero} signed-zero divergences: one "
+                  "engine -0.0, the other +0.0 — normalize with "
+                  "`round(...) + 0` in the oracle)"
+                  if signed_zero else "")
+        problems.append(
+            f"col {c}: floats equal at 1e-12 but NOT bit-exact "
+            f"(driver hash WILL fail){detail}"
+        )
+    return problems
+
+
+def negative_zero_sweep(frames: dict[str, pd.DataFrame]) -> list[str]:
+    """House rule (r08, from the r07 signed-zero post-mortem): NO
+    oracle-gated lane may emit -0.0 in ANY float column on EITHER
+    engine — even when both engines agree bit-for-bit today, an
+    agreeing -0.0 is one summation-order or rounding-path change away
+    from the r07 divergence class. The fix is `+ 0` after the round on
+    the side that produces it (IEEE: -0.0 + 0 = +0.0)."""
+    problems: list[str] = []
+    for side, df in frames.items():
+        for c in df.columns:
+            s = df[c]
+            if not pd.api.types.is_float_dtype(s):
+                continue
+            x = s.to_numpy(dtype="float64")
+            negz = int(((x == 0) & (np.signbit(x))).sum())
+            if negz:
+                problems.append(
+                    f"col {c}: {negz} negative-zero value(s) on the "
+                    f"{side} side — fragile float contract; normalize "
+                    "with `round(...) + 0`"
                 )
     return problems

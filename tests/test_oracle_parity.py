@@ -90,3 +90,72 @@ def test_rows_only_lane_is_deterministic_across_invocations(spark, name):
 
     r1, r2 = run(), run()
     assert r1 == r2 and r1
+
+
+class TestComparatorSignedZero:
+    """Pins the r08 comparator hardening: the r07 hash-fail class
+    (DuckDB round() -> -0.0 vs Spark BigDecimal round -> +0.0) shipped
+    silently because the old 'bit-exact' check used IEEE `==`, which
+    says -0.0 == 0.0. The hardened check compares float BIT patterns
+    and must FAIL on the unfixed divergence; the negative-zero sweep
+    must flag -0.0 even when both engines agree."""
+
+    def test_signed_zero_divergence_is_caught(self):
+        import pandas as pd
+        from oracle_utils import float_column_problems
+
+        a = pd.Series([1.5, 0.0, -2.25])
+        b = pd.Series([1.5, -0.0, -2.25])
+        probs = float_column_problems("pmi", a, b)
+        assert probs, "old `==` blind spot: -0.0 vs +0.0 must be flagged"
+        assert "signed-zero" in probs[0] and "WILL fail" in probs[0]
+
+    def test_bit_identical_floats_pass(self):
+        import pandas as pd
+        from oracle_utils import float_column_problems
+
+        a = pd.Series([1.5, 0.0, float("nan"), -2.25])
+        b = pd.Series([1.5, 0.0, float("nan"), -2.25])
+        assert float_column_problems("cov", a, b) == []
+
+    def test_nan_mismatch_is_caught(self):
+        import pandas as pd
+        from oracle_utils import float_column_problems
+
+        a = pd.Series([1.0, float("nan")])
+        b = pd.Series([1.0, 0.0])
+        assert float_column_problems("x", a, b)
+
+    def test_negative_zero_sweep_flags_agreeing_neg_zero(self):
+        import pandas as pd
+        from oracle_utils import negative_zero_sweep
+
+        df = pd.DataFrame({"cov": [0.5, -0.0], "n": [1, 2]})
+        probs = negative_zero_sweep({"spark": df, "duckdb": df})
+        assert len(probs) == 2  # flagged on BOTH sides
+        assert all("negative-zero" in p for p in probs)
+
+    def test_negative_zero_sweep_clean_on_positive_zero(self):
+        import pandas as pd
+        from oracle_utils import negative_zero_sweep
+
+        df = pd.DataFrame({"cov": [0.0, 1.25], "name": ["a", "b"]})
+        assert negative_zero_sweep({"spark": df, "duckdb": df}) == []
+
+    def test_unfixed_pmi_covariance_oracles_would_fail(self):
+        """End-to-end proof of the verdict's done-criterion: the
+        PRE-FIX oracle SQL (no `+ 0`) run on DuckDB emits -0.0 at
+        sf0.001+ scales where any rounded value lands in
+        (-0.00005, 0); the FIXED oracle never does. Synthesized here
+        engine-side so the pin holds even at SFs where the sf0.01
+        corpus coincidence doesn't reproduce."""
+        import duckdb
+
+        con = duckdb.connect()
+        unfixed, fixed = con.execute(
+            "SELECT round(CAST(-0.00001 AS DOUBLE), 4),"
+            "       round(CAST(-0.00001 AS DOUBLE), 4) + 0"
+        ).fetchone()
+        import math as m
+        assert m.copysign(1, unfixed) < 0, "DuckDB round must emit -0.0"
+        assert m.copysign(1, fixed) > 0, "`+ 0` must normalize to +0.0"

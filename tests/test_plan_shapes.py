@@ -528,7 +528,7 @@ def test_lane_caches_drain_between_registry_lanes(spark):
         "a lane cached outside lane_cache tracking"
 
 
-def test_stray_persistent_rdd_sweep_reaches_local_checkpoints(spark):
+def test_stray_persistent_rdd_sweep_reaches_local_checkpoints():
     """release_stray_persistent_rdds must free what neither
     spark.catalog.clearCache() nor release_lane_caches can reach:
     localCheckpoint blocks (bigstar lineage cuts, streaming scratch).
@@ -536,21 +536,49 @@ def test_stray_persistent_rdd_sweep_reaches_local_checkpoints(spark):
     over ~80 lanes ends at ZERO persistent RDDs (r06 bench exited with
     18 leftovers). Only bench may call it — a checkpoint's lineage is
     truncated, so unpersisting one that a live plan still needs is
-    unrecoverable; the @query wrapper deliberately does not."""
-    from snowflake_data_pipeline_demo_spark.caching import (
-        release_lane_caches, release_stray_persistent_rdds,
-    )
+    unrecoverable; the @query wrapper deliberately does not.
 
-    release_lane_caches()
-    release_stray_persistent_rdds(spark)  # clear earlier tests' leftovers
-    base = len(spark.sparkContext._jsc.getPersistentRDDs())
-    assert base == 0
-    ck = spark.range(100).localCheckpoint()
-    assert ck.count() == 100
-    cached = spark.range(50).cache()
-    cached.count()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 2
-    spark.catalog.clearCache()  # reaches the cache, NOT the checkpoint
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 1
-    assert release_stray_persistent_rdds(spark) == 1
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    Runs in a SUBPROCESS with its own SparkContext (r07 ADVICE):
+    persistent RDDs are per-CONTEXT, so exercising a
+    force-unpersist-everything sweep against the shared session-scoped
+    fixture would destroy any checkpointed frame another test holds
+    across tests, with order-dependent unrecoverable failures."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent("""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        from snowflake_data_pipeline_demo_spark.caching import (
+            release_stray_persistent_rdds,
+        )
+        spark = (SparkSession.builder.master("local[4]")
+                 .appName("sweep-isolated")
+                 .config("spark.sql.shuffle.partitions", "4")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.driver.memory", "2g")
+                 .getOrCreate())
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+        ck = spark.range(100).localCheckpoint()
+        assert ck.count() == 100
+        cached = spark.range(50).cache()
+        cached.count()
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 2
+        # clearCache reaches the catalog cache, NOT the checkpoint
+        spark.catalog.clearCache()
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 1
+        assert release_stray_persistent_rdds(spark) == 1
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+        spark.stop()
+        print("SWEEP-OK")
+    """)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, env={**__import__("os").environ,
+                          "SPARK_LOCAL_IP": "127.0.0.1"},
+    )
+    assert out.returncode == 0 and "SWEEP-OK" in out.stdout, (
+        out.stdout[-2000:] + out.stderr[-2000:]
+    )
