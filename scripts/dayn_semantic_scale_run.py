@@ -100,14 +100,18 @@ def day_batch(spark, day: int):
 def centroid_frame(spark):
     """NLIST fixed centroids from a gid range disjoint from every
     batch gid (salted) — stands in for the persisted k-means output a
-    production pipeline trains once. localCheckpoint so the 6-day loop
-    reuses one materialization instead of re-evaluating 64*64 md5s
-    into every assignment plan."""
-    c = spark.range(NLIST).select(
+    production pipeline trains once. Deliberately NOT checkpointed:
+    ivf_assign collects the 64 rows driver-side per call (64*64 md5s,
+    trivial), and a localCheckpoint here would be destroyed by the
+    stray-RDD sweep between the incremental and scratch phases —
+    checkpoint blocks are unrecoverable once swept (first run of this
+    script died exactly that way: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)."""
+    return spark.range(NLIST).select(
         F.col("id").cast("int").alias("centroid_id"),
-        gen_vec(F.col("id") + CENTROID_SALT).alias("centroid"),
+        # ivf_assign reads the centroid vector under the corpus
+        # vec_col name ("embedding")
+        gen_vec(F.col("id") + CENTROID_SALT).alias("embedding"),
     )
-    return c.localCheckpoint()
 
 
 def make_tables(spark, root: str):
@@ -115,7 +119,9 @@ def make_tables(spark, root: str):
     assigned = Table(spark, f"{root}/assigned", T.StructType([
         T.StructField("vec_id", T.LongType()),
         T.StructField("embedding", T.ArrayType(T.DoubleType())),
-        T.StructField("centroid_id", T.IntegerType()),
+        # ivf_assign inlines collected centroid ids as Python-int
+        # literals -> LongType regardless of the source frame's type
+        T.StructField("centroid_id", T.LongType()),
     ]))
     return clean, assigned
 

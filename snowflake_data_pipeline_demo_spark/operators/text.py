@@ -1253,6 +1253,16 @@ def winnow_overlap_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     bounds output pairs near-linearly (94k -> 217k) at planted-copy
     recall 1.0 — always set ``max_df`` at corpus scale; it is the
     posting-list analog of dropping stopwords.
+
+    Under PLANTED boilerplate (scripts/winnow_skew_run.py; SCALE.md
+    round-8: a 24-token footer byte-identical in every doc), the
+    uncapped join isn't just quadratic (analytic bound 1.48e11 pairs
+    at 80k docs) — its ANSWER is wrong: 46 shared footer fingerprints
+    >= min_shared makes every doc pair "matching" (the 5k run emits
+    exactly C(5000,2) pairs). ``max_df`` is therefore a correctness
+    control, not merely a perf guard: page furniture must not count
+    as content overlap. Capped recall on planted copies stayed 1.0 at
+    all three scales.
     """
     mod = F.lit(ROLLING_MOD).cast("long")
     cf = _winnow_code_frame(df, text_col, id_col, k, w)

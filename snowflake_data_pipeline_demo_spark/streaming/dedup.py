@@ -65,6 +65,18 @@ def semantic_dedup_batch_fn(
     requires a one-time :func:`backfill_assigned_index`; the fn raises
     if the index is empty while history is not (an empty index would
     silently admit every duplicate of pre-index history).
+
+    Sizing contract for flat per-day cost (measured, SCALE.md
+    round-8): the probe's candidate set is batch-rows x per-cluster
+    index occupancy, so with a FIXED centroid set the per-batch cost
+    drifts up linearly as history grows (+27% over 2.8x history at
+    nlist=64 in the day-N run — still 6.6x cheaper than same-day
+    from-scratch). Size nlist with the corpus (k ~ n / target cluster
+    size, the SemDeDup paper's own rule) and re-train +
+    :func:`backfill_assigned_index` when history grows an order of
+    magnitude: at constant cluster occupancy the probe term is
+    O(batch) and the day-N curve is flat like the MinHash band
+    index's.
     """
     from ..operators.dedup import incremental_embedding_neardup
     from ..operators.similarity import ivf_assign, ivf_assign_pandas
