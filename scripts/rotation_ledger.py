@@ -20,22 +20,32 @@ from collections import Counter
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def last_green() -> dict[str, int]:
-    """lane -> latest round with a green driver row (hash-match, or a
-    rows-only `no_oracle` row that produced rows — the weaker gate the
-    driver records for non-SQL-expressible lanes)."""
-    out: dict[str, int] = {}
+def grading_history() -> tuple[dict[str, int], dict[str, int]]:
+    """(last_green, last_fail): per lane, the latest round with a
+    green driver row (hash-match, or a rows-only `no_oracle` row that
+    produced rows — the weaker gate the driver records for
+    non-SQL-expressible lanes) and the latest round with a graded
+    NON-green row. A lane in last_fail but not last_green was graded
+    and FAILED — a fix obligation, distinct from never-graded's mere
+    freshness obligation (r08 review: the ledger used to conflate
+    the two as `—`)."""
+    green: dict[str, int] = {}
+    fail: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(f)[len("CORRECTNESS_r"):-len(".json")])
         for name, row in json.load(open(f)).items():
-            ok = isinstance(row, dict) and (
+            if not isinstance(row, dict):
+                continue
+            ok = (
                 row.get("hash_match")
                 or (row.get("err") == "no_oracle"
                     and row.get("spark_rows") is not None)
             )
             if ok:
-                out[name] = max(rnd, out.get(name, 0))
-    return out
+                green[name] = max(rnd, green.get(name, 0))
+            else:
+                fail[name] = max(rnd, fail.get(name, 0))
+    return green, fail
 
 
 def main() -> None:
@@ -45,8 +55,8 @@ def main() -> None:
 
     names = list(E.queries().keys())
     oracles = set(E.oracle_sql())
-    green = last_green()
-    cur = max(green.values())
+    green, fail = grading_history()
+    cur = max(max(green.values()), max(fail.values(), default=0))
 
     lines = [
         "# ROTATION — driver-window ledger",
@@ -58,8 +68,10 @@ def main() -> None:
         "",
         "Positions 1-50 are the NEXT round's window "
         "(plans/queries.py `_VERIFY_FIRST`); `last green` is the lane's "
-        "most recent driver row (`—` = never graded, obligated next "
-        "window; `rows-only` lanes get the weaker no-oracle gate).",
+        "most recent GREEN driver row (`— (FAILED rNN)` = graded and "
+        "failed, never green — a FIX obligation; plain `—` = never "
+        "graded, a freshness obligation only; `rows-only` lanes get "
+        "the weaker no-oracle gate).",
         "",
         "| # | lane | oracle | last green | due |",
         "|---|------|--------|-----------|-----|",
@@ -68,19 +80,23 @@ def main() -> None:
         lg = green.get(n)
         kind = "sql" if n in oracles else "rows-only"
         if lg is None:
-            due = f"r{cur + 1:02d} (never graded)"
+            if n in fail:
+                shown = f"— (FAILED r{fail[n]:02d})"
+                due = f"r{cur + 1:02d} (fix obligation)"
+            else:
+                shown = "—"
+                due = f"r{cur + 1:02d} (never graded)"
         else:
             # green at rN stays fresh through rN+2 (two rounds back);
             # rN+3 is the first round it would read stale, so its row
             # must appear in that round's window at the latest
+            shown = f"r{lg:02d}"
             due = f"r{lg + 3:02d}"
-        lines.append(
-            f"| {i} | {n} | {kind} | "
-            f"{'—' if lg is None else f'r{lg:02d}'} | {due} |"
-        )
+        lines.append(f"| {i} | {n} | {kind} | {shown} | {due} |")
 
     hist = Counter(
-        f"r{green[n]:02d}" if n in green else "never" for n in names
+        f"r{green[n]:02d}" if n in green
+        else ("failed" if n in fail else "never") for n in names
     )
     lines += [
         "",

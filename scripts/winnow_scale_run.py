@@ -45,12 +45,20 @@ SPAN = (40, 79)          # planted copy span positions
 K, W, MIN_SHARED = 8, 4, 3
 
 
-def corpus(spark, n_docs: int):
+def corpus(spark, n_docs: int, footer_start: int | None = None):
     """Deterministic synthetic corpus: token j of doc gid is drawn from
     the vocab by squashing a uniform md5 draw through pow(u, 2.2) —
     a Zipf-ish skew where rank-0 head words are common (boilerplate)
     and the tail is diverse. Every 37th doc (gid >= 7) copies tokens
-    40..79 verbatim from doc gid-7."""
+    40..79 verbatim from doc gid-7.
+
+    ``footer_start`` (the r08 adversarial-skew run,
+    scripts/winnow_skew_run.py) overrides positions >= footer_start
+    with the SAME md5 draws in every doc (source gid pinned to -1) —
+    a byte-identical boilerplate footer whose k-grams have
+    corpus-length posting lists. ONE generator serves both runs so a
+    change to the Zipf exponent or the planted-copy predicate can
+    never silently diverge the two corpora (r08 review)."""
     base = spark.range(n_docs).select(F.col("id").alias("gid"))
 
     def tok(j):
@@ -59,6 +67,8 @@ def corpus(spark, n_docs: int):
             & (j >= SPAN[0]) & (j <= SPAN[1]),
             F.col("gid") - 7,
         ).otherwise(F.col("gid"))
+        if footer_start is not None:
+            src = F.when(j >= footer_start, F.lit(-1)).otherwise(src)
         u = F.conv(
             F.substring(
                 F.md5(F.concat_ws("-", src.cast("string"),

@@ -44,46 +44,15 @@ from snowflake_data_pipeline_demo_spark.operators.text import (  # noqa: E402
 )
 from snowflake_data_pipeline_demo_spark.session import get_spark  # noqa: E402
 
-VOCAB = 10_240
-TOKENS_PER_DOC = 120
-SPAN = (40, 79)           # planted copy span positions (content)
+# ONE shared generator with the r07 realistic-vocab run — the footer
+# is a parameter, so a change to the Zipf exponent or the planted-copy
+# predicate can never silently diverge the two corpora (r08 review).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from winnow_scale_run import corpus  # noqa: E402
+
 FOOTER_START = 96         # positions 96..119: boilerplate footer
 K, W, MIN_SHARED = 8, 4, 3
 RAW_ARM_MAX_DOCS = 5_000  # execute the no-max_df arm only here
-
-
-def corpus(spark, n_docs: int):
-    """r07 generator + adversarial footer: token j of doc gid is a
-    Zipf-ish md5 draw; every 37th doc (gid >= 7) copies tokens 40..79
-    from doc gid-7; tokens 96..119 are the SAME md5 draws for every
-    doc (source gid pinned to -1), making each footer k-gram's
-    posting list corpus-length."""
-    base = spark.range(n_docs).select(F.col("id").alias("gid"))
-
-    def tok(j):
-        src = F.when(j >= FOOTER_START, F.lit(-1)).otherwise(
-            F.when(
-                (F.col("gid") % 37 == 0) & (F.col("gid") >= 7)
-                & (j >= SPAN[0]) & (j <= SPAN[1]),
-                F.col("gid") - 7,
-            ).otherwise(F.col("gid"))
-        )
-        u = F.conv(
-            F.substring(
-                F.md5(F.concat_ws("-", src.cast("string"),
-                                  j.cast("string"))), 1, 8),
-            16, 10,
-        ).cast("double") / F.lit(float(1 << 32))
-        idx = F.floor(F.pow(u, F.lit(2.2)) * VOCAB).cast("long")
-        return F.concat(F.lit("w"), idx.cast("string"))
-
-    return base.select(
-        "gid",
-        F.array_join(
-            F.transform(F.sequence(F.lit(0), F.lit(TOKENS_PER_DOC - 1)),
-                        tok), " ",
-        ).alias("text"),
-    )
 
 
 def main() -> None:
@@ -91,7 +60,8 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
     out = []
     for n_docs in (5_000, 20_000, 80_000):
-        docs = corpus(spark, n_docs).repartition(32).cache()
+        docs = corpus(spark, n_docs,
+                      footer_start=FOOTER_START).repartition(32).cache()
         docs.count()
 
         # posting-list document frequency under the planted skew

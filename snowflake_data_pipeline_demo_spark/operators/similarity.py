@@ -325,7 +325,12 @@ def ivf_assign_pandas(
             # ids ascending + argmax-first-occurrence = lowest-id tie
             best = np.argmax(cos, axis=1)
             out_id[ok] = ids[best]
-            out_cos[ok] = cos[np.arange(len(best)), best]
+            # `+ 0.0` normalizes signed zero: the sign-split HALF_UP
+            # above emits -0.0 for raw in (-5e-5, 0), where F.round
+            # (BigDecimal, no signed zero) emits +0.0 — the house
+            # negative-zero contract (SURVEY §5) binds the SPARK side
+            # too (r08 review finding).
+            out_cos[ok] = cos[np.arange(len(best)), best] + 0.0
         return pd.DataFrame({
             "centroid_id": out_id,
             "centroid_cos": out_cos,

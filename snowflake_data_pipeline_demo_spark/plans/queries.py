@@ -1010,6 +1010,10 @@ def _reorder_for_driver_window() -> None:
         )
     if len(_VERIFY_FIRST) != len(set(_VERIFY_FIRST)):
         raise AssertionError("_VERIFY_FIRST contains duplicates")
+    if len(_VERIFY_LAST) != len(set(_VERIFY_LAST)):
+        # dict construction would silently dedup, dropping a lane from
+        # its r09 freshness obligation with no signal (r08 review)
+        raise AssertionError("_VERIFY_LAST contains duplicates")
     if len(_VERIFY_FIRST) != _WINDOW:
         raise AssertionError(
             f"_VERIFY_FIRST has {len(_VERIFY_FIRST)} entries; the "

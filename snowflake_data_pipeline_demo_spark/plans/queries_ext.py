@@ -280,7 +280,8 @@ def x_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
     scored AS (
       SELECT query_id, neighbor_id,
-             round({_ddot('cv', 'qv')} / ({_dnorm('cv')} * {_dnorm('qv')}), 4) AS cos
+             -- `+ 0` = house signed-zero normalization (SURVEY §5)
+             round({_ddot('cv', 'qv')} / ({_dnorm('cv')} * {_dnorm('qv')}), 4) + 0 AS cos
       FROM c, q WHERE neighbor_id != query_id
     ), ranked AS (
       SELECT query_id, neighbor_id, cos,
@@ -323,8 +324,9 @@ def x_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT cand.query_id, cand.neighbor_id,
+             -- `+ 0` = house signed-zero normalization (SURVEY §5)
              round({_ddot('ce.embedding', 'qe.embedding')}
-                   / ({_dnorm('ce.embedding')} * {_dnorm('qe.embedding')}), 4) AS cos
+                   / ({_dnorm('ce.embedding')} * {_dnorm('qe.embedding')}), 4) + 0 AS cos
       FROM cand
       JOIN embeddings qe ON qe.vec_id = cand.query_id
       JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
@@ -539,8 +541,9 @@ def x_dedup_components_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     qp2 AS (SELECT query_id, qv, centroid_id FROM qp WHERE rn <= 2),
     scored AS (
       SELECT qp2.query_id, a1.vec_id AS neighbor_id,
+             -- `+ 0` = house signed-zero normalization (SURVEY §5)
              round({_ddot('a1.embedding', 'qp2.qv')}
-               / ({_dnorm('a1.embedding')} * {_dnorm('qp2.qv')}), 4) AS cos
+               / ({_dnorm('a1.embedding')} * {_dnorm('qp2.qv')}), 4) + 0 AS cos
       FROM qp2 JOIN a1 USING (centroid_id)
       WHERE a1.vec_id != qp2.query_id
     ),
@@ -1580,8 +1583,10 @@ def x_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ac AS (
       SELECT e.vec_id, e.embedding, c.centroid_id,
+             -- `+ 0` = house signed-zero normalization (SURVEY §5):
+             -- centroid_cos is emitted for EVERY row, unthresholded
              round({_ddot('e.embedding', 'c.centv')}
-               / ({_dnorm('e.embedding')} * {_dnorm('c.centv')}), 4) AS ccos,
+               / ({_dnorm('e.embedding')} * {_dnorm('c.centv')}), 4) + 0 AS ccos,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY round({_ddot('e.embedding', 'c.centv')}
                  / ({_dnorm('e.embedding')} * {_dnorm('c.centv')}), 4) DESC,
@@ -2189,8 +2194,9 @@ def x_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings WHERE vec_id < 8
     ), ac AS (
       SELECT e.vec_id, c.centroid_id,
+             -- `+ 0` = house signed-zero normalization (SURVEY §5)
              round({_ddot('e.embedding', 'c.centv')}
-               / ({_dnorm('e.embedding')} * {_dnorm('c.centv')}), 4) AS ccos,
+               / ({_dnorm('e.embedding')} * {_dnorm('c.centv')}), 4) + 0 AS ccos,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY round({_ddot('e.embedding', 'c.centv')}
                  / ({_dnorm('e.embedding')} * {_dnorm('c.centv')}), 4) DESC,

@@ -9,8 +9,6 @@ better failure messages — equality is the goal.
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import numpy as np
 import pandas as pd
@@ -98,16 +96,17 @@ def float_column_problems(c: str, av: pd.Series, bv: pd.Series) -> list[str]:
     — the old check was `(av.fillna(0) == bv.fillna(0)).all()`).
     Compares int64 views of the float64 payloads, NaN==NaN allowed."""
     problems: list[str] = []
-    bad = 0
-    for x, y in zip(av, bv):
-        if (pd.isna(x)) != (pd.isna(y)):
-            bad += 1
-        elif not pd.isna(x) and not math.isclose(x, y, rel_tol=1e-12, abs_tol=1e-12):
-            bad += 1
     xa = av.to_numpy(dtype="float64")
     xb = bv.to_numpy(dtype="float64")
     na_a, na_b = np.isnan(xa), np.isnan(xb)
     both = ~na_a & ~na_b
+    # one vectorized pass (math.isclose semantics: rel OR abs within
+    # 1e-12) — the old per-element Python loop dominated the sf0.1
+    # registry-wide sweep for zero extra information (r08 review)
+    close = np.abs(xa[both] - xb[both]) <= np.maximum(
+        1e-12 * np.maximum(np.abs(xa[both]), np.abs(xb[both])), 1e-12
+    )
+    bad = int((na_a != na_b).sum()) + int((~close).sum())
     bits_neq = xa[both].view("int64") != xb[both].view("int64")
     exact = not (na_a != na_b).any() and not bits_neq.any()
     if bad:

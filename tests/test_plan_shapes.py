@@ -543,13 +543,15 @@ def test_stray_persistent_rdd_sweep_reaches_local_checkpoints():
     force-unpersist-everything sweep against the shared session-scoped
     fixture would destroy any checkpointed frame another test holds
     across tests, with order-dependent unrecoverable failures."""
+    import os
     import subprocess
     import sys
     import textwrap
 
-    code = textwrap.dedent("""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = textwrap.dedent(f"""
         import sys
-        sys.path.insert(0, "/root/repo")
+        sys.path.insert(0, {repo_root!r})
         from pyspark.sql import SparkSession
         from snowflake_data_pipeline_demo_spark.caching import (
             release_stray_persistent_rdds,
@@ -576,8 +578,7 @@ def test_stray_persistent_rdd_sweep_reaches_local_checkpoints():
     """)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=300, env={**__import__("os").environ,
-                          "SPARK_LOCAL_IP": "127.0.0.1"},
+        timeout=300, env={**os.environ, "SPARK_LOCAL_IP": "127.0.0.1"},
     )
     assert out.returncode == 0 and "SWEEP-OK" in out.stdout, (
         out.stdout[-2000:] + out.stderr[-2000:]
