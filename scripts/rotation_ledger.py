@@ -79,13 +79,17 @@ def main() -> None:
     for i, n in enumerate(names, 1):
         lg = green.get(n)
         kind = "sql" if n in oracles else "rows-only"
-        if lg is None:
-            if n in fail:
-                shown = f"— (FAILED r{fail[n]:02d})"
-                due = f"r{cur + 1:02d} (fix obligation)"
-            else:
-                shown = "—"
-                due = f"r{cur + 1:02d} (never graded)"
+        lf = fail.get(n)
+        if lg is None and lf is None:
+            shown, due = "—", f"r{cur + 1:02d} (never graded)"
+        elif lf is not None and (lg is None or lf > lg):
+            # the lane's MOST RECENT grade is a failure — a fix
+            # obligation regardless of any older green (r08 review
+            # pass 2: the first cut only marked never-green lanes,
+            # silently deferring a green-then-regressed lane)
+            shown = (f"— (FAILED r{lf:02d})" if lg is None
+                     else f"r{lg:02d} (FAILED r{lf:02d})")
+            due = f"r{cur + 1:02d} (fix obligation)"
         else:
             # green at rN stays fresh through rN+2 (two rounds back);
             # rN+3 is the first round it would read stale, so its row
@@ -95,8 +99,9 @@ def main() -> None:
         lines.append(f"| {i} | {n} | {kind} | {shown} | {due} |")
 
     hist = Counter(
-        f"r{green[n]:02d}" if n in green
-        else ("failed" if n in fail else "never") for n in names
+        "failed" if (n in fail and fail[n] > green.get(n, -1))
+        else (f"r{green[n]:02d}" if n in green else "never")
+        for n in names
     )
     lines += [
         "",

@@ -11,7 +11,7 @@ self-join is df^2-quadratic by construction.
 Claims under test:
 - the analytic pair bound sum(df*(df-1)/2) explodes quadratically with
   corpus size (measured, not executed, at 20k/80k — executing the raw
-  join at 80k would be ~10^10 joined rows, exactly the point);
+  join at 80k would be ~1.5e11 joined rows, exactly the point);
 - ``max_df=64`` drops the boilerplate postings and keeps the executed
   join bounded near-linearly;
 - recall on the PLANTED plagiarism pairs (40-token copied spans in
@@ -98,7 +98,7 @@ def main() -> None:
         arms = [("max_df_64", 64)]
         if n_docs <= RAW_ARM_MAX_DOCS:
             # the raw arm is executed only where it is merely painful,
-            # not impossible; at 80k it is ~10^10 joined rows — the
+            # not impossible; at 80k it is ~1.5e11 joined rows — the
             # analytic raw_join_pairs column IS that measurement
             arms.insert(0, ("no_max_df", None))
         for label, max_df in arms:

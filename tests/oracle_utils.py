@@ -100,21 +100,30 @@ def float_column_problems(c: str, av: pd.Series, bv: pd.Series) -> list[str]:
     xb = bv.to_numpy(dtype="float64")
     na_a, na_b = np.isnan(xa), np.isnan(xb)
     both = ~na_a & ~na_b
+    pa, pb = xa[both], xb[both]  # hoisted once — fancy indexing copies
     # one vectorized pass (math.isclose semantics: rel OR abs within
     # 1e-12) — the old per-element Python loop dominated the sf0.1
-    # registry-wide sweep for zero extra information (r08 review)
-    close = np.abs(xa[both] - xb[both]) <= np.maximum(
-        1e-12 * np.maximum(np.abs(xa[both]), np.abs(xb[both])), 1e-12
+    # registry-wide sweep for zero extra information (r08 review).
+    # Non-finite values get math.isclose's exact semantics: inf is
+    # close only to the same-signed inf, never to a finite value
+    # (inf - inf = nan and 1e-12 * inf = inf would otherwise misgrade
+    # both directions — r08 review pass 2).
+    finite = np.isfinite(pa) & np.isfinite(pb)
+    close = np.zeros(len(pa), dtype=bool)
+    fa, fb = pa[finite], pb[finite]
+    close[finite] = np.abs(fa - fb) <= np.maximum(
+        1e-12 * np.maximum(np.abs(fa), np.abs(fb)), 1e-12
     )
+    close[~finite] = pa[~finite] == pb[~finite]
     bad = int((na_a != na_b).sum()) + int((~close).sum())
-    bits_neq = xa[both].view("int64") != xb[both].view("int64")
+    bits_neq = pa.view("int64") != pb.view("int64")
     exact = not (na_a != na_b).any() and not bits_neq.any()
     if bad:
         problems.append(f"col {c}: {bad} value mismatches (float)")
     elif not exact:
         signed_zero = int(
-            ((xa[both] == 0) & (xb[both] == 0)
-             & (xa[both].view("int64") != xb[both].view("int64"))).sum()
+            ((pa == 0) & (pb == 0)
+             & (pa.view("int64") != pb.view("int64"))).sum()
         )
         detail = (f" ({signed_zero} signed-zero divergences: one "
                   "engine -0.0, the other +0.0 — normalize with "

@@ -159,3 +159,33 @@ class TestComparatorSignedZero:
         import math as m
         assert m.copysign(1, unfixed) < 0, "DuckDB round must emit -0.0"
         assert m.copysign(1, fixed) > 0, "`+ 0` must normalize to +0.0"
+
+    def test_matching_infinities_pass(self):
+        """r08 review pass 2: the vectorized closeness check must keep
+        math.isclose's non-finite semantics — inf is close ONLY to the
+        same-signed inf (inf - inf = nan and 1e-12 * inf = inf would
+        otherwise misgrade both directions)."""
+        import pandas as pd
+        from oracle_utils import float_column_problems
+
+        a = pd.Series([1.0, float("inf"), float("-inf")])
+        b = pd.Series([1.0, float("inf"), float("-inf")])
+        assert float_column_problems("x", a, b) == []
+
+    def test_inf_vs_finite_is_a_value_mismatch(self):
+        import pandas as pd
+        from oracle_utils import float_column_problems
+
+        a = pd.Series([float("inf")])
+        b = pd.Series([1.0])
+        probs = float_column_problems("x", a, b)
+        assert probs and "value mismatches" in probs[0]
+
+    def test_opposite_sign_infinities_mismatch(self):
+        import pandas as pd
+        from oracle_utils import float_column_problems
+
+        a = pd.Series([float("inf")])
+        b = pd.Series([float("-inf")])
+        probs = float_column_problems("x", a, b)
+        assert probs and "value mismatches" in probs[0]
