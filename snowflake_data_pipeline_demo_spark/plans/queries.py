@@ -30,6 +30,7 @@ from .citibike import (
     extract_trips, programs_from_raw, security_fixture, stations_from_raw,
     trip_docs, trips_projection,
 )
+from .oracle_round import spark_round_oracle
 from .secure_view import consumer_report, secure_trips_view
 
 
@@ -56,7 +57,16 @@ def query(name: str, oracle: str | None, survey_ref: str):
             release_lane_caches()
             return fn(spark, sf_dir)
 
-        QUERIES[name] = Query(wrapped, oracle, survey_ref)
+        # every round() in oracle SQL is mechanically rewritten to the
+        # Spark-semantics macro (plans/oracle_round.py): DuckDB's
+        # binary round diverges from Spark's BigDecimal string round
+        # on exact s-dp midpoints AND on signed zero — conformance is
+        # a registration invariant, not per-site diligence
+        QUERIES[name] = Query(
+            wrapped,
+            None if oracle is None else spark_round_oracle(oracle),
+            survey_ref,
+        )
         return fn
     return deco
 

@@ -189,3 +189,148 @@ class TestComparatorSignedZero:
         b = pd.Series([float("-inf")])
         probs = float_column_problems("x", a, b)
         assert probs and "value mismatches" in probs[0]
+
+
+def _midpoint_corpus():
+    """Adversarial 4dp-midpoint doubles + their representable
+    neighbors — the set where DuckDB's binary round and Spark's
+    BigDecimal string round genuinely diverge (18/381 cases)."""
+    import numpy as np
+
+    cases = []
+    for k in range(-60, 61):
+        m = (2 * k + 1) * 0.00005
+        cases += [m, float(np.nextafter(m, -np.inf)),
+                  float(np.nextafter(m, np.inf))]
+    for v in [0.12345, -0.12345, 2.00005, -2.00005, 0.99995, -0.99995,
+              12345.00005, 0.00015, -0.00015]:  # 0.00015 == 3/20000
+        cases += [v, float(np.nextafter(v, -np.inf)),
+                  float(np.nextafter(v, np.inf))]
+    return cases
+
+
+def _bigdecimal_round(x: float, s: int = 4) -> float:
+    """Reference for Spark F.round on DOUBLE: BigDecimal.valueOf goes
+    through Double.toString (shortest round-trip repr — identical to
+    Python repr), HALF_UP, no signed zero. Verified against REAL
+    PySpark F.round in test_spark_round_matches_reference."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-s)
+    return float(Decimal(repr(float(x))).quantize(
+        q, rounding=ROUND_HALF_UP)) + 0.0
+
+
+class TestRoundConformance:
+    """Pins the r08 rounding-conformance discovery (plans/
+    oracle_round.py): DuckDB round(double, s) rounds the scaled BINARY
+    value, Spark F.round rounds the shortest DECIMAL STRING — they
+    diverge on every double whose repr is an exact s-dp midpoint
+    (reachable as exact count ratios, e.g. 3/20000 = 0.00015), plus
+    the signed-zero channel. The house macro replicates Spark's
+    semantics in DuckDB; the @query decorator applies it to every
+    oracle mechanically."""
+
+    def test_duckdb_plain_round_diverges_on_midpoints(self):
+        """The discovery pin: if this ever starts passing with 0
+        divergences, DuckDB changed its rounding and the macro can be
+        retired."""
+        import duckdb
+        import numpy as np
+        import pandas as pd
+
+        xs = _midpoint_corpus()
+        con = duckdb.connect()
+        con.register("arr", pd.DataFrame({"x": xs}))
+        d = con.execute(
+            "SELECT round(x, 4) + 0 AS r FROM arr"
+        ).fetchdf()["r"].to_numpy()
+        ref = np.array([_bigdecimal_round(x) for x in xs])
+        assert (d.view("int64") != ref.view("int64")).sum() >= 10
+
+    def test_macro_matches_bigdecimal_reference(self):
+        """The fix pin: the house macro is bit-exact vs the reference
+        on the midpoint corpus AND uniform random draws over the
+        magnitude bands lanes emit."""
+        import duckdb
+        import numpy as np
+        import pandas as pd
+
+        from snowflake_data_pipeline_demo_spark.plans.oracle_round import (
+            spark_round_oracle,
+        )
+
+        rng = np.random.default_rng(7)
+        xs = (_midpoint_corpus()
+              + [float(v) for v in rng.uniform(-1, 1, 20000)]
+              + [float(v) for v in rng.uniform(-1e-4, 1e-4, 20000)]
+              + [float(v) for v in rng.uniform(-1e6, 1e6, 10000)])
+        con = duckdb.connect()
+        con.register("arr", pd.DataFrame({"x": xs}))
+        sql = spark_round_oracle("SELECT round(x, 4) AS r FROM arr")
+        d = con.execute(sql).fetchdf()["r"].to_numpy()
+        ref = np.array([_bigdecimal_round(x) for x in xs])
+        neq = d.view("int64") != ref.view("int64")
+        assert not neq.any(), (
+            f"{int(neq.sum())} divergences; first: "
+            f"{[repr(xs[i]) for i in np.flatnonzero(neq)[:3]]}"
+        )
+
+    def test_spark_round_matches_reference(self, spark):
+        """The reference-validity pin: real PySpark F.round agrees
+        with _bigdecimal_round on the midpoint corpus + 5k randoms
+        (r08 probe: 0 divergences over 40,384 cases)."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(11)
+        xs = (_midpoint_corpus()
+              + [float(v) for v in rng.uniform(-1, 1, 2500)]
+              + [float(v) for v in rng.uniform(-1e-4, 1e-4, 2500)])
+        df = spark.createDataFrame(pd.DataFrame({"x": xs}))
+        out = df.select(
+            (F.round("x", 4) + F.lit(0.0)).alias("r")
+        ).toPandas()["r"].to_numpy()
+        ref = np.array([_bigdecimal_round(x) for x in xs])
+        assert not (out.view("int64") != ref.view("int64")).any()
+
+    def test_rewriter_mechanics(self):
+        from snowflake_data_pipeline_demo_spark.plans.oracle_round import (
+            spark_round_oracle as r,
+        )
+
+        # basic rewrite, scale preserved
+        assert r("round(x, 6) AS s") == (
+            "CAST(round(CAST(CAST((x) AS VARCHAR) AS DECIMAL(38,24)), 6)"
+            " AS DOUBLE) + 0 AS s"
+        )
+        # single-arg -> scale 0
+        assert "DECIMAL(38,24)), 0)" in r("round(a / b)")
+        # nested round in the expr conforms too
+        out = r("round(MAX(round(c, 4)), 4)")
+        assert out.count("DECIMAL(38,24)") == 2
+        # non-literal scale untouched
+        assert r("round(x, s)") == "round(x, s)"
+        # comment occurrences untouched (unbalanced fragment must not
+        # swallow SQL after the newline)
+        sql = "SELECT a -- see round( discussion\nFROM t"
+        assert r(sql) == sql
+        # word-boundary: around( / f.round( style names untouched
+        assert r("wrap_around(x, 4)") == "wrap_around(x, 4)"
+
+    def test_registered_oracles_conform(self):
+        """Every round( in every registered oracle (outside comments)
+        is the macro form — the registration rewrite actually fired."""
+        import re
+
+        import __spark_entry__ as entrymod
+
+        for name, sql in entrymod.oracle_sql().items():
+            stripped = re.sub(r"--[^\n]*", "", sql)
+            for m in re.finditer(r"(?<![\w.])round\s*\(", stripped):
+                rest = stripped[m.end():m.end() + 20]
+                assert rest.startswith("CAST(CAST(("), (
+                    f"{name}: bare round( survived registration: "
+                    f"...{stripped[max(0, m.start()-40):m.end()+40]}..."
+                )
