@@ -11,84 +11,143 @@ decimal representation lands exactly on an ``s``-dp midpoint: for
 ``x = 0.00015`` (one double, reachable EXACTLY as the ratio 3/20000),
 ``0.00015 * 1e4 = 1.4999999999999998`` in binary so DuckDB emits
 0.0001, while Spark rounds the string "0.00015" HALF_UP to 0.0002.
-Measured on a 381-case adversarial midpoint corpus: 18 divergences
-with plain ``round``, plus the signed-zero channel (-0.0 for inputs
+Measured: 18 divergences on the original 381-case adversarial
+midpoint probe corpus, plus the signed-zero channel (-0.0 for inputs
 in (-5e-5, 0)) that caused the three r07 hash fails.
 
-Both channels close if the oracle replicates Spark's semantics
-exactly, which DuckDB can express:
+Both channels close if the oracle replicates Spark's semantics, which
+DuckDB can express. The emitted macro is a guarded CASE (guards from
+the r08 pass-3 review — the bare macro CRASHED on NaN/inf/1e15 where
+both engines' plain rounds pass them through):
 
-    CAST(round(CAST(CAST((x) AS VARCHAR) AS DECIMAL(38,24)), s)
-         AS DOUBLE) + 0
+    CASE WHEN NOT isfinite(CAST((x) AS DOUBLE))
+              THEN CAST((x) AS DOUBLE)            -- Spark: NaN/inf pass through
+         WHEN abs(CAST((x) AS DOUBLE)) < 1e-7
+              THEN 0.0                            -- below any s<=6 midpoint
+         WHEN abs(CAST((x) AS DOUBLE)) < 1e13
+              THEN CAST(round(CAST(CAST((x) AS VARCHAR)
+                   AS DECIMAL(38,24)), s) AS DOUBLE) + 0
+         ELSE CAST((x) AS DOUBLE) + 0 END         -- |x|>=1e13: see below
 
 - ``CAST(x AS VARCHAR)`` is DuckDB's shortest-round-trip rendering —
   the same string ``Double.toString`` produces;
-- ``DECIMAL(38,24)`` holds that string exactly (17 significant digits
-  max, |x| < 1e14 — far above any lane's rounded output) — a smaller
-  scale is WRONG: DECIMAL(30,15) re-rounds the string at scale 15 and
-  manufactured 88 new midpoint divergences in the same corpus;
+- ``DECIMAL(38,24)`` holds that string EXACTLY across the macro
+  branch's whole domain: shortest reprs carry <= 17 significant
+  digits, so |x| in [1e-7, 1e13) needs <= 24 fractional and <= 13
+  integer digits. A smaller scale is WRONG — DECIMAL(30,15) re-rounds
+  the string at scale 15 and manufactured 88 new midpoint divergences
+  in the same corpus;
 - decimal ``round`` is HALF_UP (away from zero), matching BigDecimal;
-- ``+ 0`` normalizes the signed zero DuckDB's decimal->double cast
-  could reintroduce.
+- ``+ 0`` normalizes the signed zero the decimal->double cast could
+  reintroduce;
+- the |x| >= 1e13 identity branch is EXACT for s >= 4: a 17-digit
+  repr with >= 14 integer digits has <= 3 fractional digits, so
+  BigDecimal quantize at scale >= 4 changes nothing. For s < 4 it
+  assumes |values| < 1e13 (true of every current lane — the only
+  s=0 site quantizes to [-127, 127]);
+- supported scales are 0..6 (the tiny-branch 0.0 needs the smallest
+  midpoint 0.5*10^-s above 1e-7). An out-of-range scale is left
+  UNREWRITTEN, which test_registered_oracles_conform then flags
+  loudly — extending the envelope is a deliberate act, not a default.
 
-Verified bit-for-bit against the Decimal-string reference on 500,384
+Verified bit-for-bit against the Decimal-string reference on 500k+
 cases (midpoint corpus + uniform draws over [-1,1], [-1e-4,1e-4],
 [-1e6,1e6]) and the reference verified against REAL PySpark
-``F.round`` on 40,384 cases — 0 divergences both
-(tests/test_oracle_parity.py::TestRoundConformance pins all three
-legs). Applied mechanically to every ``round(expr, s)`` in oracle SQL
-by :func:`spark_round_oracle` at ``@query`` registration, so a lane
+``F.round`` on 40k+ cases — 0 divergences both
+(tests/test_oracle_parity.py::TestRoundConformance pins every leg).
+Applied mechanically to every ``round(expr, s)`` in oracle SQL by
+:func:`spark_round_oracle` at ``@query`` registration, so a lane
 author writes plain ``round`` and conformance is not a per-site
-diligence item.
+diligence item. The rewrite is IDEMPOTENT (an already-emitted macro's
+inner ``round(CAST(CAST((`` is recognized and skipped), so composed
+oracles that interpolate another lane's registered ``.oracle`` text
+are wrapped exactly once.
 """
 from __future__ import annotations
 
 import re
 
-#: the house macro — see module docstring for why every piece matters
-_TMPL = ("CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,24)), "
-         "{scale}) AS DOUBLE) + 0")
+#: the guarded house macro — see module docstring for why every piece
+#: matters. {e} = the expression, {s} = the integer scale.
+_TMPL = (
+    "CASE WHEN NOT isfinite(CAST(({e}) AS DOUBLE)) "
+    "THEN CAST(({e}) AS DOUBLE) "
+    "WHEN abs(CAST(({e}) AS DOUBLE)) < 1e-7 THEN 0.0 "
+    "WHEN abs(CAST(({e}) AS DOUBLE)) < 1e13 "
+    "THEN CAST(round(CAST(CAST(({e}) AS VARCHAR) AS DECIMAL(38,24)), "
+    "{s}) AS DOUBLE) + 0 "
+    "ELSE CAST(({e}) AS DOUBLE) + 0 END"
+)
+
+#: text that immediately follows ``round(`` in macro output — the
+#: idempotence signature
+_MACRO_SIG = "CAST(CAST(("
 
 _ROUND = re.compile(r"(?<![\w.])round\s*\(", re.IGNORECASE)
 _INT = re.compile(r"-?\d+\Z")
 
+_MAX_SCALE = 6
 
-def _comment_spans(sql: str) -> list[tuple[int, int]]:
-    """[start, end) spans of ``--``-to-end-of-line SQL comments."""
-    spans = []
-    for m in re.finditer(r"--[^\n]*", sql):
-        spans.append((m.start(), m.end()))
-    return spans
+
+def strip_noncode(sql: str) -> str:
+    """Replace every character inside a single-quoted SQL string
+    literal ('' escapes) or a ``--``-to-end-of-line comment with a
+    space, preserving length and newlines. Both the rewriter and the
+    conformance test operate on this projection, so a ``--`` or a
+    paren INSIDE a literal can neither hide a ``round(`` from the
+    rewrite nor corrupt the paren scan (r08 pass-3 review: the first
+    cut's line-regex comment stripper treated '--sep' in a literal as
+    a comment, silently exempting everything after it on the line)."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    in_str = False
+    while i < n:
+        c = sql[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < n and sql[i + 1] == "'":  # '' escape
+                    out[i] = out[i + 1] = " "
+                    i += 2
+                    continue
+                in_str = False
+            elif c != "\n":
+                out[i] = " "
+        elif c == "'":
+            in_str = True
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                out[i] = " "
+                i += 1
+            continue
+        i += 1
+    return "".join(out)
 
 
 def spark_round_oracle(sql: str) -> str:
     """Rewrite every ``round(expr[, s])`` in oracle SQL to the
     Spark-semantics macro (module docstring), recursing into ``expr``
-    so nested rounds conform too. Leaves untouched: occurrences inside
-    ``--`` comments (an unbalanced comment fragment could otherwise
-    swallow real SQL into the match), occurrences whose parens don't
-    balance, and those whose scale argument isn't an integer literal.
-    Apply ONCE, at ``@query`` registration."""
-    comments = _comment_spans(sql)
-
-    def in_comment(pos: int) -> bool:
-        return any(s <= pos < e for s, e in comments)
-
+    so nested rounds conform too. Skips: occurrences inside string
+    literals or ``--`` comments, already-rewritten macros (idempotent
+    — safe for composed oracles), unbalanced fragments, non-integer-
+    literal scales, and scales outside [0, 6] (the conformance test
+    then flags the surviving bare round loudly)."""
+    code = strip_noncode(sql)
     out: list[str] = []
     i, n = 0, len(sql)
     while True:
-        m = _ROUND.search(sql, i)
+        m = _ROUND.search(code, i)
         if not m:
             out.append(sql[i:])
             break
-        if in_comment(m.start()):
-            out.append(sql[i:m.end()])
-            i = m.end()
-            continue
         p = m.end()            # index just past '('
+        if code[p:p + len(_MACRO_SIG)] == _MACRO_SIG:
+            # already the macro (composed oracle) — copy through
+            out.append(sql[i:p])
+            i = p
+            continue
         depth, j, last_comma = 1, p, None
         while j < n and depth:
-            c = sql[j]
+            c = code[j]        # literal/comment chars are spaces here
             if c == "(":
                 depth += 1
             elif c == ")":
@@ -104,14 +163,17 @@ def spark_round_oracle(sql: str) -> str:
         if last_comma is None:
             expr, scale = sql[p:inner_end], "0"
         else:
-            expr, scale = sql[p:last_comma], sql[last_comma + 1:inner_end]
+            # expr slices the ORIGINAL text (literals must survive);
+            # scale slices the code projection so a comment between
+            # the comma and the integer doesn't block the parse
+            expr, scale = sql[p:last_comma], code[last_comma + 1:inner_end]
         scale = scale.strip()
-        if not _INT.match(scale):
+        if not _INT.match(scale) or not (0 <= int(scale) <= _MAX_SCALE):
             out.append(sql[i:j])
             i = j
             continue
         out.append(sql[i:m.start()])
-        out.append(_TMPL.format(expr=spark_round_oracle(expr.strip()),
-                                scale=scale))
+        out.append(_TMPL.format(e=spark_round_oracle(expr.strip()),
+                                s=scale))
         i = j
     return "".join(out)

@@ -192,9 +192,12 @@ class TestComparatorSignedZero:
 
 
 def _midpoint_corpus():
-    """Adversarial 4dp-midpoint doubles + their representable
-    neighbors — the set where DuckDB's binary round and Spark's
-    BigDecimal string round genuinely diverge (18/381 cases)."""
+    """Adversarial 4dp-midpoint doubles (the 121 exact midpoints
+    (2k+1)*5e-5 for |k| <= 60 — including 0.00015 == 3/20000 at k=1 —
+    plus 7 literals) and each value's two representable neighbors:
+    384 cases, no duplicates. The set where DuckDB's binary round and
+    Spark's BigDecimal string round genuinely diverge (the original
+    r08 probe measured 18 divergences on its 381-case variant)."""
     import numpy as np
 
     cases = []
@@ -203,9 +206,10 @@ def _midpoint_corpus():
         cases += [m, float(np.nextafter(m, -np.inf)),
                   float(np.nextafter(m, np.inf))]
     for v in [0.12345, -0.12345, 2.00005, -2.00005, 0.99995, -0.99995,
-              12345.00005, 0.00015, -0.00015]:  # 0.00015 == 3/20000
+              12345.00005]:
         cases += [v, float(np.nextafter(v, -np.inf)),
                   float(np.nextafter(v, np.inf))]
+    assert len(cases) == len(set(cases)) == 384
     return cases
 
 
@@ -300,18 +304,27 @@ class TestRoundConformance:
             spark_round_oracle as r,
         )
 
-        # basic rewrite, scale preserved
-        assert r("round(x, 6) AS s") == (
-            "CAST(round(CAST(CAST((x) AS VARCHAR) AS DECIMAL(38,24)), 6)"
-            " AS DOUBLE) + 0 AS s"
-        )
+        # basic rewrite: guarded CASE, scale preserved
+        out = r("round(x, 6) AS s")
+        assert "DECIMAL(38,24)), 6) AS DOUBLE) + 0" in out
+        assert out.startswith("CASE WHEN NOT isfinite(")
+        assert out.endswith("END AS s")
         # single-arg -> scale 0
         assert "DECIMAL(38,24)), 0)" in r("round(a / b)")
-        # nested round in the expr conforms too
-        out = r("round(MAX(round(c, 4)), 4)")
-        assert out.count("DECIMAL(38,24)") == 2
+        # nested round in the expr conforms too: every round( in the
+        # output is the macro form (the outer guard CASE duplicates
+        # the expr, so occurrence COUNTS aren't meaningful — bareness
+        # is)
+        import re as _re
+        nested = r("round(MAX(round(c, 4)), 4)")
+        assert all(
+            nested[m.end():].startswith("CAST(CAST((")
+            for m in _re.finditer(r"(?<![\w.])round\s*\(", nested)
+        ) and "DECIMAL(38,24)" in nested
         # non-literal scale untouched
         assert r("round(x, s)") == "round(x, s)"
+        # out-of-envelope scale untouched (enforcement then flags it)
+        assert r("round(x, 7)") == "round(x, 7)"
         # comment occurrences untouched (unbalanced fragment must not
         # swallow SQL after the newline)
         sql = "SELECT a -- see round( discussion\nFROM t"
@@ -319,18 +332,92 @@ class TestRoundConformance:
         # word-boundary: around( / f.round( style names untouched
         assert r("wrap_around(x, 4)") == "wrap_around(x, 4)"
 
+    def test_rewriter_literal_awareness(self):
+        """r08 review pass 3: the first cut's line-regex comment
+        stripper treated '--' INSIDE a string literal as a comment
+        (silently exempting any round( after it), and its paren scan
+        counted parens inside literals (a '(' literal unbalanced the
+        match and skipped the rewrite)."""
+        from snowflake_data_pipeline_demo_spark.plans.oracle_round import (
+            spark_round_oracle as r,
+        )
+
+        # '--' inside a literal is NOT a comment: the round rewrites
+        out = r("SELECT '--sep' AS d, round(x, 4) AS r")
+        assert "DECIMAL(38,24)" in out and "'--sep'" in out
+        # parens/commas inside literals don't corrupt the scan
+        out = r("SELECT round(length(replace(s, '(', '')), 4) AS n")
+        assert "DECIMAL(38,24)" in out and "replace(s, '(', '')" in out
+        # a comment INSIDE the argument span doesn't unbalance it
+        out = r("round(x, -- see (note\n4)")
+        assert "DECIMAL(38,24)" in out
+        # '' escape inside literal
+        sql = "SELECT 'it''s -- (fine' AS t FROM x"
+        assert r(sql) == sql
+
+    def test_rewriter_idempotent(self):
+        """Composed oracles interpolate another lane's REGISTERED
+        (already-rewritten) oracle text and pass through @query again
+        — the macro must be recognized and wrapped exactly once (r08
+        review pass 3: the first cut double-wrapped, relying on the
+        DECIMAL round-trip being accidentally exact)."""
+        from snowflake_data_pipeline_demo_spark.plans.oracle_round import (
+            spark_round_oracle as r,
+        )
+
+        once = r("SELECT round(x, 4) AS r FROM t")
+        assert r(once) == once
+        assert r(r(once)) == once
+
+    def test_macro_guards_nonfinite_tiny_huge(self):
+        """r08 review pass 3: the unguarded macro CRASHED on NaN/inf
+        (CAST('nan' AS DECIMAL) errors) and on |x| >= 1e14 (DECIMAL
+        overflow) where Spark F.round passes all three through. The
+        guarded CASE must match Spark: NaN->NaN, inf->inf, tiny->0.0,
+        huge->identity."""
+        import math
+
+        import duckdb
+        import pandas as pd
+
+        from snowflake_data_pipeline_demo_spark.plans.oracle_round import (
+            spark_round_oracle,
+        )
+
+        xs = [float("nan"), float("inf"), float("-inf"),
+              1e-8, -1e-8, 5e13, -5e13, 1e15, 0.00015]
+        con = duckdb.connect()
+        con.register("arr", pd.DataFrame({"x": xs}))
+        sql = spark_round_oracle("SELECT round(x, 4) AS r FROM arr")
+        got = con.execute(sql).fetchdf()["r"].tolist()
+        # Spark semantics: pass-through for non-finite and huge,
+        # +0.0 for tiny, string-HALF_UP for the midpoint
+        assert math.isnan(got[0])
+        assert got[1] == float("inf") and got[2] == float("-inf")
+        assert got[3] == 0.0 and math.copysign(1, got[3]) > 0
+        assert got[4] == 0.0 and math.copysign(1, got[4]) > 0
+        assert got[5] == 5e13 and got[6] == -5e13 and got[7] == 1e15
+        assert got[8] == 0.0002
+
     def test_registered_oracles_conform(self):
-        """Every round( in every registered oracle (outside comments)
-        is the macro form — the registration rewrite actually fired."""
+        """Every round( in every registered oracle (outside string
+        literals and comments — the SAME projection the rewriter
+        uses, so neither can be blind where the other isn't; and
+        case-insensitive, like the rewriter's matcher) is the macro
+        form — the registration rewrite actually fired."""
         import re
 
         import __spark_entry__ as entrymod
+        from snowflake_data_pipeline_demo_spark.plans.oracle_round import (
+            _MACRO_SIG, strip_noncode,
+        )
 
         for name, sql in entrymod.oracle_sql().items():
-            stripped = re.sub(r"--[^\n]*", "", sql)
-            for m in re.finditer(r"(?<![\w.])round\s*\(", stripped):
-                rest = stripped[m.end():m.end() + 20]
-                assert rest.startswith("CAST(CAST(("), (
+            code = strip_noncode(sql)
+            for m in re.finditer(r"(?<![\w.])round\s*\(", code,
+                                 re.IGNORECASE):
+                rest = code[m.end():m.end() + len(_MACRO_SIG)]
+                assert rest == _MACRO_SIG, (
                     f"{name}: bare round( survived registration: "
-                    f"...{stripped[max(0, m.start()-40):m.end()+40]}..."
+                    f"...{code[max(0, m.start()-40):m.end()+40]}..."
                 )
