@@ -123,12 +123,26 @@ class Table:
         jvm = self.spark.sparkContext._jvm
         p = jvm.org.apache.hadoop.fs.Path(self.path)
         fs = p.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
-        it = fs.listFiles(p, True)
-        while it.hasNext():
-            name = it.next().getPath().getName()
-            if not name.startswith(("_", ".")):
-                return True
-        return False
+        # A monitoring read can race a LIVE micro-batch's commit: the
+        # recursive iterator enumerates batch_N/_temporary, the commit
+        # protocol deletes it, and the deferred stat throws
+        # FileNotFoundException from hasNext() (seen r07 once, r08
+        # full-suite once — tests/test_streaming_live.py polls counts
+        # while queries run). The listing race is normal filesystem
+        # behavior (object-store readers face the same), and the
+        # monitoring contract is eventual: retry the whole listing.
+        for attempt in range(3):
+            try:
+                it = fs.listFiles(p, True)
+                while it.hasNext():
+                    name = it.next().getPath().getName()
+                    if not name.startswith(("_", ".")):
+                        return True
+                return False
+            except Exception as ex:
+                if attempt == 2 or "FileNotFoundException" not in str(ex):
+                    raise
+        return False  # unreachable; keeps the type checker honest
 
     def read(self) -> DataFrame:
         """Base-relation scan (S9). Empty table -> empty typed DataFrame."""
