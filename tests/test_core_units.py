@@ -200,3 +200,101 @@ def test_stage_multi_format_roundtrip(spark, tmp_path):
         if fmt not in opt:
             with pytest.raises(ValueError, match="external Spark module"):
                 stage.unload(df, f"t_{fmt}_missing", format=fmt)
+
+
+class TestLaneCacheContract:
+    """Pins the r08 ADVICE fixes in caching.py: _TRACKED is
+    lock-guarded (a torn pop under a future threaded runner must fail
+    soft, not corrupt the list), and unpersist-failure swallowing is
+    decided by the frame's OWN SparkContext stopped-state, not the
+    thread-local getActiveSession (which is None on any non-Spark
+    thread and used to hide genuine failures). Stub frames — the
+    contract under test is pure bookkeeping, no JVM needed."""
+
+    class _Stub:
+        def __init__(self):
+            self.released = 0
+
+        def cache(self):
+            return self
+
+        def unpersist(self):
+            self.released += 1
+
+    def test_concurrent_track_and_drain_consistent(self):
+        import threading
+
+        from snowflake_data_pipeline_demo_spark import caching
+
+        caching.release_lane_caches()  # clean slate
+        stubs = [self._Stub() for _ in range(2000)]
+        chunks = [stubs[i::4] for i in range(4)]
+        drained: list[int] = []
+
+        def track(chunk):
+            for s in chunk:
+                caching.lane_cache(s)
+
+        def drain():
+            total = 0
+            for _ in range(200):
+                total += caching.release_lane_caches()
+            drained.append(total)
+
+        threads = [threading.Thread(target=track, args=(c,))
+                   for c in chunks]
+        threads += [threading.Thread(target=drain) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        drained.append(caching.release_lane_caches())  # final sweep
+        assert sum(drained) == 2000
+        assert all(s.released == 1 for s in stubs)
+        assert caching.release_lane_caches() == 0
+
+    def test_unpersist_failure_raises_when_context_alive(self):
+        import pytest
+
+        from snowflake_data_pipeline_demo_spark import caching
+
+        caching.release_lane_caches()
+
+        class _Sc:
+            def sc(self):
+                return self
+
+            def isStopped(self):
+                return False
+
+        class _Session:
+            class sparkContext:
+                _jsc = _Sc()
+
+        class _Boom(self._Stub):
+            sparkSession = _Session()
+
+            def unpersist(self):
+                raise RuntimeError("block manager exploded")
+
+        caching.lane_cache(_Boom())
+        with pytest.raises(RuntimeError, match="exploded"):
+            caching.release_lane_caches()
+
+    def test_unpersist_failure_swallowed_when_context_stopped(self):
+        from snowflake_data_pipeline_demo_spark import caching
+
+        caching.release_lane_caches()
+
+        class _Torn(self._Stub):
+            # sparkSession access itself explodes (py4j gateway gone
+            # at interpreter teardown) -> treated as stopped
+            @property
+            def sparkSession(self):
+                raise RuntimeError("gateway down")
+
+            def unpersist(self):
+                raise RuntimeError("context stopped")
+
+        caching.lane_cache(_Torn())
+        assert caching.release_lane_caches() == 0
