@@ -296,6 +296,23 @@ def main() -> None:
     warm_runs = [run_all()[0] for _ in range(3)]
     timings = {n: min(w[n] for w in warm_runs) for n in warm_runs[0]}
     total = round(sum(timings.values()), 3)
+    # Dispersion (r08 verdict ask #3): this host's wall-times vary
+    # ±10-20% run-to-run even when healthy (SCALE.md "Operational
+    # hygiene"), so a single warm number per lane can't distinguish a
+    # regression from noise. Record each lane's median and spread
+    # (max - min) across the three warm passes: a cross-round per-lane
+    # diff is believable only when it exceeds that lane's own spread.
+    import statistics
+
+    warm_median = {
+        n: round(statistics.median(w[n] for w in warm_runs), 3)
+        for n in warm_runs[0]
+    }
+    warm_spread = {
+        n: round(max(w[n] for w in warm_runs)
+                 - min(w[n] for w in warm_runs), 3)
+        for n in warm_runs[0]
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else SF_DIR
@@ -333,6 +350,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "warm_median": warm_median,
+        "warm_spread": warm_spread,
         "cold_total": cold_total,
         "cold_queries": cold,
         "shapes": shapes,

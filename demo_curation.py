@@ -87,6 +87,35 @@ def main() -> None:
     quota.groupBy("source").count().orderBy("source").show(5)
     kept = kept.join(quota.select("doc_id"), "doc_id", "left_semi").cache()
 
+    # winnow overlap under planted BOILERPLATE — the measured r08 skew
+    # shape (scripts/winnow_skew_run.py; SCALE.md round-8): a page
+    # footer byte-identical in EVERY doc makes the UNCAPPED posting
+    # join semantically WRONG, not just quadratic — every doc pair
+    # shares >= min_shared footer fingerprints, so all C(n,2) pairs
+    # "match" on page furniture alone. max_df drops furniture hashes
+    # (df ~ corpus size) while copied-content hashes (df ~ 2-10)
+    # survive — a correctness control, not a perf guard. Planted live
+    # here so the run-book exercises both arms at demo scale; the
+    # uncapped arm is affordable ONLY at this n (C(n,2) pairs) — at
+    # corpus scale run the capped arm alone.
+    footer = (" terms of service apply all rights reserved direct any "
+              "content licensing redistribution or takedown questions "
+              "to the corpus operations team mailbox and include the "
+              "document identifier plus retrieval date in the subject "
+              "line of every such request before redistribution")
+    boiler = kept.select(
+        "doc_id", F.concat("text", F.lit(footer)).alias("text"))
+    n_b = boiler.count()
+    unc = text.winnow_overlap_pairs(boiler, k=8, w=4, min_shared=3).count()
+    cap = text.winnow_overlap_pairs(boiler, k=8, w=4, min_shared=3,
+                                    max_df=16).count()
+    assert unc == n_b * (n_b - 1) // 2, \
+        "planted footer should saturate the uncapped overlap join"
+    assert cap < unc, "max_df failed to kill the boilerplate postings"
+    print(f"== winnow overlap under boilerplate: uncapped claims {unc} "
+          f"pairs (= C({n_b},2) — page furniture counted as overlap); "
+          f"max_df=16 keeps {cap} content pairs")
+
     # semantic dedup over the embeddings table (cluster-bounded, BLAS
     # assignment) — at scale this joins back to kept doc ids; here the
     # id spaces are separate tables, so report the embedding-side drops

@@ -230,6 +230,52 @@ def main() -> None:
     print(f"== PCA refreshed from merged covariance state "
           f"(day-1 embeddings untouched): top eigenvalues "
           f"{[round(e, 4) for e in ev]} == from-scratch day1+2")
+
+    # stage 6: SEMANTIC ingest dedup under the nlist-sizing contract —
+    # the autoscaler owns the centroid set as persisted, epoch-
+    # versioned state (streaming/dedup.SemanticIndexAutoscaler) and
+    # retrains + re-backfills on geometric index growth, so per-day
+    # probe cost stays O(batch) instead of drifting with history (the
+    # +27%/2.8x fixed-nlist slope measured r08; autoscaled day-N
+    # flatness: SCALE.md round-9). Day 1 bootstraps nlist from the
+    # corpus; day 2 pays O(batch): bit-identical re-deliveries drop
+    # against the index at cosine 1.0, novel vectors append. E2e twin:
+    # tests/test_semantic_autoscale.py (cross-epoch dedup, orphan-
+    # epoch replay, plain-mode migration).
+    from snowflake_data_pipeline_demo_spark.streaming.dedup import (
+        SemanticIndexAutoscaler,
+    )
+
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>")
+                      .alias("embedding"))
+    vclean = Table(spark, f"{state}/vec_clean", T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]))
+    scaler = SemanticIndexAutoscaler(vclean, f"{state}/vec_index",
+                                     threshold=0.99, target_occupancy=32)
+    vfn = scaler.batch_fn()
+    day1_vecs = vecs.filter(F.col("vec_id") % 3 < 2)
+    vfn(day1_vecs, 0)
+    boot = dict(scaler.last_action)
+    n_v1 = vclean.read().count()
+    redeliv = day1_vecs.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding")
+    n_re = redeliv.count()
+    day2_vecs = vecs.filter(F.col("vec_id") % 3 == 2).unionByName(redeliv)
+    vfn(day2_vecs, 1)
+    kept_v2 = vclean.read().count() - n_v1
+    # every re-delivery is bit-identical to an indexed day-1 vector:
+    # none may survive (cosine exactly 1.0 in its own cluster)
+    assert vclean.read().filter(F.col("vec_id") >= 5_000_000).count() == 0, \
+        "a re-delivered vector escaped the semantic index probe"
+    assert kept_v2 <= day2_vecs.count() - n_re
+    print(f"== autoscaled semantic ingest: day-1 bootstrap sized "
+          f"nlist={boot['nlist']} from n={boot['n']} (occupancy target "
+          f"32); day 2 dropped all {n_re} re-deliveries, kept {kept_v2} "
+          f"novel; day-2 sizing action: {scaler.last_action['action']} "
+          f"(epoch {scaler.last_action['epoch']}, "
+          f"nlist {scaler.last_action['nlist']})")
     # lane_cache'd operator caches (shingle frames, probe bases) end
     # their useful life with the run — drain them like the registry
     # runners do (the caching.py contract for long-lived sessions; a

@@ -27,28 +27,55 @@ both engines' plain rounds pass them through):
          WHEN abs(CAST((x) AS DOUBLE)) < 1e13
               THEN CAST(round(CAST(CAST((x) AS VARCHAR)
                    AS DECIMAL(38,24)), s) AS DOUBLE) + 0
-         ELSE CAST((x) AS DOUBLE) + 0 END         -- |x|>=1e13: see below
+         WHEN abs(CAST((x) AS DOUBLE)) < 1e16
+              THEN CAST(CAST(round(CAST(CAST((x) AS VARCHAR)
+                   AS DECIMAL(38,22)), s) AS VARCHAR) AS DOUBLE) + 0
+         ELSE CAST((x) AS DOUBLE) + 0 END         -- |x|>=1e16: see below
 
 - ``CAST(x AS VARCHAR)`` is DuckDB's shortest-round-trip rendering —
   the same string ``Double.toString`` produces;
-- ``DECIMAL(38,24)`` holds that string EXACTLY across the macro
-  branch's whole domain: shortest reprs carry <= 17 significant
-  digits, so |x| in [1e-7, 1e13) needs <= 24 fractional and <= 13
-  integer digits. A smaller scale is WRONG — DECIMAL(30,15) re-rounds
-  the string at scale 15 and manufactured 88 new midpoint divergences
-  in the same corpus;
+- ``DECIMAL(38,24)`` holds that string EXACTLY across its branch's
+  whole domain: shortest reprs carry <= 17 significant digits, so
+  |x| in [1e-7, 1e13) needs <= 24 fractional and <= 13 integer
+  digits. A smaller scale is WRONG — DECIMAL(30,15) re-rounds the
+  string at scale 15 and manufactured 88 new midpoint divergences in
+  the same corpus;
+- the ``DECIMAL(38,22)`` branch extends exactness over [1e13, 1e16):
+  <= 16 integer digits and (17 sig digits - >= 14 integer digits) <= 3
+  fractional digits fit 38,22 exactly. Added r09 (ADVICE): without it
+  the identity ELSE silently assumed |values| < 1e13 for s < 4 —
+  10000000000000.5 is a representable double whose s=0 HALF_UP round
+  is 10000000000001, not itself. This branch routes its result back
+  through VARCHAR (``CAST(CAST(round(...) AS VARCHAR) AS DOUBLE)``)
+  because the direct decimal->double cast is 1-ULP LOSSY at these
+  magnitudes (measured: 259-1419 divergences per 40k draws — the
+  int128 payload rounds to double BEFORE the power-of-ten scaling,
+  two roundings instead of one), while decimal->varchar->double is a
+  single correctly-rounded string conversion (0 divergences across
+  all scales 0-6 on the same draws). The |x| < 1e13 branch keeps the
+  direct cast: verified bit-exact on its own domain (500k+ cases),
+  and churn there would invalidate that verification for no defect;
+- the |x| >= 1e16 identity branch is EXACT for EVERY s in [0, 6]:
+  above 2^53 ~ 9.007e15 all doubles are integers, their shortest
+  reprs carry no fractional digits, and BigDecimal quantize at any
+  non-negative scale changes nothing;
 - decimal ``round`` is HALF_UP (away from zero), matching BigDecimal;
 - ``+ 0`` normalizes the signed zero the decimal->double cast could
   reintroduce;
-- the |x| >= 1e13 identity branch is EXACT for s >= 4: a 17-digit
-  repr with >= 14 integer digits has <= 3 fractional digits, so
-  BigDecimal quantize at scale >= 4 changes nothing. For s < 4 it
-  assumes |values| < 1e13 (true of every current lane — the only
-  s=0 site quantizes to [-127, 127]);
 - supported scales are 0..6 (the tiny-branch 0.0 needs the smallest
   midpoint 0.5*10^-s above 1e-7). An out-of-range scale is left
   UNREWRITTEN, which test_registered_oracles_conform then flags
   loudly — extending the envelope is a deliberate act, not a default.
+
+The macro interpolates {e} several times (the guards plus the rounded
+payloads), so a rounded expression MUST be deterministic — a
+``random()`` inside ``round()`` would take different branches than it
+rounds. :func:`spark_round_oracle` enforces this at registration
+(raises on known non-deterministic functions inside a rounded
+expression). The re-evaluation is also a per-row COST multiplier for
+expressions carrying scalar subqueries; acceptable for sf0.01 oracle
+runs (DuckDB), never on the Spark side (the macro exists only in
+oracle SQL).
 
 Verified bit-for-bit against the Decimal-string reference on 500k+
 cases (midpoint corpus + uniform draws over [-1,1], [-1e-4,1e-4],
@@ -76,7 +103,19 @@ _TMPL = (
     "WHEN abs(CAST(({e}) AS DOUBLE)) < 1e13 "
     "THEN CAST(round(CAST(CAST(({e}) AS VARCHAR) AS DECIMAL(38,24)), "
     "{s}) AS DOUBLE) + 0 "
+    "WHEN abs(CAST(({e}) AS DOUBLE)) < 1e16 "
+    "THEN CAST(CAST(round(CAST(CAST(({e}) AS VARCHAR) AS "
+    "DECIMAL(38,22)), {s}) AS VARCHAR) AS DOUBLE) + 0 "
     "ELSE CAST(({e}) AS DOUBLE) + 0 END"
+)
+
+#: function names whose appearance inside a ROUNDED expression makes
+#: the macro's multi-interpolation unsound (different evaluations ->
+#: inconsistent guard vs payload). Registration fails loudly instead.
+_NONDETERMINISTIC = re.compile(
+    r"(?<![\w.])(random|uuid|gen_random_uuid|now|current_timestamp|"
+    r"current_time|current_date|today|get_current_timestamp)\s*(\(|\b)",
+    re.IGNORECASE,
 )
 
 #: text that immediately follows ``round(`` in macro output — the
@@ -91,32 +130,48 @@ _MAX_SCALE = 6
 
 def strip_noncode(sql: str) -> str:
     """Replace every character inside a single-quoted SQL string
-    literal ('' escapes) or a ``--``-to-end-of-line comment with a
+    literal ('' escapes), a double-quoted identifier ("" escapes), a
+    ``--``-to-end-of-line comment, or a ``/* */`` block comment with a
     space, preserving length and newlines. Both the rewriter and the
     conformance test operate on this projection, so a ``--`` or a
-    paren INSIDE a literal can neither hide a ``round(`` from the
-    rewrite nor corrupt the paren scan (r08 pass-3 review: the first
-    cut's line-regex comment stripper treated '--sep' in a literal as
-    a comment, silently exempting everything after it on the line)."""
+    paren INSIDE a literal/identifier/comment can neither hide a
+    ``round(`` from the rewrite nor corrupt the paren scan (r08 pass-3
+    review: the first cut's line-regex comment stripper treated
+    '--sep' in a literal as a comment, silently exempting everything
+    after it on the line; r09 ADVICE: block comments and quoted
+    identifiers had the same hole). Block comments here do not nest —
+    matching DuckDB's lexer, where ``/* /* */`` closes at the first
+    ``*/``."""
     out = list(sql)
     i, n = 0, len(sql)
-    in_str = False
+    in_str = in_ident = False
     while i < n:
         c = sql[i]
-        if in_str:
-            if c == "'":
-                if i + 1 < n and sql[i + 1] == "'":  # '' escape
+        if in_str or in_ident:
+            q = "'" if in_str else '"'
+            if c == q:
+                if i + 1 < n and sql[i + 1] == q:  # ''/"" escape
                     out[i] = out[i + 1] = " "
                     i += 2
                     continue
-                in_str = False
+                in_str = in_ident = False
             elif c != "\n":
                 out[i] = " "
         elif c == "'":
             in_str = True
+        elif c == '"':
+            in_ident = True
         elif c == "-" and i + 1 < n and sql[i + 1] == "-":
             while i < n and sql[i] != "\n":
                 out[i] = " "
+                i += 1
+            continue
+        elif c == "/" and i + 1 < n and sql[i + 1] == "*":
+            j = sql.find("*/", i + 2)
+            end = n if j < 0 else j + 2  # unterminated -> to EOF
+            while i < end:
+                if sql[i] != "\n":
+                    out[i] = " "
                 i += 1
             continue
         i += 1
@@ -130,7 +185,10 @@ def spark_round_oracle(sql: str) -> str:
     literals or ``--`` comments, already-rewritten macros (idempotent
     — safe for composed oracles), unbalanced fragments, non-integer-
     literal scales, and scales outside [0, 6] (the conformance test
-    then flags the surviving bare round loudly)."""
+    then flags the surviving bare round loudly). Raises ValueError on
+    a known non-deterministic function inside a rounded expression —
+    the macro multi-evaluates {e}, so such an oracle would be silently
+    flaky (r09 ADVICE)."""
     code = strip_noncode(sql)
     out: list[str] = []
     i, n = 0, len(sql)
@@ -172,6 +230,19 @@ def spark_round_oracle(sql: str) -> str:
             out.append(sql[i:j])
             i = j
             continue
+        nd = _NONDETERMINISTIC.search(
+            code[p:last_comma if last_comma is not None else inner_end]
+        )
+        if nd:
+            # the macro evaluates the expression once per guard plus
+            # once per payload — a non-deterministic expr would take
+            # different branches than it rounds. Fail at registration,
+            # not with a silently-flaky oracle.
+            raise ValueError(
+                f"round() over a non-deterministic expression "
+                f"({nd.group(1)}) cannot be rewritten to the "
+                f"multi-evaluation conformance macro: ...{expr.strip()[:80]}..."
+            )
         out.append(sql[i:m.start()])
         out.append(_TMPL.format(e=spark_round_oracle(expr.strip()),
                                 s=scale))

@@ -160,6 +160,231 @@ def backfill_assigned_index(clean_table, assigned_table, centroids: DataFrame,
     )
 
 
+def sized_nlist(n: int, target_occupancy: int = 256,
+                min_nlist: int = 8, max_nlist: int = 1 << 16) -> int:
+    """The nlist-sizing contract as code (was prose in
+    :func:`semantic_dedup_batch_fn`'s docstring through r08): the IVF
+    probe's per-batch cost is batch-rows x per-cluster index occupancy,
+    so nlist must scale with the corpus — k ~ n / target cluster size,
+    the SemDeDup paper's own rule (Abbas et al. 2023). Clamped below
+    by ``min_nlist`` (tiny corpora) and above by ``max_nlist`` (the
+    centroid set is collected driver-side by ivf_assign*, so it must
+    stay dim-scale; 65k lists x dim 1k doubles ~ 0.5 GB is the
+    practical ceiling before the matmul itself wants sharding)."""
+    import math
+
+    if n <= 0:
+        return min_nlist
+    return max(min_nlist, min(max_nlist, math.ceil(n / target_occupancy)))
+
+
+class SemanticIndexAutoscaler:
+    """Self-sizing wrapper around :func:`semantic_dedup_batch_fn`'s
+    indexed mode: owns the centroid set as PERSISTED, epoch-versioned
+    state and retrains + re-backfills whenever history outgrows the
+    occupancy contract, so per-batch ingest cost stays O(batch)
+    indefinitely instead of drifting with history (the honest +27%/2.8x
+    slope the r08 fixed-nlist day-N run measured — SCALE.md round-8).
+
+    Layout under ``root``::
+
+        {root}/centroids/epoch=K/   nlist_K (centroid_id, vec) rows
+        {root}/assigned/epoch=K/    the (id, vec, centroid_id) index,
+                                    rebuilt whole at epoch birth
+                                    (batch=backfill) then accreted
+                                    per-batch (batch=N) by the inner fn
+
+    Crash-replay contract (same discipline as the inner fn's): an
+    epoch EXISTS only once its centroids subdir has job-committed, and
+    the centroid write is LAST — after the epoch's assigned-index
+    backfill — so every committed epoch's index is complete. A crash
+    mid-retrain leaves an orphan assigned dir that the deterministic
+    retrain (kmeans_centroids: sorted-id sample, farthest-point init)
+    simply overwrites on replay; readers stay on the previous epoch
+    until the commit point. Retrain DECISIONS are pure functions of
+    committed state (history row count, current epoch's nlist), so a
+    replayed batch reaches the same epoch it first ran under.
+
+    Occupancy bound: with ``retrain_factor`` f and target occupancy t,
+    a retrain fires when sized_nlist(n) >= f x current nlist, i.e.
+    mean occupancy stays in [t, f*t) — the probe's candidate term is
+    batch x O(t), constant. Retrain itself costs one sample-scale
+    driver k-means plus one O(history) re-assignment pass, amortized
+    over the f-fold growth that triggered it (geometric schedule: the
+    total re-assignment work over the corpus lifetime is f/(f-1) x
+    final-history — same amortization argument as array doubling).
+
+    The history row count is taken per batch via a parquet count()
+    (footer metadata scan, no column IO); a production deployment at
+    1000-executor scale would keep the running count in the ingest
+    ledger instead, but the decision rule is identical.
+    """
+
+    def __init__(self, clean_table, root: str, threshold: float = 0.85,
+                 target_occupancy: int = 256, retrain_factor: float = 2.0,
+                 min_nlist: int = 8, max_nlist: int = 1 << 16,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 assignment_impl: str = "pandas", kmeans_iters: int = 5,
+                 sample_per_list: int = 32, max_sample: int = 1 << 18):
+        from pyspark.sql import types as T
+
+        from ..sources.catalog import Table
+
+        if retrain_factor <= 1.0:
+            raise ValueError("retrain_factor must exceed 1.0 — at <=1 "
+                             "every batch would retrain")
+        self.clean_table = clean_table
+        self.spark = clean_table.spark
+        self.root = root.rstrip("/")
+        self.threshold = threshold
+        self.target_occupancy = target_occupancy
+        self.retrain_factor = retrain_factor
+        self.min_nlist, self.max_nlist = min_nlist, max_nlist
+        self.id_col, self.vec_col = id_col, vec_col
+        self.assignment_impl = assignment_impl
+        self.kmeans_iters = kmeans_iters
+        self.sample_per_list, self.max_sample = sample_per_list, max_sample
+        self.last_action: dict | None = None
+        self._cent_schema = T.StructType([
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+        ])
+        self._assigned_schema = T.StructType([
+            T.StructField(id_col, T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+            # ivf_assign* emit the collected centroid ids as Python-int
+            # literals -> LongType regardless of the source frame
+            T.StructField("centroid_id", T.LongType()),
+        ])
+        self._cent = Table(self.spark, f"{self.root}/centroids",
+                           self._cent_schema)
+        self._Table = Table
+
+    # -- epoch state -------------------------------------------------
+    def latest_epoch(self) -> int | None:
+        """Highest committed centroid epoch (None = unbootstrapped).
+        Epochs commit in order with no gaps, so a linear probe is
+        exact; the count is log_f(total growth) — single digits over
+        any realistic corpus lifetime."""
+        k = None
+        i = 0
+        while self._cent.subdir_committed(f"epoch={i}"):
+            k, i = i, i + 1
+        return k
+
+    def centroids(self, epoch: int):
+        return self.spark.read.schema(self._cent_schema).parquet(
+            f"{self.root}/centroids/epoch={epoch}"
+        )
+
+    def assigned_table(self, epoch: int):
+        return self._Table(self.spark, f"{self.root}/assigned/epoch={epoch}",
+                           self._assigned_schema)
+
+    def _sample(self, nlist: int) -> int:
+        return min(max(4096, self.sample_per_list * nlist), self.max_sample)
+
+    def _train(self, corpus, nlist: int):
+        from pyspark.sql import functions as F
+
+        from ..operators.similarity import kmeans_centroids
+
+        cents = kmeans_centroids(
+            corpus, nlist=nlist, iters=self.kmeans_iters,
+            sample=self._sample(nlist),
+            id_col=self.id_col, vec_col=self.vec_col,
+        )
+        return cents.select(
+            F.col("centroid_id").cast("long"),
+            F.col(self.vec_col).cast("array<double>"),
+        )
+
+    # -- the contract ------------------------------------------------
+    def maybe_retrain(self, bootstrap_df=None) -> dict:
+        """Apply the sizing contract against committed state; returns
+        an action record ``{"action": bootstrap|retrain|none, "epoch",
+        "nlist", "n"}``. Idempotent: re-running after a crash at any
+        point converges (deterministic k-means, whole-subdir
+        overwrites, centroid commit last)."""
+        epoch = self.latest_epoch()
+        if epoch is None:
+            # Bootstrap — also the MIGRATION path from plain
+            # (non-indexed) mode: if clean_table already has history,
+            # train on it and backfill its assignment, so pre-index
+            # duplicates stay detectable (the inner fn's coverage
+            # guard would otherwise refuse the populated-clean /
+            # empty-index combination).
+            has_hist = self.clean_table._has_data()
+            corpus = self.clean_table.read() if has_hist else bootstrap_df
+            if corpus is None:
+                raise ValueError("unbootstrapped index and no "
+                                 "bootstrap_df to train on")
+            n = corpus.count()
+            nlist = sized_nlist(n, self.target_occupancy,
+                                self.min_nlist, self.max_nlist)
+            cents = self._train(corpus, nlist)
+            at = self.assigned_table(0)
+            if has_hist:
+                backfill_assigned_index(
+                    self.clean_table, at, cents,
+                    self.id_col, self.vec_col, self.assignment_impl,
+                )
+            self._cent.overwrite_subdir(cents, "epoch=0")
+            # kmeans may ship < the sized nlist on tiny corpora
+            # (min(nlist, sample rows)); record what actually shipped,
+            # matching the retrain branch
+            self.last_action = {"action": "bootstrap", "epoch": 0,
+                                "nlist": self.centroids(0).count(),
+                                "n": n}
+            return self.last_action
+        cur_nlist = self.centroids(epoch).count()
+        n = self.clean_table.count()
+        desired = sized_nlist(n, self.target_occupancy,
+                              self.min_nlist, self.max_nlist)
+        if desired < self.retrain_factor * cur_nlist:
+            self.last_action = {"action": "none", "epoch": epoch,
+                                "nlist": cur_nlist, "n": n}
+            return self.last_action
+        nxt = epoch + 1
+        cents = self._train(self.clean_table.read(), desired)
+        # order: full re-assignment first, centroid commit LAST — a
+        # committed epoch always has a complete index (same argument
+        # as the inner fn's index-before-clean write ordering)
+        backfill_assigned_index(
+            self.clean_table, self.assigned_table(nxt), cents,
+            self.id_col, self.vec_col, self.assignment_impl,
+        )
+        self._cent.overwrite_subdir(cents, f"epoch={nxt}")
+        # kmeans may return < desired centroids on tiny samples;
+        # record what actually shipped
+        self.last_action = {"action": "retrain", "epoch": nxt,
+                            "nlist": self.centroids(nxt).count(), "n": n}
+        return self.last_action
+
+    def inner_fn(self, epoch: int):
+        """The epoch-pinned ingest fn (NO sizing check) — for callers
+        that drive :meth:`maybe_retrain` themselves, e.g. to time the
+        amortized maintenance separately from the marginal batch cost
+        (scripts/dayn_semantic_scale_run.py)."""
+        return semantic_dedup_batch_fn(
+            self.clean_table, self.centroids(epoch),
+            self.threshold, self.id_col, self.vec_col,
+            self.assignment_impl,
+            assigned_table=self.assigned_table(epoch),
+        )
+
+    def batch_fn(self):
+        """``foreachBatch`` entry point: size-check (retraining if the
+        contract demands), then delegate the batch to
+        :func:`semantic_dedup_batch_fn` in indexed mode against the
+        current epoch's index."""
+        def fn(batch_df, batch_id: int) -> None:
+            info = self.maybe_retrain(bootstrap_df=batch_df)
+            self.inner_fn(info["epoch"])(batch_df, batch_id)
+
+        return fn
+
+
 def minhash_dedup_batch_fn(
     clean_table, sigs_table, bands_table=None,
     text_col: str = "text", id_col: str = "doc_id",

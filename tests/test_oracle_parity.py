@@ -250,7 +250,13 @@ class TestRoundConformance:
             "SELECT round(x, 4) + 0 AS r FROM arr"
         ).fetchdf()["r"].to_numpy()
         ref = np.array([_bigdecimal_round(x) for x in xs])
-        assert (d.view("int64") != ref.view("int64")).sum() >= 10
+        assert (d.view("int64") != ref.view("int64")).sum() >= 10, (
+            f"DuckDB {duckdb.__version__} no longer diverges from "
+            "BigDecimal string rounding on exact midpoints — the "
+            "ENVIRONMENT changed semantics (macro was pinned against "
+            "an earlier DuckDB), the macro did not break. Re-measure: "
+            "the oracle_round macro can likely be retired."
+        )
 
     def test_macro_matches_bigdecimal_reference(self):
         """The fix pin: the house macro is bit-exact vs the reference
@@ -354,6 +360,42 @@ class TestRoundConformance:
         # '' escape inside literal
         sql = "SELECT 'it''s -- (fine' AS t FROM x"
         assert r(sql) == sql
+        # r09 ADVICE: /* */ block comments are non-code — a round(
+        # inside one stays bare, parens inside one don't corrupt the
+        # scan, and code AFTER one still rewrites
+        out = r("SELECT /* round( ( */ round(x, 4) AS r")
+        assert "/* round( ( */" in out and "DECIMAL(38,24)" in out
+        # unterminated block comment: everything to EOF is non-code
+        sql = "SELECT a /* round(x, 4)"
+        assert r(sql) == sql
+        # double-quoted identifiers are non-code: a '--' or paren
+        # inside one must not eat the rest of the statement
+        out = r('SELECT "weird -- (name" AS c, round(x, 4) AS r')
+        assert '"weird -- (name"' in out and "DECIMAL(38,24)" in out
+        # "" escape inside identifier
+        sql = 'SELECT "a""b -- (" AS c FROM t'
+        assert r(sql) == sql
+
+    def test_rewriter_rejects_nondeterministic_round(self):
+        """r09 ADVICE: the macro evaluates the rounded expression once
+        per guard plus once per payload — round(random()) would take
+        different branches than it rounds. Registration must fail
+        loudly, not ship a flaky oracle."""
+        import pytest
+
+        from snowflake_data_pipeline_demo_spark.plans.oracle_round import (
+            spark_round_oracle as r,
+        )
+
+        with pytest.raises(ValueError, match="non-deterministic"):
+            r("SELECT round(random(), 4) AS r")
+        with pytest.raises(ValueError, match="non-deterministic"):
+            r("SELECT round(x + now()::DOUBLE, 2) AS r")
+        # ... but the same names inside literals/comments are fine,
+        # and a non-rounded non-deterministic expr is not our concern
+        ok = r("SELECT 'random()' AS lbl, round(x, 4) AS r -- now()")
+        assert "DECIMAL(38,24)" in ok
+        assert r("SELECT random() AS x") == "SELECT random() AS x"
 
     def test_rewriter_idempotent(self):
         """Composed oracles interpolate another lane's REGISTERED
@@ -385,7 +427,7 @@ class TestRoundConformance:
         )
 
         xs = [float("nan"), float("inf"), float("-inf"),
-              1e-8, -1e-8, 5e13, -5e13, 1e15, 0.00015]
+              1e-8, -1e-8, 5e13, -5e13, 1e15, 0.00015, 1e17]
         con = duckdb.connect()
         con.register("arr", pd.DataFrame({"x": xs}))
         sql = spark_round_oracle("SELECT round(x, 4) AS r FROM arr")
@@ -398,6 +440,40 @@ class TestRoundConformance:
         assert got[4] == 0.0 and math.copysign(1, got[4]) > 0
         assert got[5] == 5e13 and got[6] == -5e13 and got[7] == 1e15
         assert got[8] == 0.0002
+        assert got[9] == 1e17
+
+    def test_macro_large_values_small_scales(self):
+        """r09 ADVICE fix: the old |x| >= 1e13 identity branch silently
+        assumed no lane rounds values that large at s < 4 —
+        10000000000000.5 is a representable double whose s=0 HALF_UP
+        round is 10000000000001, not itself. The DECIMAL(38,22) branch
+        must agree with the BigDecimal reference over [1e13, 1e16) for
+        every scale in the envelope, and the >= 1e16 identity is exact
+        (above 2^53 every double is an integer)."""
+        import duckdb
+        import numpy as np
+        import pandas as pd
+
+        from snowflake_data_pipeline_demo_spark.plans.oracle_round import (
+            spark_round_oracle,
+        )
+
+        rng = np.random.default_rng(13)
+        xs = [1e13 + 0.5, -(1e13 + 0.5), 12345678901234.5,
+              9999999999999998.0, 1e16, 2**53 + 2.0, 1e13, 1e15 + 0.125]
+        xs += [float(v) for v in rng.uniform(1e13, 1e16, 5000)]
+        xs += [float(v) for v in rng.uniform(-1e16, -1e13, 5000)]
+        con = duckdb.connect()
+        con.register("arr", pd.DataFrame({"x": xs}))
+        for s in (0, 1, 3, 4, 6):
+            sql = spark_round_oracle(f"SELECT round(x, {s}) AS r FROM arr")
+            d = con.execute(sql).fetchdf()["r"].to_numpy()
+            ref = np.array([_bigdecimal_round(x, s) for x in xs])
+            neq = d.view("int64") != ref.view("int64")
+            assert not neq.any(), (
+                f"s={s}: {int(neq.sum())} divergences; first: "
+                f"{[repr(xs[i]) for i in np.flatnonzero(neq)[:3]]}"
+            )
 
     def test_registered_oracles_conform(self):
         """Every round( in every registered oracle (outside string

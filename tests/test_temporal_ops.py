@@ -311,6 +311,9 @@ def test_demo_curation_runs_end_to_end(spark, monkeypatch, capsys):
     assert "curation funnel" in out
     assert "packed 64-token sequences" in out
     assert "train" in out
+    # r09 boilerplate-winnow stage: the demo's inline asserts verify
+    # uncapped == C(n,2) (footer saturates the join) and capped < that
+    assert "winnow overlap under boilerplate" in out
 
 
 def test_asof_join_ignores_null_right_timestamps(spark):
