@@ -758,7 +758,8 @@ def incremental_embedding_neardup(new_emb: DataFrame,
 # ---------------------------------------------------------------------------
 
 def _bigstar_components(ids: DataFrame, pairs: DataFrame,
-                        id_col: str, max_iter: int) -> DataFrame:
+                        id_col: str, max_iter: int,
+                        stats: dict | None = None) -> DataFrame:
     """Alternating large-star/small-star connected components (Kiveris
     et al. 2014, "Connected Components in MapReduce and Beyond" —
     public paper). Converges in O(log^2 n) rounds regardless of graph
@@ -793,7 +794,10 @@ def _bigstar_components(ids: DataFrame, pairs: DataFrame,
         .distinct()
         .localCheckpoint()
     )
+    converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # large-star over the symmetric view: every edge is seen from
         # both endpoints; the strictly-larger endpoint gets re-attached.
         sym = e.select("u", "v").union(
@@ -826,6 +830,8 @@ def _bigstar_components(ids: DataFrame, pairs: DataFrame,
         e = ss
         if converged:
             break
+    if stats is not None:
+        stats.update(rounds=rounds, converged=converged)
     out = (
         ids.select(F.col(id_col).alias("nid"))
         .join(e, F.col("nid").cast("long") == F.col("u"), "left")
@@ -841,7 +847,8 @@ def _bigstar_components(ids: DataFrame, pairs: DataFrame,
 def components_from_pairs(ids: DataFrame, pairs: DataFrame,
                           id_col: str = "doc_id",
                           max_iter: int = 25,
-                          algorithm: str = "propagation") -> DataFrame:
+                          algorithm: str = "propagation",
+                          stats: dict | None = None) -> DataFrame:
     """Connected components over an undirected near-duplicate pair
     graph: every node ends up labeled with the minimum id reachable
     from it. Output: (id, component_id) — ``component_id == id`` marks
@@ -859,9 +866,15 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
     rounds (Kiveris et al.) — same join primitive, O(log^2 n) rounds
     independent of diameter; the swap for huge-diameter graphs (see
     :func:`_bigstar_components`).
+
+    ``stats``: optional dict that receives ``{"rounds": k, "converged":
+    bool}`` when the function returns — both loops already count()
+    every round, so reporting is free. Lets the diameter-vs-log^2
+    round contract be MEASURED rather than inferred
+    (scripts/components_scale_run.py).
     """
     if algorithm == "bigstar":
-        return _bigstar_components(ids, pairs, id_col, max_iter)
+        return _bigstar_components(ids, pairs, id_col, max_iter, stats)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm: {algorithm}")
     sym = pairs.select(
@@ -870,19 +883,27 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     sym = lane_cache(sym)
-    labels = lane_cache(ids.select(
+    # labels get a per-round LINEAGE CUT (localCheckpoint), not a
+    # cache: each round's plan references the previous labels frame
+    # TWICE (once inside nbr_min, once as the join's left side), so
+    # with caching alone the logical plan grows 2^rounds and the
+    # driver OOMs just STRINGIFYING it around round 16 — found by the
+    # r09 diameter stress (test_components_stats_report_rounds_and_
+    # convergence); dup-cluster graphs (diameter 2-3) never reached
+    # it. Same remedy as _bigstar_components' edge list; the
+    # checkpointed state is (id, long) — a few bytes per node.
+    labels = ids.select(
         F.col(id_col).alias("nid"), F.col(id_col).cast("long").alias("comp")
-    ))
+    ).localCheckpoint()
+    changed = 0
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["nid"])
             .groupBy("src").agg(F.min("comp").alias("nbr_comp"))
         )
-        # lane_cache, not bare cache: superseded iterations unpersist
-        # in-loop below, but the FINAL labels frame survives the loop
-        # and must be reachable by the end-of-lane drain (review r07
-        # finding: every components lane leaked one label cache)
-        new_labels = lane_cache(
+        new_labels = (
             labels.join(nbr_min, labels["nid"] == nbr_min["src"], "left")
             .select(
                 "nid",
@@ -890,6 +911,7 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -897,11 +919,14 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
             .filter(F.col("n.comp") < F.col("o.comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     sym.unpersist()
+    if stats is not None:
+        # max_iter == 0 never enters the loop: report unconverged
+        stats.update(rounds=rounds,
+                     converged=rounds > 0 and changed == 0)
     return labels.select(
         F.col("nid").alias(id_col), F.col("comp").alias("component_id")
     )

@@ -409,6 +409,33 @@ def test_bigstar_converges_in_log_rounds_on_chain(spark):
     assert {r["component_id"] for r in prop.collect()} != {0}
 
 
+def test_components_stats_report_rounds_and_convergence(spark):
+    """The r09 stats hook: both algorithms report how many rounds they
+    ran and whether they converged, so scale runs can MEASURE the
+    diameter-vs-log^2 contract (scripts/components_scale_run.py)
+    instead of inferring it from label correctness."""
+    n = 16
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    st: dict = {}
+    dedup.components_from_pairs(ids, pairs, max_iter=30,
+                                stats=st).collect()
+    # propagation needs diameter rounds + 1 no-change confirmation
+    assert st == {"rounds": n, "converged": True}
+    st = {}
+    dedup.components_from_pairs(ids, pairs, max_iter=4,
+                                stats=st).collect()
+    assert st == {"rounds": 4, "converged": False}
+    st = {}
+    out = dedup.components_from_pairs(
+        ids, pairs, max_iter=30, algorithm="bigstar", stats=st
+    )
+    assert {r["component_id"] for r in out.collect()} == {0}
+    assert st["converged"] and 0 < st["rounds"] < n
+
+
 def test_bigstar_isolated_and_multi_component(spark):
     ids = spark.createDataFrame(
         [(i,) for i in (1, 2, 3, 7, 8, 42)], "doc_id long"
