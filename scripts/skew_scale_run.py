@@ -7,32 +7,37 @@ sampling.group_quota_topk are oracle-gated for CORRECTNESS
 measurement: SCALE.md asserts "AQE's runtime skew splitting is the
 first line of defense", "salting is for the cases AQE can't fix", and
 "the textbook window puts every row of a group on ONE reducer". This
-run plants a 50%-hot key and measures all three claims, including the
-honest negative: for DECOMPOSABLE aggregates Spark's map-side partial
-aggregation already neutralizes group-by skew, so salted_groupby_agg
-buys nothing there — the toolkit's own docstring scopes it to hash
-aggregates whose state cannot collapse map-side, and the numbers
-should show why.
+run plants a hot key and measures all three over (corpus size,
+hot share) points, because the interesting quantity is the CROSSOVER:
+the skew tax is the single-task time on the hot group (it scales with
+hot-group SIZE and is invisible while the other cores have their own
+work), while the mitigation tax (an extra shuffle / dim replication)
+scales with TOTAL rows. At 50% hot the residual 50% keeps all 32 cores
+busy for about as long as the hot task runs — mitigation buys little;
+at 95% hot one task owns the job while 31 cores idle, which is the
+actual 100 TB pathology (a boilerplate-heavy domain on one reducer of
+a 1000-executor job).
 
 Fact: N rows, ~50% on key 0 (the hot key), the rest uniform over
 N_KEYS; all values deterministic xxhash64 derivations. Dim: one row
-per key. Arms:
+per key. Arms per N:
 
-1. group-by sum/count: direct vs salted_groupby_agg — expected WASH
-   (partial aggregation collapses the hot key to one row per map task
-   before the shuffle, both forms).
+1. group-by sum/count: direct vs salted_groupby_agg — expected WASH at
+   every N (map-side partial aggregation collapses the hot key to one
+   row per map task before the shuffle in both forms); the honest
+   negative that scopes the toolkit to aggregates whose state cannot
+   collapse map-side.
 2. fact-dim shuffle equi-join (broadcast disabled — the stand-in for
-   a dim too big to broadcast): AQE off vs AQE on (skew split) vs
-   salted_join with AQE off — expected: AQE-off straggles on the hot
-   partition; both mitigations flatten it.
+   a dim too big to broadcast): AQE off vs AQE on (runtime skew split)
+   vs salted_join with AQE off.
 3. per-group top-k window: single row_number window vs the salted
    two-phase form — the case AQE can NOT fix (window partitions are
-   not splittable at runtime) — expected: the single window serializes
-   the hot group through one task.
+   not splittable at runtime).
 
-Every mitigated arm's RESULT is verified equal to its naive arm's
-(checksums / exact frame compare), so a speed number can never hide a
-wrong answer. Results recorded in SCALE.md round-9. Run:
+Every mitigated arm's RESULT is asserted equal to its naive arm's via
+exact integer checksums (val/rate are longs: float sums are execution-
+order-dependent and would be ULP-flaky), so a speed number can never
+hide a wrong answer. Results recorded in SCALE.md round-9. Run:
     python scripts/skew_scale_run.py
 """
 from __future__ import annotations
@@ -55,20 +60,16 @@ from snowflake_data_pipeline_demo_spark.operators.skew import (  # noqa: E402
 )
 from snowflake_data_pipeline_demo_spark.session import get_spark  # noqa: E402
 
-N_ROWS = 4_000_000
 N_KEYS = 100_000
 BUCKETS = 32
 TOPK = 10
 
 
-def fact(spark):
-    """~50% of rows on key 0, the rest uniform over N_KEYS keys.
-    ``val`` is a LONG so every cross-arm checksum is an exact integer
-    sum — float sums are execution-order-dependent and would make the
-    mitigated-equals-naive asserts flaky at the ULP level."""
-    return spark.range(N_ROWS).select(
+def fact(spark, n_rows: int, hot_pct: int):
+    """~hot_pct% of rows on key 0, the rest uniform over N_KEYS keys."""
+    return spark.range(n_rows).select(
         F.col("id"),
-        F.when(F.pmod(F.xxhash64("id"), F.lit(2)) == 0, F.lit(0))
+        F.when(F.pmod(F.xxhash64("id"), F.lit(100)) < hot_pct, F.lit(0))
          .otherwise(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(N_KEYS)))
          .alias("key"),
         F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100_000)).alias("val"),
@@ -88,16 +89,13 @@ def timed(thunk):
     return r, round(time.time() - t0, 2)
 
 
-def main() -> None:
-    spark = get_spark("skew_scale")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
-    f = fact(spark).repartition(32).cache()
+def run_scale(spark, n_rows: int, hot_pct: int) -> dict:
+    f = fact(spark, n_rows, hot_pct).repartition(32).cache()
     d = dim(spark).repartition(32).cache()
     hot = f.filter(F.col("key") == 0).count()
     d.count()
-    out = {"n_rows": N_ROWS, "n_keys": N_KEYS, "hot_rows": hot,
-           "hot_share": round(hot / N_ROWS, 4)}
-    print(json.dumps(out), flush=True)
+    out = {"n_rows": n_rows, "n_keys": N_KEYS, "hot_rows": hot,
+           "hot_share": round(hot / n_rows, 4)}
 
     def set_conf(aqe: bool, broadcast: bool = True) -> None:
         spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
@@ -119,7 +117,6 @@ def main() -> None:
     assert [tuple(r) for r in direct] == [tuple(r) for r in salted], \
         (direct, salted)
     out["agg"] = {"direct_sec": t_direct, "salted_sec": t_salted}
-    print(json.dumps({"agg": out["agg"]}), flush=True)
 
     # -- arm 2: skewed shuffle join ------------------------------------
     def join_arm(use_salt: bool):
@@ -140,7 +137,6 @@ def main() -> None:
         (r_off, r_aqe, r_salt)
     out["join"] = {"rows": int(r_off["n"]), "aqe_off_sec": t_off,
                    "aqe_on_sec": t_aqe, "salted_aqe_off_sec": t_salt}
-    print(json.dumps({"join": out["join"]}), flush=True)
 
     # -- arm 3: per-group top-k window ---------------------------------
     def naive_topk():
@@ -163,10 +159,27 @@ def main() -> None:
     assert tuple(r_naive) == tuple(r_quota), (r_naive, r_quota)
     out["window_topk"] = {"rows": int(r_naive["n"]),
                           "naive_sec": t_naive, "salted_sec": t_quota}
-    print(json.dumps({"window_topk": out["window_topk"]}), flush=True)
+    f.unpersist(), d.unpersist()
+    return out
 
+
+def main() -> None:
+    spark = get_spark("skew_scale")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+    results = []
+    # (rows, hot%): the 50% points probe hot-group SIZE with balanced
+    # residual work (32 cores each hold ~1/32 of total — the hot task
+    # is ~16x the average but the rest of the cluster is busy); the
+    # 95% point isolates the STRAGGLER: one task owns ~all rows while
+    # 31 cores idle — the local analog of a boilerplate-heavy domain
+    # landing on one reducer of a 1000-executor job.
+    for n_rows, hot_pct in ((4_000_000, 50), (32_000_000, 50),
+                            (32_000_000, 95)):
+        row = run_scale(spark, n_rows, hot_pct)
+        results.append(row)
+        print(json.dumps(row), flush=True)
     print("== summary ==")
-    print(json.dumps(out, indent=1))
+    print(json.dumps(results, indent=1))
 
 
 if __name__ == "__main__":

@@ -95,6 +95,18 @@ def group_quota_topk(df: DataFrame, group_col: str = "source",
     its per-salt top-ks; phase 2's input is bounded rows-per-group, so
     its window is skew-proof by construction. Values match the naive
     single-window form exactly (the DuckDB oracle runs that form).
+
+    Measured scoping (scripts/skew_scale_run.py, SCALE.md round-9): on
+    local[32] the naive window WINS wall-clock even with a 30M-row hot
+    group — one core's UnsafeSort runs ~7M (long,long,long) rows/s, so
+    the straggler sort (~4 s) undercuts this form's extra full-corpus
+    shuffle. The two-phase form's contracts are (a) MEMORY: the naive
+    window must fit the hot group in ONE task's sorter (a 100 TB hot
+    domain does not fit anywhere), and (b) CLUSTER WALL: the hot
+    task's sort time is a floor no executor count can lower, while
+    phase 1 here parallelizes with the cluster. Prefer the naive
+    window when the largest group provably fits a task; prefer this
+    form when it may not.
     """
     from pyspark.sql import Window
 

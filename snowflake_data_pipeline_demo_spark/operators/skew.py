@@ -14,6 +14,17 @@ reducers. Costs dim x buckets rows — use for mid-size dims that are
 too big to broadcast; never needed for broadcast joins (no shuffle to
 skew). Aggregations use the same idea as partial-then-final two-phase.
 
+Measured under a planted 95%-hot key (32M rows, local[32],
+scripts/skew_scale_run.py; SCALE.md round-9): the naive shuffle join
+straggles at 14.4 s with 31 cores idle, AQE's skew split halves it
+(8.8 s), :func:`salted_join` flattens it (3.4 s). The same run scopes
+:func:`salted_groupby_agg` honestly: for DECOMPOSABLE aggregates
+(count/sum/min/max — everything this helper accepts) Spark's map-side
+partial aggregation already collapses the hot key to one row per map
+task, so salting was a wash at every skew level measured; it exists
+for aggregation STATE that cannot collapse map-side (wide collect-
+like states) and as the AQE-off fallback.
+
 The salt is ``pmod(xxhash64(unique_col), buckets)`` — deterministic per
 row (stable under retries, like everything else in the engine), uniform
 across rows of the same hot key.
