@@ -38,7 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from snowflake_data_pipeline_demo_spark.caching import (  # noqa: E402
-    release_lane_caches,
+    release_lane_caches, release_stray_persistent_rdds,
 )
 from snowflake_data_pipeline_demo_spark.operators.dedup import (  # noqa: E402
     components_from_pairs,
@@ -64,7 +64,8 @@ def chain_graph(spark, n: int, length: int):
     return ids, pairs
 
 
-def run_arm(ids, pairs, algorithm: str, max_iter: int, length: int) -> dict:
+def run_arm(spark, ids, pairs, algorithm: str, max_iter: int,
+            length: int) -> dict:
     stats: dict = {}
     t0 = time.time()
     labels = components_from_pairs(
@@ -77,6 +78,16 @@ def run_arm(ids, pairs, algorithm: str, max_iter: int, length: int) -> dict:
     ).count()
     secs = round(time.time() - t0, 2)
     release_lane_caches()
+    # both algorithms localCheckpoint per round (the lineage cut);
+    # those blocks are invisible to the lane-cache drain and must be
+    # force-swept between arms or they contaminate the next arm's
+    # timing with storage pressure + async removals (r09 review; same
+    # per-stage rule as dayn_semantic_scale_run). Safe here: the arm
+    # is fully executed (wrong-label count) before the sweep — but the
+    # ids/pairs CACHES must survive it, so re-cache + re-materialize
+    # after the sweep for the next arm.
+    release_stray_persistent_rdds(spark)
+    ids.cache().count(), pairs.cache().count()
     return {
         "algorithm": algorithm, "max_iter": max_iter,
         "rounds": stats["rounds"], "converged": stats["converged"],
@@ -98,15 +109,17 @@ def main() -> None:
                "components": N_NODES // length,
                "arms": []}
         row["arms"].append(
-            run_arm(ids, pairs, "bigstar", BIGSTAR_MAX_ITER, length)
+            run_arm(spark, ids, pairs, "bigstar", BIGSTAR_MAX_ITER,
+                    length)
         )
         if length <= PROP_MAX_L:
             # diameter+1 rounds to converge; +4 headroom
-            arm = run_arm(ids, pairs, "propagation", length + 4, length)
+            arm = run_arm(spark, ids, pairs, "propagation", length + 4,
+                          length)
         else:
             # capped at the operator default — the measurement IS that
             # 25 rounds leave a diameter-1023+ graph unconverged
-            arm = run_arm(ids, pairs, "propagation", 25, length)
+            arm = run_arm(spark, ids, pairs, "propagation", 25, length)
         row["arms"].append(arm)
         pairs.unpersist(), ids.unpersist()
         out.append(row)

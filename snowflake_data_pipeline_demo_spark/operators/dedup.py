@@ -892,6 +892,12 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
     # convergence); dup-cluster graphs (diameter 2-3) never reached
     # it. Same remedy as _bigstar_components' edge list; the
     # checkpointed state is (id, long) — a few bytes per node.
+    # Reclamation contract (also bigstar's since r04): checkpoint
+    # blocks are invisible to the lane-cache drain; superseded rounds
+    # free via the driver's ContextCleaner as Python refs drop, and
+    # long-lived runners sweep the remainder per pass with
+    # caching.release_stray_persistent_rdds (bench.py, scale scripts)
+    # once the lane's result is fully consumed.
     labels = ids.select(
         F.col(id_col).alias("nid"), F.col(id_col).cast("long").alias("comp")
     ).localCheckpoint()

@@ -161,16 +161,25 @@ def backfill_assigned_index(clean_table, assigned_table, centroids: DataFrame,
 
 
 def sized_nlist(n: int, target_occupancy: int = 256,
-                min_nlist: int = 8, max_nlist: int = 1 << 16) -> int:
+                min_nlist: int = 8, max_nlist: int = 4096) -> int:
     """The nlist-sizing contract as code (was prose in
     :func:`semantic_dedup_batch_fn`'s docstring through r08): the IVF
     probe's per-batch cost is batch-rows x per-cluster index occupancy,
     so nlist must scale with the corpus — k ~ n / target cluster size,
     the SemDeDup paper's own rule (Abbas et al. 2023). Clamped below
-    by ``min_nlist`` (tiny corpora) and above by ``max_nlist`` (the
-    centroid set is collected driver-side by ivf_assign*, so it must
-    stay dim-scale; 65k lists x dim 1k doubles ~ 0.5 GB is the
-    practical ceiling before the matmul itself wants sharding)."""
+    by ``min_nlist`` (tiny corpora) and above by ``max_nlist``.
+
+    The ceiling's binding constraint is RETRAIN COST, not centroid
+    memory (r09 review — the first cut said 65k lists ~ 0.5 GB, which
+    is true and irrelevant): kmeans_centroids runs driver-side numpy
+    at ~(iters + 1) x sample x nlist x dim flops, and with the default
+    sample rule (32 x nlist) that is ~6 x 32 x nlist^2 x dim — nlist
+    4096 at dim 64 is a minutes-scale retrain, nlist 65536 is HOURS of
+    single-process work presented as routine amortized maintenance.
+    At the 4096 default and target_occupancy 256 the contract covers
+    ~1M-vector histories; past that, either raise ``target_occupancy``
+    (probe cost grows with it, linearly) or give centroid training a
+    minibatch/distributed path before raising ``max_nlist``."""
     import math
 
     if n <= 0:
@@ -193,26 +202,40 @@ class SemanticIndexAutoscaler:
                                     rebuilt whole at epoch birth
                                     (batch=backfill) then accreted
                                     per-batch (batch=N) by the inner fn
+        {root}/meta/epoch=K/        one row (n, desired, shipped) —
+                                    what the epoch was trained against
 
     Crash-replay contract (same discipline as the inner fn's): an
     epoch EXISTS only once its centroids subdir has job-committed, and
     the centroid write is LAST — after the epoch's assigned-index
-    backfill — so every committed epoch's index is complete. A crash
-    mid-retrain leaves an orphan assigned dir that the deterministic
-    retrain (kmeans_centroids: sorted-id sample, farthest-point init)
-    simply overwrites on replay; readers stay on the previous epoch
-    until the commit point. Retrain DECISIONS are pure functions of
-    committed state (history row count, current epoch's nlist), so a
-    replayed batch reaches the same epoch it first ran under.
+    backfill and its meta row — so every committed epoch's index and
+    meta are complete. A crash mid-retrain leaves orphan assigned/meta
+    dirs that the deterministic retrain (kmeans_centroids: sorted-id
+    sample, farthest-point init) simply overwrites on replay; readers
+    stay on the previous epoch until the commit point. Retrain
+    DECISIONS are pure functions of committed state (history row
+    count, the current epoch's meta), so a replayed batch reaches the
+    same epoch it first ran under.
 
     Occupancy bound: with ``retrain_factor`` f and target occupancy t,
-    a retrain fires when sized_nlist(n) >= f x current nlist, i.e.
-    mean occupancy stays in [t, f*t) — the probe's candidate term is
-    batch x O(t), constant. Retrain itself costs one sample-scale
-    driver k-means plus one O(history) re-assignment pass, amortized
-    over the f-fold growth that triggered it (geometric schedule: the
-    total re-assignment work over the corpus lifetime is f/(f-1) x
-    final-history — same amortization argument as array doubling).
+    a retrain fires when sized_nlist(n) >= f x the nlist the current
+    epoch was SIZED FOR (meta ``desired`` — not the count kmeans
+    shipped), i.e. mean occupancy stays in [t, f*t) — the probe's
+    candidate term is batch x O(t), constant. Retrain itself costs one
+    sample-scale driver k-means plus one O(history) re-assignment
+    pass, amortized over the f-fold growth that triggered it
+    (geometric schedule: the total re-assignment work over the corpus
+    lifetime is f/(f-1) x final-history — same amortization argument
+    as array doubling). Comparing against ``desired`` rather than the
+    shipped count is what makes the schedule TERMINATE on degenerate
+    corpora: a duplicate-dominated history can cap kmeans at its
+    distinct-vector count, and a shipped-count trigger would then
+    re-fire a full O(history) retrain on EVERY batch forever (r09
+    review); the desired-count trigger still fires once per f-fold
+    growth and simply re-ships the cap. A corpus with NO geometry at
+    all (every vector NULL/empty -> kmeans ships zero centroids) fails
+    the training loudly instead of committing an epoch that would
+    silently admit every duplicate.
 
     The history row count is taken per batch via a parquet count()
     (footer metadata scan, no column IO); a production deployment at
@@ -222,7 +245,7 @@ class SemanticIndexAutoscaler:
 
     def __init__(self, clean_table, root: str, threshold: float = 0.85,
                  target_occupancy: int = 256, retrain_factor: float = 2.0,
-                 min_nlist: int = 8, max_nlist: int = 1 << 16,
+                 min_nlist: int = 8, max_nlist: int = 4096,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  assignment_impl: str = "pandas", kmeans_iters: int = 5,
                  sample_per_list: int = 32, max_sample: int = 1 << 18):
@@ -256,8 +279,15 @@ class SemanticIndexAutoscaler:
             # literals -> LongType regardless of the source frame
             T.StructField("centroid_id", T.LongType()),
         ])
+        self._meta_schema = T.StructType([
+            T.StructField("n", T.LongType()),
+            T.StructField("desired", T.LongType()),
+            T.StructField("shipped", T.LongType()),
+        ])
         self._cent = Table(self.spark, f"{self.root}/centroids",
                            self._cent_schema)
+        self._meta = Table(self.spark, f"{self.root}/meta",
+                           self._meta_schema)
         self._Table = Table
 
     # -- epoch state -------------------------------------------------
@@ -299,13 +329,64 @@ class SemanticIndexAutoscaler:
             F.col(self.vec_col).cast("array<double>"),
         )
 
+    def _epoch_desired(self, epoch: int) -> int:
+        """The nlist the epoch was SIZED for (meta ``desired``) — the
+        retrain trigger's baseline. Falls back to the shipped centroid
+        count if the meta row is missing (a pre-meta layout; committed
+        epochs written by this code always have one — meta lands
+        before the centroid commit)."""
+        sub = f"epoch={epoch}"
+        if self._meta.subdir_committed(sub):
+            row = self.spark.read.schema(self._meta_schema).parquet(
+                f"{self.root}/meta/{sub}"
+            ).first()
+            if row is not None:
+                return int(row["desired"])
+        return self.centroids(epoch).count()
+
+    def _train_epoch(self, corpus, epoch: int, n: int, desired: int,
+                     backfill_from) -> int:
+        """Train + persist one epoch; returns the shipped centroid
+        count. Write order: assigned-index backfill, then the meta
+        row, then the centroid commit LAST — a committed epoch always
+        has a complete index and meta (same argument as the inner fn's
+        index-before-clean ordering)."""
+        cents = self._train(corpus, desired)
+        shipped = cents.count()
+        if shipped == 0:
+            # every vector NULL/empty -> kmeans has no geometry; an
+            # epoch with zero centroids would assign nothing and
+            # silently admit every duplicate (r09 review). Fail the
+            # batch loudly instead; ingest resumes when the corpus
+            # carries usable vectors.
+            raise ValueError(
+                "semantic index training shipped 0 centroids: the "
+                "corpus has no non-empty vectors to train on — "
+                "refusing to commit an epoch that would admit every "
+                "duplicate"
+            )
+        sub = f"epoch={epoch}"
+        if backfill_from is not None:
+            backfill_assigned_index(
+                backfill_from, self.assigned_table(epoch), cents,
+                self.id_col, self.vec_col, self.assignment_impl,
+            )
+        self._meta.overwrite_subdir(
+            self.spark.createDataFrame([(n, desired, shipped)],
+                                       self._meta_schema),
+            sub,
+        )
+        self._cent.overwrite_subdir(cents, sub)
+        return shipped
+
     # -- the contract ------------------------------------------------
     def maybe_retrain(self, bootstrap_df=None) -> dict:
         """Apply the sizing contract against committed state; returns
         an action record ``{"action": bootstrap|retrain|none, "epoch",
-        "nlist", "n"}``. Idempotent: re-running after a crash at any
-        point converges (deterministic k-means, whole-subdir
-        overwrites, centroid commit last)."""
+        "nlist", "n"}`` (bootstrap/retrain also carry ``desired``).
+        Idempotent: re-running after a crash at any point converges
+        (deterministic k-means, whole-subdir overwrites, centroid
+        commit last)."""
         epoch = self.latest_epoch()
         if epoch is None:
             # Bootstrap — also the MIGRATION path from plain
@@ -320,45 +401,38 @@ class SemanticIndexAutoscaler:
                 raise ValueError("unbootstrapped index and no "
                                  "bootstrap_df to train on")
             n = corpus.count()
-            nlist = sized_nlist(n, self.target_occupancy,
-                                self.min_nlist, self.max_nlist)
-            cents = self._train(corpus, nlist)
-            at = self.assigned_table(0)
-            if has_hist:
-                backfill_assigned_index(
-                    self.clean_table, at, cents,
-                    self.id_col, self.vec_col, self.assignment_impl,
-                )
-            self._cent.overwrite_subdir(cents, "epoch=0")
-            # kmeans may ship < the sized nlist on tiny corpora
-            # (min(nlist, sample rows)); record what actually shipped,
-            # matching the retrain branch
+            desired = sized_nlist(n, self.target_occupancy,
+                                  self.min_nlist, self.max_nlist)
+            # kmeans may ship < the sized nlist (tiny or duplicate-
+            # heavy corpora); the action records what shipped, the
+            # meta row records both
+            shipped = self._train_epoch(
+                corpus, 0, n, desired,
+                self.clean_table if has_hist else None,
+            )
             self.last_action = {"action": "bootstrap", "epoch": 0,
-                                "nlist": self.centroids(0).count(),
-                                "n": n}
+                                "nlist": shipped, "n": n,
+                                "desired": desired}
             return self.last_action
-        cur_nlist = self.centroids(epoch).count()
         n = self.clean_table.count()
         desired = sized_nlist(n, self.target_occupancy,
                               self.min_nlist, self.max_nlist)
-        if desired < self.retrain_factor * cur_nlist:
+        # trigger on the current epoch's SIZED nlist, not its shipped
+        # count: a duplicate-dominated corpus caps kmeans below
+        # desired, and a shipped-count trigger would re-fire a full
+        # O(history) retrain every batch forever (r09 review)
+        if desired < self.retrain_factor * self._epoch_desired(epoch):
             self.last_action = {"action": "none", "epoch": epoch,
-                                "nlist": cur_nlist, "n": n}
+                                "nlist": self.centroids(epoch).count(),
+                                "n": n}
             return self.last_action
         nxt = epoch + 1
-        cents = self._train(self.clean_table.read(), desired)
-        # order: full re-assignment first, centroid commit LAST — a
-        # committed epoch always has a complete index (same argument
-        # as the inner fn's index-before-clean write ordering)
-        backfill_assigned_index(
-            self.clean_table, self.assigned_table(nxt), cents,
-            self.id_col, self.vec_col, self.assignment_impl,
+        shipped = self._train_epoch(
+            self.clean_table.read(), nxt, n, desired, self.clean_table
         )
-        self._cent.overwrite_subdir(cents, f"epoch={nxt}")
-        # kmeans may return < desired centroids on tiny samples;
-        # record what actually shipped
         self.last_action = {"action": "retrain", "epoch": nxt,
-                            "nlist": self.centroids(nxt).count(), "n": n}
+                            "nlist": shipped, "n": n,
+                            "desired": desired}
         return self.last_action
 
     def inner_fn(self, epoch: int):

@@ -157,6 +157,59 @@ def test_autoscaler_migrates_plain_mode_history(spark, tmp_path):
     assert {r["vec_id"] for r in clean.read().collect()} == {0, 1, 2, 11}
 
 
+def test_autoscaler_desired_trigger_terminates_on_degenerate_corpus(
+        spark, tmp_path):
+    """r09 review: kmeans can ship far fewer centroids than the sized
+    nlist when most history vectors are unusable (NULL/empty/ragged —
+    here 6 of 8 rows are empty). A trigger comparing against the
+    SHIPPED count would then see desired >= factor x shipped forever
+    and re-fire a full O(history) retrain on EVERY batch; the trigger
+    must baseline on the nlist the epoch was SIZED for instead."""
+    clean = Table(spark, str(tmp_path / "clean"), VEC_SCHEMA)
+    rows = [(0, axis_vec(0)), (1, axis_vec(1))] + [
+        (i, []) for i in range(2, 8)
+    ]
+    clean.overwrite_subdir(
+        spark.createDataFrame(rows, VEC_SCHEMA), "batch=0"
+    )
+    sc = SemanticIndexAutoscaler(
+        clean, str(tmp_path / "idx"), threshold=0.95,
+        target_occupancy=1, retrain_factor=1.5, min_nlist=2,
+    )
+    a = sc.maybe_retrain()
+    assert a["action"] == "bootstrap"
+    assert a["desired"] == 8 and a["nlist"] == 2  # shipped << desired
+    # desired (8) >= 1.5 x shipped (2) already — the old trigger would
+    # retrain here and on every call after; the desired baseline holds
+    a = sc.maybe_retrain()
+    assert a["action"] == "none" and sc.latest_epoch() == 0
+    # 1.5x history growth fires exactly one retrain, then quiesces
+    clean.overwrite_subdir(
+        frame(spark, [(10, 2), (11, 3), (12, 4), (13, 5)]), "batch=1"
+    )
+    a = sc.maybe_retrain()
+    assert a["action"] == "retrain" and a["epoch"] == 1
+    assert a["desired"] == 12
+    a = sc.maybe_retrain()
+    assert a["action"] == "none" and sc.latest_epoch() == 1
+
+
+def test_autoscaler_refuses_geometry_free_corpus(spark, tmp_path):
+    """r09 review: a corpus whose every vector is empty trains zero
+    centroids; committing that epoch would make the index assign
+    nothing and silently admit every duplicate. The training must fail
+    loudly instead (and commit nothing — no orphan epoch)."""
+    clean = Table(spark, str(tmp_path / "clean"), VEC_SCHEMA)
+    clean.overwrite_subdir(
+        spark.createDataFrame([(i, []) for i in range(4)], VEC_SCHEMA),
+        "batch=0",
+    )
+    sc = SemanticIndexAutoscaler(clean, str(tmp_path / "idx"))
+    with pytest.raises(ValueError, match="0 centroids"):
+        sc.maybe_retrain()
+    assert sc.latest_epoch() is None  # nothing committed
+
+
 def test_autoscaler_unbootstrapped_without_corpus_raises(spark, tmp_path):
     clean = Table(spark, str(tmp_path / "clean"), VEC_SCHEMA)
     sc = SemanticIndexAutoscaler(clean, str(tmp_path / "idx"))
