@@ -66,6 +66,19 @@ def chain_graph(spark, n: int, length: int):
 
 def run_arm(spark, ids, pairs, algorithm: str, max_iter: int,
             length: int) -> dict:
+    """One timed arm over its OWN fresh input caches. The per-arm
+    cache scope matters twice over (r09 review, both passes): the
+    algorithms localCheckpoint per round (the lineage cut), and those
+    blocks are invisible to the lane-cache drain — they must be
+    force-swept between arms or they contaminate the next arm's
+    timing with storage pressure + async removals (same per-stage rule
+    as dayn_semantic_scale_run). But the force-sweep unpersists the
+    SQL caches' buffer RDDs behind the CacheManager's back, after
+    which a re-`.cache()` is a registered no-op that never re-stores —
+    so a shared cache would leave later arms silently UNCACHED and the
+    arms incomparable. Fresh cache in, full unpersist + sweep out."""
+    ids, pairs = ids.cache(), pairs.cache()
+    ids.count(), pairs.count()
     stats: dict = {}
     t0 = time.time()
     labels = components_from_pairs(
@@ -77,17 +90,11 @@ def run_arm(spark, ids, pairs, algorithm: str, max_iter: int,
         != F.col("doc_id") - F.col("doc_id") % length
     ).count()
     secs = round(time.time() - t0, 2)
+    ids.unpersist(), pairs.unpersist()
     release_lane_caches()
-    # both algorithms localCheckpoint per round (the lineage cut);
-    # those blocks are invisible to the lane-cache drain and must be
-    # force-swept between arms or they contaminate the next arm's
-    # timing with storage pressure + async removals (r09 review; same
-    # per-stage rule as dayn_semantic_scale_run). Safe here: the arm
-    # is fully executed (wrong-label count) before the sweep — but the
-    # ids/pairs CACHES must survive it, so re-cache + re-materialize
-    # after the sweep for the next arm.
+    # safe: the arm is fully executed (wrong-label count) before the
+    # sweep, so no live plan depends on a checkpoint
     release_stray_persistent_rdds(spark)
-    ids.cache().count(), pairs.cache().count()
     return {
         "algorithm": algorithm, "max_iter": max_iter,
         "rounds": stats["rounds"], "converged": stats["converged"],
@@ -100,10 +107,11 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
     out = []
     for length in (64, 1024, 16384):
+        # caching happens per-arm (run_arm docstring); here only the
+        # partitioning is fixed
         ids, pairs = chain_graph(spark, N_NODES, length)
-        ids = ids.repartition(32).cache()
-        pairs = pairs.repartition(32).cache()
-        ids.count(), pairs.count()
+        ids = ids.repartition(32)
+        pairs = pairs.repartition(32)
         row = {"n_nodes": N_NODES, "chain_len": length,
                "diameter": length - 1,
                "components": N_NODES // length,
@@ -121,7 +129,6 @@ def main() -> None:
             # 25 rounds leave a diameter-1023+ graph unconverged
             arm = run_arm(spark, ids, pairs, "propagation", 25, length)
         row["arms"].append(arm)
-        pairs.unpersist(), ids.unpersist()
         out.append(row)
         print(json.dumps(row), flush=True)
     print("== summary ==")

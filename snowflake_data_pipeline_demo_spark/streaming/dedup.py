@@ -288,6 +288,7 @@ class SemanticIndexAutoscaler:
                            self._cent_schema)
         self._meta = Table(self.spark, f"{self.root}/meta",
                            self._meta_schema)
+        self._meta_memo: dict[int, tuple[int, int]] = {}
         self._Table = Table
 
     # -- epoch state -------------------------------------------------
@@ -329,20 +330,32 @@ class SemanticIndexAutoscaler:
             F.col(self.vec_col).cast("array<double>"),
         )
 
-    def _epoch_desired(self, epoch: int) -> int:
-        """The nlist the epoch was SIZED for (meta ``desired``) — the
-        retrain trigger's baseline. Falls back to the shipped centroid
-        count if the meta row is missing (a pre-meta layout; committed
-        epochs written by this code always have one — meta lands
-        before the centroid commit)."""
+    def _epoch_meta(self, epoch: int) -> tuple[int, int]:
+        """(desired, shipped) for a committed epoch — the retrain
+        trigger's baseline and the action record's nlist, from ONE
+        read, memoized per epoch (a committed epoch's meta is
+        immutable; a crash-replay overwrite is deterministic-identical
+        — the per-batch hot path must not pay two Spark jobs for two
+        constants, r09 review pass 2). Falls back to the shipped
+        centroid count for both values if the meta row is missing
+        (a pre-meta layout; epochs written by this code always have
+        one — meta lands before the centroid commit)."""
+        hit = self._meta_memo.get(epoch)
+        if hit is not None:
+            return hit
         sub = f"epoch={epoch}"
+        row = None
         if self._meta.subdir_committed(sub):
             row = self.spark.read.schema(self._meta_schema).parquet(
                 f"{self.root}/meta/{sub}"
             ).first()
-            if row is not None:
-                return int(row["desired"])
-        return self.centroids(epoch).count()
+        if row is not None:
+            out = (int(row["desired"]), int(row["shipped"]))
+        else:
+            shipped = self.centroids(epoch).count()
+            out = (shipped, shipped)
+        self._meta_memo[epoch] = out
+        return out
 
     def _train_epoch(self, corpus, epoch: int, n: int, desired: int,
                      backfill_from) -> int:
@@ -377,6 +390,7 @@ class SemanticIndexAutoscaler:
             sub,
         )
         self._cent.overwrite_subdir(cents, sub)
+        self._meta_memo[epoch] = (desired, shipped)
         return shipped
 
     # -- the contract ------------------------------------------------
@@ -396,7 +410,24 @@ class SemanticIndexAutoscaler:
             # guard would otherwise refuse the populated-clean /
             # empty-index combination).
             has_hist = self.clean_table._has_data()
-            corpus = self.clean_table.read() if has_hist else bootstrap_df
+            if has_hist and bootstrap_df is not None:
+                # train on history AND the triggering batch: if the
+                # plain-mode history carries no usable vectors (all
+                # NULL/empty), training on it alone would raise on
+                # THIS batch and every replay of it — wedging the
+                # stream on content that can never change (r09 review
+                # pass 2). The batch's vectors rescue the bootstrap;
+                # deterministic on replay (same committed history +
+                # same batch by offset).
+                corpus = self.clean_table.read().select(
+                    self.id_col, self.vec_col
+                ).unionByName(
+                    bootstrap_df.select(self.id_col, self.vec_col)
+                )
+            elif has_hist:
+                corpus = self.clean_table.read()
+            else:
+                corpus = bootstrap_df
             if corpus is None:
                 raise ValueError("unbootstrapped index and no "
                                  "bootstrap_df to train on")
@@ -418,13 +449,13 @@ class SemanticIndexAutoscaler:
         desired = sized_nlist(n, self.target_occupancy,
                               self.min_nlist, self.max_nlist)
         # trigger on the current epoch's SIZED nlist, not its shipped
-        # count: a duplicate-dominated corpus caps kmeans below
-        # desired, and a shipped-count trigger would re-fire a full
-        # O(history) retrain every batch forever (r09 review)
-        if desired < self.retrain_factor * self._epoch_desired(epoch):
+        # count: a vector-starved corpus caps kmeans below desired,
+        # and a shipped-count trigger would re-fire a full O(history)
+        # retrain every batch forever (r09 review)
+        birth_desired, birth_shipped = self._epoch_meta(epoch)
+        if desired < self.retrain_factor * birth_desired:
             self.last_action = {"action": "none", "epoch": epoch,
-                                "nlist": self.centroids(epoch).count(),
-                                "n": n}
+                                "nlist": birth_shipped, "n": n}
             return self.last_action
         nxt = epoch + 1
         shipped = self._train_epoch(

@@ -147,12 +147,14 @@ def test_autoscaler_migrates_plain_mode_history(spark, tmp_path):
         target_occupancy=2, retrain_factor=1.5, min_nlist=2,
     )
     fn = sc.batch_fn()
-    # first indexed batch: bootstrap trains on the 3-row history,
-    # backfills it, THEN probes the batch — the dup of plain-mode
+    # first indexed batch: bootstrap trains on the 3-row history PLUS
+    # the triggering batch (n=5 — the union keeps a geometry-free
+    # history from wedging the stream, r09 review pass 2), backfills
+    # the history, THEN probes the batch — the dup of plain-mode
     # vec 0 drops, the new axis keeps
     fn(frame(spark, [(10, 0), (11, 5)]), 1)
     assert sc.last_action["action"] == "bootstrap"
-    assert sc.last_action["n"] == 3
+    assert sc.last_action["n"] == 5
     assert sc.assigned_table(0).count() >= 3
     assert {r["vec_id"] for r in clean.read().collect()} == {0, 1, 2, 11}
 
@@ -208,6 +210,38 @@ def test_autoscaler_refuses_geometry_free_corpus(spark, tmp_path):
     with pytest.raises(ValueError, match="0 centroids"):
         sc.maybe_retrain()
     assert sc.latest_epoch() is None  # nothing committed
+
+
+def test_autoscaler_batch_vectors_rescue_geometry_free_history(
+        spark, tmp_path):
+    """r09 review pass 2: if the refusal above were the whole story, a
+    plain-mode history of all-empty vectors would wedge ingest FOREVER
+    (every replay of the first indexed batch re-trains on the same
+    geometry-free history and re-raises). The bootstrap trains on
+    history UNION the triggering batch, so the batch's usable vectors
+    rescue it — and the empty-history rows still backfill (assigned to
+    the lowest centroid, per the ivf degenerate-input contract)."""
+    clean = Table(spark, str(tmp_path / "clean"), VEC_SCHEMA)
+    clean.overwrite_subdir(
+        spark.createDataFrame([(i, []) for i in range(3)], VEC_SCHEMA),
+        "batch=0",
+    )
+    sc = SemanticIndexAutoscaler(
+        clean, str(tmp_path / "idx"), threshold=0.95,
+        target_occupancy=2, min_nlist=2,
+    )
+    fn = sc.batch_fn()
+    fn(frame(spark, [(10, 0), (11, 1)]), 1)
+    a = sc.last_action
+    assert a["action"] == "bootstrap" and a["n"] == 5 and a["nlist"] >= 1
+    assert sc.latest_epoch() == 0
+    assert sc.assigned_table(0).count() >= 3  # history backfilled
+    kept = {r["vec_id"] for r in clean.read().collect()}
+    assert kept == {0, 1, 2, 10, 11}
+    # and the indexed batch actually dedups against itself next round
+    fn(frame(spark, [(20, 0), (21, 2)]), 2)
+    kept = {r["vec_id"] for r in clean.read().collect()}
+    assert kept == {0, 1, 2, 10, 11, 21}
 
 
 def test_autoscaler_unbootstrapped_without_corpus_raises(spark, tmp_path):
