@@ -66,6 +66,14 @@ def semantic_dedup_batch_fn(
     if the index is empty while history is not (an empty index would
     silently admit every duplicate of pre-index history).
 
+    The batch-keyed gate assumes batch ids come from ONE streaming
+    checkpoint per table lifetime. Starting a NEW query (fresh
+    checkpoint, ids restart at 0) over tables an older query already
+    wrote makes the new ids look like replays: the gate SKIPS those
+    batches silently — data loss, not idempotence (r09 review pass 3).
+    Migrations that replace the query must keep the checkpoint, or
+    point the new query at fresh table roots seeded from the old ones.
+
     Sizing contract for flat per-day cost (measured, SCALE.md
     round-8): the probe's candidate set is batch-rows x per-cluster
     index occupancy, so with a FIXED centroid set the per-batch cost
@@ -228,14 +236,27 @@ class SemanticIndexAutoscaler:
     lifetime is f/(f-1) x final-history — same amortization argument
     as array doubling). Comparing against ``desired`` rather than the
     shipped count is what makes the schedule TERMINATE on degenerate
-    corpora: a duplicate-dominated history can cap kmeans at its
-    distinct-vector count, and a shipped-count trigger would then
-    re-fire a full O(history) retrain on EVERY batch forever (r09
-    review); the desired-count trigger still fires once per f-fold
-    growth and simply re-ships the cap. A corpus with NO geometry at
-    all (every vector NULL/empty -> kmeans ships zero centroids) fails
-    the training loudly instead of committing an epoch that would
-    silently admit every duplicate.
+    corpora: a VECTOR-STARVED history (NULL/empty/ragged-dominated —
+    duplicates do NOT cap kmeans; it ships min(nlist, usable sample
+    rows), r09 review pass 3) can cap kmeans below the sizing, and a
+    shipped-count trigger would then re-fire a full O(history) retrain
+    on EVERY batch forever (r09 review); the desired-count trigger
+    still fires once per f-fold growth and simply re-ships the cap.
+    A corpus with NO geometry at all (every vector NULL/empty ->
+    kmeans ships zero centroids) DEFERS the bootstrap when a batch
+    drives it — the batch passes through the exactly-once gate
+    (geometry-free rows have nothing to dedup against) and a later
+    batch with usable vectors bootstraps via the history-union rescue
+    — and fails loudly for direct :meth:`maybe_retrain` callers
+    (including any retrain reaching zero centroids, which committed
+    history makes impossible short of state corruption).
+
+    Bootstrap decisions are functions of committed state PLUS the
+    triggering batch (deterministic under replay — same batch by
+    offset); the meta row's ``n`` therefore records the TRAINING
+    corpus size (history plus the not-yet-committed batch at
+    bootstrap), not the committed row count. Steady-state retrain
+    decisions read committed state only.
 
     The history row count is taken per batch via a parquet count()
     (footer metadata scan, no column IO); a production deployment at
@@ -358,20 +379,30 @@ class SemanticIndexAutoscaler:
         return out
 
     def _train_epoch(self, corpus, epoch: int, n: int, desired: int,
-                     backfill_from) -> int:
+                     backfill_from, allow_defer: bool = False):
         """Train + persist one epoch; returns the shipped centroid
-        count. Write order: assigned-index backfill, then the meta
-        row, then the centroid commit LAST — a committed epoch always
-        has a complete index and meta (same argument as the inner fn's
+        count, or None when ``allow_defer`` and the corpus carries no
+        usable vectors (geometry-free — nothing committed). Write
+        order: assigned-index backfill, then the meta row, then the
+        centroid commit LAST — a committed epoch always has a complete
+        index and meta (same argument as the inner fn's
         index-before-clean ordering)."""
         cents = self._train(corpus, desired)
         shipped = cents.count()
         if shipped == 0:
             # every vector NULL/empty -> kmeans has no geometry; an
             # epoch with zero centroids would assign nothing and
-            # silently admit every duplicate (r09 review). Fail the
-            # batch loudly instead; ingest resumes when the corpus
-            # carries usable vectors.
+            # silently admit every duplicate (r09 review). At
+            # bootstrap this DEFERS (pass 3): geometry-free rows have
+            # nothing to dedup against, so the batch passes through
+            # and the next batch with usable vectors bootstraps via
+            # the history-union rescue — raising instead would replay
+            # the same poisoned first batch forever. On a RETRAIN this
+            # is an invariant breach (the committed epoch proves the
+            # corpus had usable vectors, and history only grows), so
+            # fail loudly.
+            if allow_defer:
+                return None
             raise ValueError(
                 "semantic index training shipped 0 centroids: the "
                 "corpus has no non-empty vectors to train on — "
@@ -408,7 +439,11 @@ class SemanticIndexAutoscaler:
             # train on it and backfill its assignment, so pre-index
             # duplicates stay detectable (the inner fn's coverage
             # guard would otherwise refuse the populated-clean /
-            # empty-index combination).
+            # empty-index combination). Migrate by swapping the
+            # foreachBatch fn INSIDE the existing query/checkpoint —
+            # batch ids must keep counting, or the exactly-once gate
+            # mistakes the new query's restarted ids for replays
+            # (see semantic_dedup_batch_fn docstring, r09 pass 3).
             has_hist = self.clean_table._has_data()
             if has_hist and bootstrap_df is not None:
                 # train on history AND the triggering batch: if the
@@ -434,13 +469,22 @@ class SemanticIndexAutoscaler:
             n = corpus.count()
             desired = sized_nlist(n, self.target_occupancy,
                                   self.min_nlist, self.max_nlist)
-            # kmeans may ship < the sized nlist (tiny or duplicate-
-            # heavy corpora); the action records what shipped, the
+            # kmeans may ship < the sized nlist (vector-starved or
+            # tiny corpora); the action records what shipped, the
             # meta row records both
             shipped = self._train_epoch(
                 corpus, 0, n, desired,
                 self.clean_table if has_hist else None,
+                # defer (not raise) only when a batch drives the call:
+                # a streaming replay re-delivers the same poisoned
+                # batch forever, while a direct maybe_retrain() caller
+                # can act on the exception
+                allow_defer=bootstrap_df is not None,
             )
+            if shipped is None:
+                self.last_action = {"action": "deferred", "epoch": None,
+                                    "nlist": 0, "n": n}
+                return self.last_action
             self.last_action = {"action": "bootstrap", "epoch": 0,
                                 "nlist": shipped, "n": n,
                                 "desired": desired}
@@ -482,9 +526,18 @@ class SemanticIndexAutoscaler:
         """``foreachBatch`` entry point: size-check (retraining if the
         contract demands), then delegate the batch to
         :func:`semantic_dedup_batch_fn` in indexed mode against the
-        current epoch's index."""
+        current epoch's index. A ``deferred`` bootstrap (geometry-free
+        corpus) passes the batch through with the same batch-keyed
+        exactly-once gate — rows without geometry have nothing to
+        dedup against, and a later batch with usable vectors
+        bootstraps over them via the history-union rescue."""
         def fn(batch_df, batch_id: int) -> None:
             info = self.maybe_retrain(bootstrap_df=batch_df)
+            if info["action"] == "deferred":
+                sub = f"batch={batch_id}"
+                if not self.clean_table.subdir_committed(sub):
+                    self.clean_table.overwrite_subdir(batch_df, sub)
+                return
             self.inner_fn(info["epoch"])(batch_df, batch_id)
 
         return fn
@@ -523,7 +576,12 @@ def minhash_dedup_batch_fn(
     (clean_table), so a crash between the index write and the data
     write replays into identical bytes — the replay excludes the
     batch's own ids from history (anti-join) so a half-persisted index
-    subdir cannot flag the batch against itself.
+    subdir cannot flag the batch against itself. The gate assumes
+    batch ids come from ONE streaming checkpoint per table lifetime —
+    a NEW query (fresh checkpoint, ids restart at 0) over
+    previously-written tables would have its first batches silently
+    SKIPPED as replays (r09 review pass 3); keep the checkpoint, or
+    seed fresh table roots.
     """
     from ..operators.dedup import (
         banded_keys,

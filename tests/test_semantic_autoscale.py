@@ -244,6 +244,42 @@ def test_autoscaler_batch_vectors_rescue_geometry_free_history(
     assert kept == {0, 1, 2, 10, 11, 21}
 
 
+def test_autoscaler_defers_bootstrap_on_geometry_free_first_batch(
+        spark, tmp_path):
+    """r09 review pass 3: raising on a geometry-free FIRST batch would
+    wedge the stream (restart replays the same batch by offset
+    forever). The bootstrap DEFERS instead: the batch passes through
+    the exactly-once gate (nothing to dedup against), no epoch
+    commits, and the next batch with usable vectors bootstraps over
+    the deferred rows via the history-union rescue."""
+    clean = Table(spark, str(tmp_path / "clean"), VEC_SCHEMA)
+    sc = SemanticIndexAutoscaler(
+        clean, str(tmp_path / "idx"), threshold=0.95,
+        target_occupancy=2, min_nlist=2,
+    )
+    fn = sc.batch_fn()
+    empty_batch = spark.createDataFrame(
+        [(i, []) for i in range(3)], VEC_SCHEMA
+    )
+    fn(empty_batch, 0)
+    assert sc.last_action == {"action": "deferred", "epoch": None,
+                              "nlist": 0, "n": 3}
+    assert sc.latest_epoch() is None
+    assert clean.count() == 3  # passed through, exactly once
+    fn(empty_batch, 0)  # crash-replay of the deferred batch
+    assert clean.count() == 3
+    # usable vectors arrive: bootstrap fires over history+batch
+    fn(frame(spark, [(10, 0), (11, 1)]), 1)
+    assert sc.last_action["action"] == "bootstrap"
+    assert sc.latest_epoch() == 0
+    kept = {r["vec_id"] for r in clean.read().collect()}
+    assert kept == {0, 1, 2, 10, 11}
+    # and dedup now works, including across the deferred rows' ids
+    fn(frame(spark, [(20, 0), (21, 2)]), 2)
+    kept = {r["vec_id"] for r in clean.read().collect()}
+    assert kept == {0, 1, 2, 10, 11, 21}
+
+
 def test_autoscaler_unbootstrapped_without_corpus_raises(spark, tmp_path):
     clean = Table(spark, str(tmp_path / "clean"), VEC_SCHEMA)
     sc = SemanticIndexAutoscaler(clean, str(tmp_path / "idx"))
