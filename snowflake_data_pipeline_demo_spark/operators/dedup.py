@@ -883,24 +883,30 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     sym = lane_cache(sym)
-    # labels get a per-round LINEAGE CUT (localCheckpoint), not a
-    # cache: each round's plan references the previous labels frame
-    # TWICE (once inside nbr_min, once as the join's left side), so
-    # with caching alone the logical plan grows 2^rounds and the
-    # driver OOMs just STRINGIFYING it around round 16 — found by the
-    # r09 diameter stress (test_components_stats_report_rounds_and_
-    # convergence); dup-cluster graphs (diameter 2-3) never reached
-    # it. Same remedy as _bigstar_components' edge list; the
-    # checkpointed state is (id, long) — a few bytes per node.
-    # Reclamation contract (also bigstar's since r04): checkpoint
-    # blocks are invisible to the lane-cache drain; superseded rounds
-    # free via the driver's ContextCleaner as Python refs drop, and
-    # long-lived runners sweep the remainder per pass with
-    # caching.release_stray_persistent_rdds (bench.py, scale scripts)
-    # once the lane's result is fully consumed.
-    labels = ids.select(
+    # Each round's plan references the previous labels frame TWICE
+    # (inside nbr_min and as the join's left side), so without a
+    # LINEAGE CUT the logical plan grows 2^rounds and the driver OOMs
+    # just STRINGIFYING it around round 16 — found by the r09 diameter
+    # stress (test_components_stats_report_rounds_and_convergence);
+    # dup-cluster graphs (diameter 2-3) never reached it. But an
+    # every-round localCheckpoint (bigstar's remedy) would move the
+    # label state OUT of the lane-cache drain for EVERY components
+    # lane — re-opening the r07 leak class the registry drain contract
+    # exists to close (test_lane_caches_drain_between_registry_lanes
+    # caught exactly that). Hybrid instead: lane_cache per round —
+    # drainable, and dup-cluster lanes converge long before any
+    # checkpoint — with a lineage cut every CHECKPOINT_EVERY rounds,
+    # bounding plan growth at 2^CHECKPOINT_EVERY (~128) references,
+    # orders of magnitude below the measured 2^16 OOM point. Deep
+    # iterations thus leave rounds/8 checkpoint blocks, reclaimed by
+    # ContextCleaner as refs drop and by the per-pass stray sweep
+    # (bench.py, scale scripts) — the same contract as bigstar's
+    # edges since r04.
+    CHECKPOINT_EVERY = 8
+    labels = lane_cache(ids.select(
         F.col(id_col).alias("nid"), F.col(id_col).cast("long").alias("comp")
-    ).localCheckpoint()
+    ))
+    labels_cached = True
     changed = 0
     rounds = 0
     for _ in range(max_iter):
@@ -909,7 +915,7 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
             sym.join(labels, sym["dst"] == labels["nid"])
             .groupBy("src").agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        new_plan = (
             labels.join(nbr_min, labels["nid"] == nbr_min["src"], "left")
             .select(
                 "nid",
@@ -917,15 +923,25 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
         )
+        if rounds % CHECKPOINT_EVERY == 0:
+            new_labels, new_cached = new_plan.localCheckpoint(), False
+        else:
+            # lane_cache, not bare cache: superseded rounds unpersist
+            # in-loop below, but the FINAL labels frame survives the
+            # loop and must be reachable by the end-of-lane drain
+            # (r07 review: every components lane leaked one label
+            # cache)
+            new_labels, new_cached = lane_cache(new_plan), True
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.nid") == F.col("o.nid"))
             .filter(F.col("n.comp") < F.col("o.comp"))
             .count()
         )
-        labels = new_labels
+        if labels_cached:
+            labels.unpersist()
+        labels, labels_cached = new_labels, new_cached
         if changed == 0:
             break
     sym.unpersist()
