@@ -884,86 +884,20 @@ from . import queries_ext  # noqa: E402,F401
 #: that window; long-verified scalar one-liners drift past position 50
 #: (their green rows live in CORRECTNESS_r01..r03).
 _VERIFY_FIRST = [
-    # -- r09 rotation cut (policy: fixed/code-changed this round, then
+    # -- r10 rotation cut (policy: fix obligations first, then
     # -- oldest-green, then refresh picks). Last-green ledger going
-    # -- into r09 (full table: ROTATION.md, regenerated by
-    # -- scripts/rotation_ledger.py from CORRECTNESS_r08): zero fails,
-    # -- 32 at r06 (the freshness limit — the r08 _VERIFY_LAST
-    # -- cohort, obligated by the r08 verdict item 1), 47 at r07,
-    # -- 50 at r08. Window = 32 r06 + 18 refresh picks from the r07
-    # -- cohort; the 29 remaining r07 entries MUST front the r10
-    # -- window (they hit the two-round limit there — see
-    # -- _VERIFY_LAST). Extra significance this round: these 32 lanes'
-    # -- oracle texts were mechanically rewritten by the r08
-    # -- oracle_round macro (every `round(expr, s)` → Spark-semantics
-    # -- CASE) with only local parity evidence so far — this window is
-    # -- their first driver grading in the rewritten form. Watch
-    # -- x_semdedup: its unthresholded per-row centroid_cos got the
-    # -- proactive `+ 0` (queries_ext.py) with no driver row yet.
+    # -- into r10 (ROTATION.md, regenerated from CORRECTNESS_r09):
+    # -- zero fails, 29 at r07 (the freshness limit — the r09
+    # -- _VERIFY_LAST cohort, obligated by the r09 verdict item 1),
+    # -- 50 at r08, 50 at r09. Window = 29 r07 + 21 refresh picks
+    # -- from the r08 cohort; the 29 remaining r08 entries MUST front
+    # -- the r11 window (they hit the two-round limit there — see
+    # -- _VERIFY_LAST). Extra significance: this is the first driver
+    # -- grading of the r08 macro-rewritten oracle texts for the
+    # -- winnow/multimodal/sim cohort (local parity only so far).
     #
-    # last driver-green r06 (freshness limit) — 32: the r08
+    # last driver-green r07 (freshness limit) — 29: the r09
     # _VERIFY_LAST cohort, verbatim.
-    "x_dedup_pipeline_components",
-    "x_drop_reasons",
-    "x_dsir_importance",
-    "x_dup_ngram_coverage",
-    "x_embed_dedup_incremental",
-    "x_embed_quantize",
-    "x_global_shuffle",
-    "x_hll_cross_run_merge",
-    "x_interleave_sources",
-    "x_length_quantiles",
-    "x_length_quantiles_sketch",
-    "x_mixture_budget",
-    "x_multimodal_resize",
-    "x_oov_rate",
-    "x_pack_sequences",
-    "x_paragraph_dedup",
-    "x_profile_lengths",
-    "x_quality_classifier",
-    "x_quality_gopher",
-    "x_range_join",
-    "x_repetition_metrics",
-    "x_sample_hash_split",
-    "x_sample_mixture",
-    "x_semdedup",
-    "x_shard_manifest_audit",
-    "x_sim_ivf_kmeans",
-    "x_skew_salted_agg",
-    "x_source_quota",
-    "x_stream_minhash_dedup",
-    "x_temperature_mixture",
-    "x_text_redact",
-    "x_vocab_topk",
-    # refresh picks (r07-green, 18 of 47, alphabetical for a
-    # deterministic audit trail): pulls the r10 obligation down from
-    # 47 lanes to the 29 in _VERIFY_LAST.
-    "flagship_secure_report",
-    "secure_view_masked_rows",
-    "x_bloom_cross_run_probe",
-    "x_classifier_calibration",
-    "x_cluster_quota_trained",
-    "x_cms_heavy_hitters",
-    "x_compression_ratio",
-    "x_cross_source_dups",
-    "x_dedup_components",
-    "x_dedup_components_incremental",
-    "x_dedup_embedding_neardup",
-    "x_dedup_exact",
-    "x_dedup_minhash_lsh",
-    "x_dedup_minhash_xxhash",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_simhash",
-    "x_dedup_threshold_sweep",
-    "x_doc_truncate",
-]
-
-#: r07-green entries NOT refreshed in the r09 window — they hit the
-#: two-round freshness limit at r10, so this exact list MUST front the
-#: r10 cut (rotation ledger: ROTATION.md). All remain oracle-gated
-#: locally every run by tests/test_oracle_parity.py, which
-#: parametrizes the whole registry.
-_VERIFY_LAST = [
     "x_dsir_resample",
     "x_embed_dim_stats",
     "x_embed_pca_project",
@@ -993,6 +927,69 @@ _VERIFY_LAST = [
     "x_winnow_clusters",
     "x_winnow_fingerprints",
     "x_winnow_overlap",
+    # refresh picks (r08-green, 21 of 50, alphabetical for a
+    # deterministic audit trail — these land on the SURVEY §2
+    # relational lanes, refreshing them a round before their r11
+    # due date): pulls the r11 obligation down from 50 lanes to the
+    # 29 in _VERIFY_LAST.
+    "a2_count_distinct",
+    "a5_groupby_ordinals",
+    "a6_dashboard_subqueries",
+    "a7_distinct_days",
+    "f13_md5",
+    "f4_to_date_auto",
+    "f5_object_construct_roundtrip",
+    "f6_variant_extract",
+    "f7_variant_native",
+    "f_datetime_kit",
+    "j1_star_join_revenue",
+    "j2_role_playing_join",
+    "j4_computed_key_join",
+    "j5_onless_inner_join",
+    "j6_theta_like_join",
+    "j7_merge_insert_only",
+    "o5_top16",
+    "p2_date_range_filter",
+    "p6_in_subquery",
+    "p7_distinct",
+    "p8_iff_projection",
+]
+
+#: r08-green entries NOT refreshed in the r10 window — they hit the
+#: two-round freshness limit at r11, so this exact list MUST front the
+#: r11 cut (rotation ledger: ROTATION.md). All remain oracle-gated
+#: locally every run by tests/test_oracle_parity.py, which
+#: parametrizes the whole registry.
+_VERIFY_LAST = [
+    "s6_stage_select",
+    "s7_metadata_filename",
+    "u1_union_distinct",
+    "x_ann_recall",
+    "x_asof_join",
+    "x_bigram_logprob",
+    "x_bpe_pairs",
+    "x_bpe_train",
+    "x_chunk_dedup_reassemble",
+    "x_chunk_tokens",
+    "x_cluster_quota",
+    "x_contamination_matrix",
+    "x_corpus_report",
+    "x_curation_funnel",
+    "x_decontaminate",
+    "x_dedup_cluster_sizes",
+    "x_dedup_components_bigstar",
+    "x_dedup_incremental",
+    "x_dedup_keep_longest",
+    "x_dedup_minhash_incremental",
+    "x_distinct_tokens_hll",
+    "x_embed_covariance",
+    "x_embed_covariance_prod",
+    "x_lang_id",
+    "x_text_quality",
+    "x_text_stats",
+    "x_token_ids",
+    "x_token_pmi",
+    "x_window_rollup",
 ]
 
 #: Window size the driver grades (observed r02..r07: first 50 rows).
