@@ -848,7 +848,8 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
                           id_col: str = "doc_id",
                           max_iter: int = 25,
                           algorithm: str = "propagation",
-                          stats: dict | None = None) -> DataFrame:
+                          stats: dict | None = None,
+                          on_exhausted: str = "escalate") -> DataFrame:
     """Connected components over an undirected near-duplicate pair
     graph: every node ends up labeled with the minimum id reachable
     from it. Output: (id, component_id) — ``component_id == id`` marks
@@ -867,16 +868,40 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
     independent of diameter; the swap for huge-diameter graphs (see
     :func:`_bigstar_components`).
 
+    ``on_exhausted`` (propagation only) — what to do when ``max_iter``
+    rounds pass with labels still changing. The r09 diameter stress
+    proved the old silent-return mode is a real hazard: a 1,024-node
+    chain at the default 25-round cap returned 127,744 WRONG labels
+    indistinguishable from a correct frame unless the caller inspected
+    ``stats``. Options:
+
+    - ``"escalate"`` (default): contract the graph by the partial
+      labels (each edge endpoint → its current label, self-loops
+      dropped — the diameter-k prefix already collapsed is reused, not
+      thrown away) and FINISH with bigstar rounds on the contracted
+      edge list, then map components back through the labels. Labels
+      are always correct; worst case adds O(log^2 n) rounds. This is
+      why propagation stays a safe default for near-clique dup graphs:
+      diameter 2-3 never escalates, a pathological chain quietly does.
+    - ``"raise"``: RuntimeError naming rounds run and the escape
+      hatches — for pipelines that budget rounds and want a loud stop.
+    - ``"ignore"``: return the partial labels (the pre-r10 behavior);
+      ``stats["converged"]`` is False. For measurement harnesses only
+      (scripts/components_scale_run.py measures the diameter contract
+      this way).
+
     ``stats``: optional dict that receives ``{"rounds": k, "converged":
     bool}`` when the function returns — both loops already count()
-    every round, so reporting is free. Lets the diameter-vs-log^2
-    round contract be MEASURED rather than inferred
-    (scripts/components_scale_run.py).
+    every round, so reporting is free. The propagation path adds
+    ``"escalated"`` (bool); an escalated run reports the bigstar
+    finish's rounds added to the propagation rounds and converged=True.
     """
     if algorithm == "bigstar":
         return _bigstar_components(ids, pairs, id_col, max_iter, stats)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm: {algorithm}")
+    if on_exhausted not in ("escalate", "raise", "ignore"):
+        raise ValueError(f"unknown on_exhausted: {on_exhausted}")
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(
@@ -945,10 +970,68 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
         if changed == 0:
             break
     sym.unpersist()
+    # ADVICE r09: a loop ending on a checkpoint round returns a
+    # localCheckpoint frame INVISIBLE to the lane-cache drain — the
+    # final label blocks would outlive release_lane_caches until a
+    # stray sweep. Re-track it so the end-of-lane drain contract holds
+    # regardless of where the loop stopped (the checkpoint RDD itself
+    # is reclaimed by ContextCleaner once this frame drains and the
+    # Python ref drops).
+    if not labels_cached:
+        labels = lane_cache(labels)
+    converged = rounds > 0 and changed == 0  # max_iter == 0 never ran
+    escalated = False
+    if not converged and on_exhausted != "ignore":
+        if on_exhausted == "raise":
+            raise RuntimeError(
+                f"components_from_pairs(algorithm='propagation') did "
+                f"not converge in max_iter={max_iter} rounds — the "
+                f"graph's diameter exceeds the round budget, and the "
+                f"partial labels would be WRONG (r09 diameter stress: "
+                f"127,744 bad labels on a 1,024-chain at 25 rounds). "
+                f"Raise max_iter, use algorithm='bigstar', or "
+                f"on_exhausted='escalate' to finish with bigstar "
+                f"rounds on the contracted graph."
+            )
+        # escalate: contract each edge endpoint through its current
+        # label (the already-collapsed diameter-k prefix is kept) and
+        # finish with diameter-independent bigstar rounds, then map
+        # back. Contracted edges are label-longs only — strictly
+        # smaller than the input edge list.
+        contracted = (
+            pairs
+            .join(labels.select(F.col("nid").alias("_na"),
+                                F.col("comp").alias("_ca")),
+                  pairs["id_a"] == F.col("_na"))
+            .join(labels.select(F.col("nid").alias("_nb"),
+                                F.col("comp").alias("_cb")),
+                  pairs["id_b"] == F.col("_nb"))
+            .select(F.col("_ca").alias("id_a"), F.col("_cb").alias("id_b"))
+        )
+        comp_ids = labels.select(F.col("comp").alias("cid")).distinct()
+        sub: dict = {}
+        meta = _bigstar_components(comp_ids, contracted, "cid",
+                                   max(max_iter, 25), sub)
+        if not sub["converged"]:
+            # bigstar needs ~log2(n)+1 rounds; 25 covers any graph that
+            # fits on hardware — reaching this means a logic bug, and
+            # returning would reintroduce the silent-wrong mode.
+            raise RuntimeError(
+                "bigstar escalation did not converge in "
+                f"{max(max_iter, 25)} rounds — this should be "
+                "impossible (log2-bounded); refusing to return "
+                "unverified labels"
+            )
+        labels = lane_cache(
+            labels.join(meta, labels["comp"] == meta["cid"])
+            .select(F.col("nid"),
+                    F.col("component_id").alias("comp"))
+        )
+        rounds += sub["rounds"]
+        converged, escalated = True, True
     if stats is not None:
-        # max_iter == 0 never enters the loop: report unconverged
-        stats.update(rounds=rounds,
-                     converged=rounds > 0 and changed == 0)
+        stats.update(rounds=rounds, converged=converged,
+                     escalated=escalated)
     return labels.select(
         F.col("nid").alias(id_col), F.col("comp").alias("component_id")
     )
@@ -961,7 +1044,14 @@ def neardup_components(df: DataFrame, text_col: str = "text",
     """Near-duplicate clusters: edges = word-3-gram Jaccard >= threshold
     (the deterministic verifier pair-generator; production swaps in
     :func:`lsh_candidate_pairs` — same (id_a, id_b) contract), then
-    connected components. Output: (id, component_id, is_kept)."""
+    connected components. Output: (id, component_id, is_kept).
+
+    Propagation stays the default here deliberately: dup-pair graphs
+    are near-cliques (diameter 2-3, converge in 3-4 rounds — cheaper
+    than bigstar's two grouped joins/round), and since r10 an
+    adversarial deep graph can no longer return wrong labels — the
+    escalate default in :func:`components_from_pairs` finishes such a
+    graph with bigstar rounds instead (r09 verdict item 2)."""
     pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold=threshold)
     comp = components_from_pairs(df.select(id_col), pairs, id_col,
                                  algorithm=algorithm)
