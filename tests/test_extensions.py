@@ -404,9 +404,48 @@ def test_bigstar_converges_in_log_rounds_on_chain(spark):
         ids, pairs, max_iter=10, algorithm="bigstar"
     )
     assert {r["component_id"] for r in big.collect()} == {0}
-    prop = dedup.components_from_pairs(ids, pairs, max_iter=8)
+    prop = dedup.components_from_pairs(ids, pairs, max_iter=8,
+                                       on_exhausted="ignore")
     # propagation moves labels <= 8 hops/8 rounds: node 63 cannot see 0
     assert {r["component_id"] for r in prop.collect()} != {0}
+
+
+def test_propagation_exhaustion_is_loud_or_escalates(spark):
+    """r10 contract (r09 verdict item 2): exhausting max_iter with
+    labels still changing must never return silently-wrong labels.
+    Default = escalate (finish with bigstar on the contracted graph —
+    labels correct, stats says so); on_exhausted='raise' is the loud
+    stop; 'ignore' is the measurement-harness opt-out. Chain fixture:
+    a 64-node path at 8 rounds is guaranteed unconverged (diameter
+    63), the exact shape the r09 diameter stress proved dangerous."""
+    n = 64
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    # default (escalate): labels CORRECT despite the tiny cap
+    st: dict = {}
+    out = dedup.components_from_pairs(ids, pairs, max_iter=8, stats=st)
+    assert {r["component_id"] for r in out.collect()} == {0}
+    assert st["escalated"] and st["converged"] and st["rounds"] > 8
+    # raise: loud stop naming the escape hatches
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.components_from_pairs(ids, pairs, max_iter=8,
+                                    on_exhausted="raise").collect()
+    # ignore: the pre-r10 behavior, explicitly opted into
+    st = {}
+    part = dedup.components_from_pairs(ids, pairs, max_iter=8,
+                                       on_exhausted="ignore", stats=st)
+    assert not st["converged"] and not st["escalated"]
+    assert {r["component_id"] for r in part.collect()} != {0}
+    # a converged run never escalates and reports so
+    st = {}
+    conv = dedup.components_from_pairs(ids, pairs, max_iter=n + 2,
+                                       stats=st)
+    assert {r["component_id"] for r in conv.collect()} == {0}
+    assert st["converged"] and not st["escalated"]
+    with pytest.raises(ValueError, match="on_exhausted"):
+        dedup.components_from_pairs(ids, pairs, on_exhausted="bogus")
 
 
 def test_components_stats_report_rounds_and_convergence(spark):
@@ -423,11 +462,11 @@ def test_components_stats_report_rounds_and_convergence(spark):
     dedup.components_from_pairs(ids, pairs, max_iter=30,
                                 stats=st).collect()
     # propagation needs diameter rounds + 1 no-change confirmation
-    assert st == {"rounds": n, "converged": True}
+    assert st == {"rounds": n, "converged": True, "escalated": False}
     st = {}
     dedup.components_from_pairs(ids, pairs, max_iter=4,
-                                stats=st).collect()
-    assert st == {"rounds": 4, "converged": False}
+                                on_exhausted="ignore", stats=st).collect()
+    assert st == {"rounds": 4, "converged": False, "escalated": False}
     st = {}
     out = dedup.components_from_pairs(
         ids, pairs, max_iter=30, algorithm="bigstar", stats=st
@@ -666,6 +705,7 @@ def test_group_quota_matches_naive_window(spark, docs):
     got = sampling.group_quota_topk(
         docs.select("source", "doc_id", "n_chars"),
         group_col="source", rank_col="n_chars", k=7, salt_buckets=4,
+        mode="salted",
     )
     w = Window.partitionBy("source").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
@@ -680,6 +720,36 @@ def test_group_quota_matches_naive_window(spark, docs):
     )
     caps = got.groupBy("source").count().collect()
     assert all(r["count"] <= 7 for r in caps)
+
+
+def test_group_quota_auto_dispatch_switch_point(spark, docs):
+    """r10 (r09 verdict ask #4): mode='auto' picks the physical form
+    from the estimated hottest-group size instead of making callers
+    read the docstring. Below salt_threshold_rows -> the naive single
+    window (one Window node — the measured local winner); above ->
+    the salted two-phase (two Window nodes — the memory/cluster-wall
+    shape). Values identical either way."""
+    from snowflake_data_pipeline_demo_spark.operators import sampling
+
+    import contextlib
+    import io
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    d = docs.select("source", "doc_id", "n_chars")
+    naive = sampling.group_quota_topk(d, k=7)  # hot group << 32M
+    salted = sampling.group_quota_topk(d, k=7, salt_threshold_rows=0)
+    assert plan(naive).count("Window (") == 1
+    assert plan(salted).count("Window (") == 2
+    assert sorted(map(tuple, naive.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    with pytest.raises(ValueError, match="unknown mode"):
+        sampling.group_quota_topk(d, mode="bogus")
 
 
 def test_bigram_logprob_rewards_repetition(spark):
