@@ -103,8 +103,18 @@ def semantic_dedup_batch_fn(
             # fn's band index): every crash point leaves index coverage
             # >= clean coverage, so clean-populated + index-empty can
             # only mean indexed mode was enabled over plain-mode
-            # history.
-            if clean_table._has_data() and not assigned_table._has_data():
+            # history. The backfill _SUCCESS marker is accepted as
+            # coverage alongside file presence (r09 ADVICE): a backfill
+            # over all-NULL-vector history legitimately assigns ZERO
+            # rows (ivf_assign drops NULL vectors — those rows have no
+            # geometry to dedup against), and only the pinned Spark's
+            # habit of writing empty part files made _has_data() pass;
+            # a committer that skips empty files would otherwise wedge
+            # the stream on every replay.
+            if (clean_table._has_data()
+                    and not assigned_table._has_data()
+                    and not assigned_table.subdir_committed(
+                        "batch=backfill")):
                 raise ValueError(
                     "assigned_table is empty but clean_table has history: "
                     "the index would miss every pre-index duplicate. Run "
@@ -427,8 +437,13 @@ class SemanticIndexAutoscaler:
     # -- the contract ------------------------------------------------
     def maybe_retrain(self, bootstrap_df=None) -> dict:
         """Apply the sizing contract against committed state; returns
-        an action record ``{"action": bootstrap|retrain|none, "epoch",
-        "nlist", "n"}`` (bootstrap/retrain also carry ``desired``).
+        an action record ``{"action": bootstrap|retrain|none|deferred,
+        "epoch", "nlist", "n"}`` (bootstrap/retrain also carry
+        ``desired``). A ``deferred`` record means a batch-driven
+        bootstrap found NO usable vectors (geometry-free corpus):
+        nothing was committed and ``epoch`` is None — callers indexing
+        ``info["epoch"]`` into :meth:`inner_fn` must branch on the
+        action first, as :meth:`batch_fn` does (r09 ADVICE).
         Idempotent: re-running after a crash at any point converges
         (deterministic k-means, whole-subdir overwrites, centroid
         commit last)."""

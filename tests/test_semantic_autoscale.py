@@ -280,6 +280,60 @@ def test_autoscaler_defers_bootstrap_on_geometry_free_first_batch(
     assert kept == {0, 1, 2, 10, 11, 21}
 
 
+def test_null_vector_history_zero_row_backfill_not_wedged(spark, tmp_path):
+    """r09 ADVICE: a backfill over all-NULL-vector history (NULL, not
+    empty-array — ivf_assign DROPS NULLs, while empty arrays assign to
+    the lowest centroid) commits a ZERO-row assigned subdir. The inner
+    fn's coverage guard used to pass only because the pinned Spark
+    writes empty part files that _has_data() counts; a committer that
+    skips empty files would raise 'assigned_table is empty' on every
+    replay and wedge the stream. The guard now accepts the backfill's
+    _SUCCESS marker as coverage — pinned here by stripping the data
+    files and leaving only the marker."""
+    import glob
+    import os
+
+    clean = Table(spark, str(tmp_path / "clean"), VEC_SCHEMA)
+    clean.overwrite_subdir(
+        spark.createDataFrame([(i, None) for i in range(3)], VEC_SCHEMA),
+        "batch=0",
+    )
+    cent = spark.createDataFrame(
+        [(0, axis_vec(0)), (1, axis_vec(1))],
+        "centroid_id long, embedding array<double>",
+    )
+    assigned_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("centroid_id", T.LongType()),
+    ])
+    assigned = Table(spark, str(tmp_path / "assigned"), assigned_schema)
+    backfill_assigned_index(clean, assigned, cent)
+    assert assigned.subdir_committed("batch=backfill")
+    assert assigned.count() == 0  # NULL vectors dropped: zero rows
+    # simulate the empty-file-skipping committer: data files gone,
+    # _SUCCESS marker stays
+    for f in glob.glob(str(tmp_path / "assigned/batch=backfill/*")):
+        if not os.path.basename(f).startswith(("_", ".")):
+            os.remove(f)
+    assert not assigned._has_data()
+    fn = semantic_dedup_batch_fn(clean, cent, threshold=0.95,
+                                 assigned_table=assigned)
+    fn(frame(spark, [(10, 0), (11, 1)]), 1)  # must not raise
+    assert {r["vec_id"] for r in clean.read().collect()} == {
+        0, 1, 2, 10, 11}
+    # replay converges too (the wedge was a replay-forever failure)
+    fn(frame(spark, [(10, 0), (11, 1)]), 1)
+    assert clean.count() == 5
+    # and the guard still fires when there is NO backfill marker at
+    # all (true plain-history / empty-index misconfiguration)
+    bare = Table(spark, str(tmp_path / "bare"), assigned_schema)
+    fn2 = semantic_dedup_batch_fn(clean, cent, threshold=0.95,
+                                  assigned_table=bare)
+    with pytest.raises(ValueError, match="assigned_table is empty"):
+        fn2(frame(spark, [(30, 2)]), 9)
+
+
 def test_autoscaler_unbootstrapped_without_corpus_raises(spark, tmp_path):
     clean = Table(spark, str(tmp_path / "clean"), VEC_SCHEMA)
     sc = SemanticIndexAutoscaler(clean, str(tmp_path / "idx"))
