@@ -241,8 +241,33 @@ def main() -> None:
         )
     )
 
+    def _host_steal_sec() -> float | None:
+        """Cumulative hypervisor steal time (seconds) from the
+        aggregate cpu line of /proc/stat — field 8, in clock ticks.
+        The r09 round lost a day adjudicating a +19% cold total that
+        turned out to be bursty host steal (judge-corroborated: 4,102 s
+        cumulative over 6 h uptime); snapshotting steal around each
+        pass makes that call a mechanical read instead of five manual
+        reruns (r09 verdict ask #3). None on non-Linux hosts."""
+        try:
+            with open("/proc/stat") as f:
+                fields = f.readline().split()
+            return round(int(fields[8]) / os.sysconf("SC_CLK_TCK"), 1)
+        except Exception:
+            return None
+
+    def _host_uptime_sec() -> float | None:
+        try:
+            with open("/proc/uptime") as f:
+                return round(float(f.read().split()[0]), 1)
+        except Exception:
+            return None
+
+    pass_steal: list[dict] = []
+
     def run_all() -> tuple[dict[str, float], float]:
         timings: dict[str, float] = {}
+        steal0 = _host_steal_sec()
         t_all = time.time()
         builders = [(n, lambda n=n: QUERIES[n].builder(spark, SF_DIR))
                     for n in names] + list(extras.items())
@@ -276,7 +301,15 @@ def main() -> None:
         # most lanes, +9 s on the pass total). Safe here: every lane
         # in the pass fully executed above.
         release_stray_persistent_rdds(spark)
-        return timings, round(time.time() - t_all, 3)
+        wall = round(time.time() - t_all, 3)
+        steal1 = _host_steal_sec()
+        pass_steal.append({
+            "wall_sec": wall,
+            "steal_sec": (round(steal1 - steal0, 1)
+                          if steal0 is not None and steal1 is not None
+                          else None),
+        })
+        return timings, wall
 
     # Pass 1 (cold): first execution at the measured SF. Pays one-time
     # plan compilation — AQE picks size-dependent physical plans, so each
@@ -356,6 +389,16 @@ def main() -> None:
         "cold_queries": cold,
         "shapes": shapes,
         "cached_rdds_end": cached_rdds_end,
+        # per-pass hypervisor steal (r09 verdict ask #3): pass 0 is the
+        # cold pass, 1-3 the warm passes. steal_sec/wall_sec >~ 0.05
+        # means the pass ran on a contended host and its wall numbers
+        # carry environmental noise — read spreads before diffing
+        # rounds. host_steal_total/uptime give the session-wide rate.
+        "host_steal": {
+            "passes": pass_steal,
+            "steal_total_sec": _host_steal_sec(),
+            "uptime_sec": _host_uptime_sec(),
+        },
         "sf": sf_val,
     }
     detail_path = os.path.join(
