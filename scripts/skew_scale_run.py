@@ -149,7 +149,11 @@ def run_scale(spark, n_rows: int, hot_pct: int) -> dict:
 
     def salted_topk():
         return (group_quota_topk(f, "key", "val", TOPK, "id",
-                                 salt_buckets=BUCKETS)
+                                 salt_buckets=BUCKETS,
+                                 # the measurement wants the salted arm
+                                 # itself; auto would (correctly) pick
+                                 # naive below the 32M-row threshold
+                                 mode="salted")
                 .agg(F.count("*").alias("n"),
                      F.sum("val").alias("chk"),
                      F.sum("id").alias("idchk")).collect()[0])

@@ -78,38 +78,67 @@ def weighted_mixture(df: DataFrame, rates: dict[str, float],
 def group_quota_topk(df: DataFrame, group_col: str = "source",
                      rank_col: str = "n_chars", k: int = 10,
                      id_col: str = "doc_id",
-                     salt_buckets: int = 16) -> DataFrame:
+                     salt_buckets: int = 16,
+                     mode: str = "auto",
+                     salt_threshold_rows: int = 32_000_000) -> DataFrame:
     """Per-group quota sampling: keep the top ``k`` rows of every group
     ordered by (``rank_col`` DESC, ``id_col`` ASC) — the domain-cap
     curation gate (a hot domain contributes at most k documents, ranked
     by quality/length). Output: input columns + ``quota_rank`` (1..k).
 
-    Scale shape: the textbook window — row_number over
-    partitionBy(group) — puts every row of a group on ONE reducer; a
-    boilerplate-heavy domain at 100 TB is a straggler. This runs the
-    SALTED two-phase form instead: phase 1 ranks within
-    (group, hash(id) % salt_buckets) and keeps k per salt (parallel —
-    the group's rows spread over ``salt_buckets`` reducers); phase 2
-    re-ranks the <= salt_buckets*k survivors per group and keeps k.
-    Correct because a group's global top-k is contained in the union of
-    its per-salt top-ks; phase 2's input is bounded rows-per-group, so
-    its window is skew-proof by construction. Values match the naive
-    single-window form exactly (the DuckDB oracle runs that form).
+    ``mode`` picks the physical form (r09 verdict ask #4 — the choice
+    used to live in this docstring for the caller to read):
 
-    Measured scoping (scripts/skew_scale_run.py, SCALE.md round-9): on
-    local[32] the naive window WINS wall-clock even with a 30M-row hot
-    group — one core's UnsafeSort runs ~7M (long,long,long) rows/s, so
-    the straggler sort (~4 s) undercuts this form's extra full-corpus
-    shuffle. The two-phase form's contracts are (a) MEMORY: the naive
-    window must fit the hot group in ONE task's sorter (a 100 TB hot
-    domain does not fit anywhere), and (b) CLUSTER WALL: the hot
-    task's sort time is a floor no executor count can lower, while
-    phase 1 here parallelizes with the cluster. Prefer the naive
-    window when the largest group provably fits a task; prefer this
-    form when it may not.
+    - ``"naive"``: one row_number window over partitionBy(group) —
+      every row of a group lands on ONE reducer's sorter.
+    - ``"salted"``: two-phase — phase 1 ranks within (group,
+      hash(id) % salt_buckets) and keeps k per salt (the group's rows
+      spread over ``salt_buckets`` reducers); phase 2 re-ranks the
+      <= salt_buckets*k survivors per group and keeps k. Correct
+      because a group's global top-k is contained in the union of its
+      per-salt top-ks; phase 2's input is bounded rows-per-group, so
+      its window is skew-proof by construction.
+    - ``"auto"`` (default): estimate the hottest group's row count
+      with one map-side-combinable aggregation (decomposable — the
+      estimate itself cannot skew) and dispatch on it against
+      ``salt_threshold_rows``.
+
+    Both forms return identical values (the DuckDB oracle runs the
+    naive form; tests/test_properties.py pins multiset equality).
     """
     from pyspark.sql import Window
 
+    if mode not in ("auto", "naive", "salted"):
+        raise ValueError(f"unknown mode: {mode}")
+    if mode == "auto":
+        # Dispatch numbers (scripts/skew_scale_run.py, SCALE.md r09,
+        # measured on local[32]): one core's UnsafeSort runs ~7M
+        # (long,long,long) rows/s, so even a 30M-row hot group sorts in
+        # ~4 s on its one reducer — UNDER the salted form's extra
+        # full-corpus shuffle; the salted window never won locally.
+        # Its real contracts are (a) MEMORY — the naive window must
+        # fit the hot group in one task's sorter (spill turns the
+        # straggler into a disk-bound one) — and (b) CLUSTER WALL —
+        # the hot task's sort is a floor no executor count can lower,
+        # while phase 1 parallelizes with the cluster. 32M rows is
+        # just above the largest measured naive win; past it the
+        # single-task sort dominates the pass and the memory contract
+        # starts to bind.
+        hot = (
+            df.groupBy(group_col).count()
+            .agg(F.max("count").alias("m")).first()["m"]
+        )
+        mode = "salted" if (hot or 0) > salt_threshold_rows else "naive"
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.desc(rank_col), F.asc(id_col)
+    )
+    if mode == "naive":
+        return (
+            df.withColumn(
+                "quota_rank", F.row_number().over(w2).cast("long")
+            )
+            .filter(F.col("quota_rank") <= k)
+        )
     salt = hash_bucket(id_col, salt_buckets)
     w1 = (
         Window.partitionBy(F.col(group_col), salt)
@@ -119,9 +148,6 @@ def group_quota_topk(df: DataFrame, group_col: str = "source",
         df.withColumn("_rn1", F.row_number().over(w1))
         .filter(F.col("_rn1") <= k)
         .drop("_rn1")
-    )
-    w2 = Window.partitionBy(group_col).orderBy(
-        F.desc(rank_col), F.asc(id_col)
     )
     return (
         survivors.withColumn(

@@ -2050,10 +2050,11 @@ def x_chunk_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document quota (top-10 by length): the domain-cap
-    curation gate, executed as the salted two-phase top-k
-    (operators/sampling.py:group_quota_topk) so a hot domain never
-    lands on one reducer; values match the naive single window the
-    oracle runs."""
+    curation gate (operators/sampling.py:group_quota_topk, r10
+    auto-dispatch: naive single window below the 32M-row hot-group
+    threshold — this SF — salted two-phase above it, so a 100 TB hot
+    domain never lands on one reducer); values match the naive single
+    window the oracle runs under either arm."""
     d = testdata.load(spark, sf_dir, "documents")
     return sampling.group_quota_topk(
         d.select("source", "doc_id", "n_chars"),
@@ -2219,9 +2220,11 @@ def x_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-balanced sampling: assign embeddings to their nearest
     centroid (shuffle-free inlined-literal argmax,
     similarity.ivf_assign) then cap each cluster at its 20 most
-    central members via the salted two-phase quota
-    (sampling.group_quota_topk) — the cluster-proportional mixture
-    control a curation run applies before training."""
+    central members via the auto-dispatched quota top-k
+    (sampling.group_quota_topk: naive window at this SF, salted
+    two-phase past the 32M-row hot-group threshold) — the
+    cluster-proportional mixture control a curation run applies
+    before training."""
     e = testdata.load(spark, sf_dir, "embeddings")
     cent = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
@@ -3003,8 +3006,8 @@ def x_cluster_quota_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced mixture on TRAINED centroids: spherical k-means
     (similarity.kmeans_centroids — sample-scale, driver numpy) trains
     the topic space, the Arrow-matmul assigner places every vector, and
-    the salted two-phase quota caps each cluster at its 20 most central
-    members. Same composition as x_cluster_quota but with the fixed-id
+    the auto-dispatched quota top-k caps each cluster at its 20 most
+    central members. Same composition as x_cluster_quota but with the fixed-id
     stand-in centroids replaced by the trained ones — the form a real
     curation run uses."""
     e = testdata.load(spark, sf_dir, "embeddings")

@@ -237,12 +237,16 @@ def test_classifier_serving_stays_in_hash_aggregate(spark):
     assert "SortAggregate" not in p
 
 
-def test_source_quota_runs_two_phase_window(spark):
-    # salted form = two Window nodes (per-salt rank, then bounded
-    # per-group rank); a refactor back to one global window per group
-    # re-creates the hot-domain straggler
+def test_source_quota_auto_dispatch_picks_naive_at_test_scale(spark):
+    # r10: group_quota_topk dispatches on the estimated hottest-group
+    # size (mode="auto"). At sf0.001 every group is far below the 32M
+    # threshold, so the lane must plan the naive single window — the
+    # measured local winner. The salted two-phase shape (two Window
+    # nodes) is pinned by test_extensions.py::
+    # test_group_quota_auto_dispatch_switch_point, which forces the
+    # threshold to 0; a refactor that loses EITHER arm fails one pin.
     p = _plan(spark, "x_source_quota")
-    assert p.count("Window (") == 2
+    assert p.count("Window (") == 1
 
 
 def test_bpe_pair_counting_stays_in_hash_aggregate(spark):
@@ -257,7 +261,8 @@ def test_cluster_quota_assignment_is_joinless(spark):
     p = _plan(spark, "x_cluster_quota")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
-    assert p.count("Window (") == 2
+    # auto dispatch plans the naive window at test scale (r10)
+    assert p.count("Window (") == 1
 
 
 def test_token_ids_vocab_is_distributed_topk(spark):
@@ -305,7 +310,7 @@ def test_distinct_tokens_hll_is_split_aggs_plus_broadcast(spark):
 def test_trained_cluster_quota_assignment_is_joinless(spark):
     """The trained-centroid mixture must keep the assignment shuffle-
     free (Arrow matmul projection, no join against the centroid frame)
-    — its only exchanges are the two-phase quota windows."""
+    — its only exchanges come from the quota phase's window(s)."""
     p = _plan(spark, "x_cluster_quota_trained")
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert "CartesianProduct" not in p

@@ -238,7 +238,8 @@ def test_group_quota_topk_matches_naive_window(spark, rows, k):
         [(i, f"g{g}", s) for i, (g, s) in enumerate(rows)],
         "doc_id long, source string, n_chars long",
     ).repartition(4)
-    got = group_quota_topk(df, k=k, salt_buckets=3).collect()
+    got = group_quota_topk(df, k=k, salt_buckets=3,
+                           mode="salted").collect()
     w = Window.partitionBy("source").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )
