@@ -15,7 +15,7 @@ import sys
 from pyspark.sql import functions as F
 
 from snowflake_data_pipeline_demo_spark.operators import (
-    chunking, curation, decontam, dedup, packing, sampling, text,
+    chunking, curation, decontam, dedup, packing, sampling, skew, text,
 )
 from snowflake_data_pipeline_demo_spark.session import get_spark
 from snowflake_data_pipeline_demo_spark.sources import testdata
@@ -86,6 +86,36 @@ def main() -> None:
     print("== per-source quota survivors:")
     quota.groupBy("source").count().orderBy("source").show(5)
     kept = kept.join(quota.select("doc_id"), "doc_id", "left_semi").cache()
+
+    # skew-safe enrichment in PRODUCTION shape (r09 verdict ask #7 —
+    # the measured 4.2x-over-AQE salted-join win lived only in
+    # scripts/skew_scale_run.py until now): attach each doc's source
+    # weight by salted_join. 'source' is the funnel's canonical hot
+    # key — a boilerplate-heavy domain holds a large share of corpus
+    # rows — and the per-domain weight/feature table at real scale
+    # sits in the too-big-to-broadcast band salting exists for. Both
+    # arms asserted equal by checksum every run (at this SF Spark
+    # broadcasts the tiny exploded dim, so the assert is the contract
+    # being exercised, not the wall-clock win — that is measured at
+    # 32M rows in SCALE.md round-9).
+    weights = sampling.temperature_weights(kept, alpha=0.7) \
+        .select("source", "weight")
+    enriched = skew.salted_join(
+        kept.select("doc_id", "source"), weights, ["source"],
+        fact_unique_col="doc_id", buckets=8,
+    )
+    plain = kept.select("doc_id", "source").join(weights, "source")
+
+    def _chk(df):
+        r = df.agg(F.count("*").alias("n"),
+                   F.sum("doc_id").alias("ids"),
+                   F.sum("weight").alias("w")).first()
+        return r["n"], r["ids"], round(r["w"], 6)
+
+    chk_s, chk_p = _chk(enriched), _chk(plain)
+    assert chk_s == chk_p, (chk_s, chk_p)
+    print(f"== salted source-weight join: {chk_s[0]} docs enriched; "
+          f"salted and plain arms checksum-equal")
 
     # winnow overlap under planted BOILERPLATE — the measured r08 skew
     # shape (scripts/winnow_skew_run.py; SCALE.md round-8): a page

@@ -314,6 +314,10 @@ def test_demo_curation_runs_end_to_end(spark, monkeypatch, capsys):
     # r09 boilerplate-winnow stage: the demo's inline asserts verify
     # uncapped == C(n,2) (footer saturates the join) and capped < that
     assert "winnow overlap under boilerplate" in out
+    # r10 salted-join stage: the demo's inline assert verifies the
+    # salted and plain arms checksum-equal (skew.salted_join in
+    # production shape)
+    assert "arms checksum-equal" in out
 
 
 def test_asof_join_ignores_null_right_timestamps(spark):
