@@ -8,6 +8,13 @@ ledger the rotation policy is audited against: every entry's last
 green must be <= 2 rounds old once its cohort has cycled through.
 
 Run from the repo root:  python scripts/rotation_ledger.py
+With --suggest, also print the NEXT round's window cut (the exact
+policy every round has applied by hand: fix obligations, then
+never-graded, then freshness-due lanes, then alphabetical refresh
+picks from the oldest remaining cohort) as paste-ready Python lists
+for plans/queries.py's _VERIFY_FIRST / _VERIFY_LAST — the cut is
+policy arithmetic, and hand-deriving it each round is where a lane
+could silently miss its deadline.
 """
 from __future__ import annotations
 
@@ -126,6 +133,53 @@ def main() -> None:
         f.write("\n".join(lines))
     print(f"ROTATION.md: {len(names)} lanes, latest round r{cur:02d}, "
           f"cohorts {dict(hist)}")
+
+    if "--suggest" in sys.argv:
+        suggest(names, green, fail, cur)
+
+
+def suggest(names: list[str], green: dict[str, int],
+            fail: dict[str, int], cur: int, window: int = 50) -> None:
+    """Print the next round's window cut under the standing policy:
+    (1) fix obligations (most recent grade is a failure), (2) never
+    graded, (3) freshness-due (last green == cur-2: they read stale at
+    cur+1), then (4) alphabetical refresh picks from the oldest
+    remaining cohort until the window fills. Leftovers of the cohort
+    that becomes due at cur+2 print as the _VERIFY_LAST obligation."""
+    def is_fix(n): return n in fail and fail[n] > green.get(n, -1)
+
+    fix = sorted(n for n in names if is_fix(n))
+    never = sorted(n for n in names
+                   if n not in green and n not in fail)
+    due = sorted(n for n in names
+                 if not is_fix(n) and green.get(n) == cur - 2)
+    front = fix + never + due
+    if len(front) > window:
+        raise SystemExit(
+            f"{len(front)} obligated lanes exceed the {window}-row "
+            "window — the rotation math has already failed; grade "
+            "these across two rounds and say so in ROTATION.md"
+        )
+    # refresh from the oldest remaining cohort upward, alphabetical
+    # within a cohort for a deterministic audit trail
+    rest = [n for n in names if n not in set(front)]
+    rest.sort(key=lambda n: (green.get(n, -1), n))
+    picks = rest[:window - len(front)]
+    leftover = sorted(
+        n for n in rest[window - len(front):]
+        if green.get(n) == cur - 1
+    )
+    def block(title, xs):
+        print(f"# {title} ({len(xs)}):")
+        for n in xs:
+            print(f'    "{n}",')
+    print(f"\n== suggested r{cur + 1:02d} window cut ==")
+    block("fix obligations", fix)
+    block("never graded", never)
+    block(f"freshness-due (last green r{cur - 2:02d})", due)
+    block("refresh picks (oldest cohort, alphabetical)", picks)
+    block(f"_VERIFY_LAST (r{cur - 1:02d} cohort left over, MUST front "
+          f"r{cur + 2:02d})", leftover)
 
 
 if __name__ == "__main__":
