@@ -65,7 +65,7 @@ def chain_graph(spark, n: int, length: int):
 
 
 def run_arm(spark, ids, pairs, algorithm: str, max_iter: int,
-            length: int) -> dict:
+            length: int, on_exhausted: str = "ignore") -> dict:
     """One timed arm over its OWN fresh input caches. The per-arm
     cache scope matters twice over (r09 review, both passes): the
     algorithms localCheckpoint per round (the lineage cut), and those
@@ -84,10 +84,10 @@ def run_arm(spark, ids, pairs, algorithm: str, max_iter: int,
     labels = components_from_pairs(
         ids, pairs, id_col="doc_id", max_iter=max_iter,
         algorithm=algorithm, stats=stats,
-        # the measurement harness WANTS the partial labels at cap (the
-        # wrong-label count below is the point); production callers get
-        # the r10 escalate default
-        on_exhausted="ignore",
+        # "ignore" arms WANT the partial labels at cap (the wrong-label
+        # count below is the point); the "escalate" arm measures the
+        # r10 production default on the same capped input
+        on_exhausted=on_exhausted,
     )
     wrong = labels.filter(
         F.col("component_id")
@@ -101,7 +101,9 @@ def run_arm(spark, ids, pairs, algorithm: str, max_iter: int,
     release_stray_persistent_rdds(spark)
     return {
         "algorithm": algorithm, "max_iter": max_iter,
+        "on_exhausted": on_exhausted,
         "rounds": stats["rounds"], "converged": stats["converged"],
+        "escalated": stats.get("escalated"),
         "wrong_labels": wrong, "sec": secs,
     }
 
@@ -133,6 +135,16 @@ def main() -> None:
             # 25 rounds leave a diameter-1023+ graph unconverged
             arm = run_arm(spark, ids, pairs, "propagation", 25, length)
         row["arms"].append(arm)
+        if length > PROP_MAX_L:
+            # r10 arm: the production DEFAULT on the same capped input —
+            # propagation burns its 25 rounds, then escalates to bigstar
+            # over the contracted graph. wrong_labels MUST be 0; the
+            # cost question is how much the wasted propagation prefix +
+            # contraction adds over running bigstar from the start.
+            row["arms"].append(
+                run_arm(spark, ids, pairs, "propagation", 25, length,
+                        on_exhausted="escalate")
+            )
         out.append(row)
         print(json.dumps(row), flush=True)
     print("== summary ==")

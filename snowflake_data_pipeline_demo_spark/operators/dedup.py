@@ -920,14 +920,24 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
     # exists to close (test_lane_caches_drain_between_registry_lanes
     # caught exactly that). Hybrid instead: lane_cache per round —
     # drainable, and dup-cluster lanes converge long before any
-    # checkpoint — with a lineage cut every CHECKPOINT_EVERY rounds,
-    # bounding plan growth at 2^CHECKPOINT_EVERY (~128) references,
-    # orders of magnitude below the measured 2^16 OOM point. Deep
-    # iterations thus leave rounds/8 checkpoint blocks, reclaimed by
-    # ContextCleaner as refs drop and by the per-pass stray sweep
-    # (bench.py, scale scripts) — the same contract as bigstar's
-    # edges since r04.
-    CHECKPOINT_EVERY = 8
+    # checkpoint — with a lineage cut every CHECKPOINT_EVERY rounds.
+    # Cadence, MEASURED (r10 diameter stress re-run): the r09 cadence
+    # of 8 was wrong on both axes it was chosen for — between cuts the
+    # per-round Catalyst analysis + AQE plan-string overhead grows
+    # with the 2^(k mod 8) tree (64-chain convergence ran 10.9 s/round
+    # vs ~0.9 at per-round cuts, a 12x tax executors never see), and
+    # on the third consecutive deep arm the accumulated pressure
+    # OOM'd the 16g driver INSIDE PlanStringConcat during AQE's
+    # explainString — the exact failure class the hybrid existed to
+    # prevent, at 2^8 instead of 2^16. Cadence 4 bounds the tree at
+    # 2^4 (~16) references (analysis back to round-1 cost, plan
+    # strings KB-scale) while registry dup-cluster lanes still
+    # converge before their first cut, keeping every shallow lane's
+    # labels inside the drain contract. Deep iterations leave
+    # rounds/4 checkpoint blocks, reclaimed by ContextCleaner as refs
+    # drop and by the per-pass stray sweep (bench.py, scale scripts)
+    # — the same contract as bigstar's edges since r04.
+    CHECKPOINT_EVERY = 4
     labels = lane_cache(ids.select(
         F.col(id_col).alias("nid"), F.col(id_col).cast("long").alias("comp")
     ))

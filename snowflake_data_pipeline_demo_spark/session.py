@@ -50,6 +50,16 @@ _DEFAULTS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
+    # Cap rendered plan strings at 8M chars (default is ~Int.MaxValue).
+    # Deep iterative lineage makes the DRIVER render the plan per AQE
+    # re-plan (AdaptiveSparkPlanExec.onUpdatePlan -> explainString)
+    # even with the UI off; the r10 diameter stress OOM'd the 16g
+    # heap inside PlanStringConcat on exactly that path. The loops
+    # all cut lineage (localCheckpoint cadence, dedup.py), so no
+    # legitimate plan here approaches 8M chars — this is the backstop
+    # that turns a future deep-lineage mistake into a truncated
+    # string instead of a dead driver.
+    "spark.sql.maxPlanStringLength": "8388608",
 }
 
 
