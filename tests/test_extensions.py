@@ -444,6 +444,13 @@ def test_propagation_exhaustion_is_loud_or_escalates(spark):
                                        stats=st)
     assert {r["component_id"] for r in conv.collect()} == {0}
     assert st["converged"] and not st["escalated"]
+    # max_iter=0 (zero propagation budget): the identity labels leave
+    # the contraction = the original graph, and the escalate default
+    # degrades to a pure bigstar solve — still correct, never silent
+    st = {}
+    zero = dedup.components_from_pairs(ids, pairs, max_iter=0, stats=st)
+    assert {r["component_id"] for r in zero.collect()} == {0}
+    assert st["escalated"] and st["converged"]
     with pytest.raises(ValueError, match="on_exhausted"):
         dedup.components_from_pairs(ids, pairs, on_exhausted="bogus")
 

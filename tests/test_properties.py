@@ -188,6 +188,15 @@ def test_bigstar_components_match_union_find(spark, edges):
     got_prop = {r["doc_id"]: r["component_id"]
                 for r in components_from_pairs(ids, pairs).collect()}
     assert got_prop == want
+    # r10: the escalate default must hold the same truth even when the
+    # round budget is absurd — max_iter=1 leaves any multi-hop graph
+    # unconverged, and the bigstar finish over the label-contracted
+    # graph must still land every node on its true min (the property
+    # generalization of the deterministic chain pin)
+    got_esc = {r["doc_id"]: r["component_id"]
+               for r in components_from_pairs(
+                   ids, pairs, max_iter=1).collect()}
+    assert got_esc == want
 
 
 @given(
