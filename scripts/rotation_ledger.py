@@ -151,8 +151,14 @@ def suggest(names: list[str], green: dict[str, int],
     fix = sorted(n for n in names if is_fix(n))
     never = sorted(n for n in names
                    if n not in green and n not in fail)
+    # <= not ==: a lane that already SLIPPED past its deadline (green
+    # at cur-3 or older because an earlier cut missed it) is the most
+    # obligated lane of all — an equality test would quietly park it
+    # in the refresh pool and hide it from the overflow guard (r10
+    # review finding)
     due = sorted(n for n in names
-                 if not is_fix(n) and green.get(n) == cur - 2)
+                 if not is_fix(n) and n in green
+                 and green[n] <= cur - 2)
     front = fix + never + due
     if len(front) > window:
         raise SystemExit(
@@ -165,9 +171,12 @@ def suggest(names: list[str], green: dict[str, int],
     rest = [n for n in names if n not in set(front)]
     rest.sort(key=lambda n: (green.get(n, -1), n))
     picks = rest[:window - len(front)]
+    # every obligated cohort (<= cur-2) already fronted via `due`, so
+    # unpicked lanes at cur-1 are exactly the ones that hit the limit
+    # at cur+2; <= keeps the filter safe if the invariant ever breaks
     leftover = sorted(
         n for n in rest[window - len(front):]
-        if green.get(n) == cur - 1
+        if n in green and green[n] <= cur - 1
     )
     def block(title, xs):
         print(f"# {title} ({len(xs)}):")

@@ -979,7 +979,11 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
         labels, labels_cached = new_labels, new_cached
         if changed == 0:
             break
-    sym.unpersist()
+    # sym stays cached through a possible escalation below — the
+    # contraction reads it, and the original `pairs` frame may be an
+    # arbitrarily expensive uncached pipeline (neardup_components
+    # feeds the full shingling join); unpersisting first would make
+    # the pathological path recompute it from scratch (r10 review)
     # ADVICE r09: a loop ending on a checkpoint round returns a
     # localCheckpoint frame INVISIBLE to the lane-cache drain — the
     # final label blocks would outlive release_lane_caches until a
@@ -993,6 +997,7 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
     escalated = False
     if not converged and on_exhausted != "ignore":
         if on_exhausted == "raise":
+            sym.unpersist()
             raise RuntimeError(
                 f"components_from_pairs(algorithm='propagation') did "
                 f"not converge in max_iter={max_iter} rounds — the "
@@ -1006,17 +1011,22 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
         # escalate: contract each edge endpoint through its current
         # label (the already-collapsed diameter-k prefix is kept) and
         # finish with diameter-independent bigstar rounds, then map
-        # back. Contracted edges are label-longs only — strictly
-        # smaller than the input edge list.
+        # back. Contract from the CACHED symmetric view, not `pairs` —
+        # pairs may be an expensive uncached pipeline (r10 review);
+        # sym's doubled directions collapse in the self-loop filter +
+        # bigstar's opening distinct. Rows that already share a label
+        # drop here, so the edge list bigstar shuffles shrinks by
+        # exactly the progress the propagation prefix made.
         contracted = (
-            pairs
+            sym
             .join(labels.select(F.col("nid").alias("_na"),
                                 F.col("comp").alias("_ca")),
-                  pairs["id_a"] == F.col("_na"))
+                  sym["src"] == F.col("_na"))
             .join(labels.select(F.col("nid").alias("_nb"),
                                 F.col("comp").alias("_cb")),
-                  pairs["id_b"] == F.col("_nb"))
+                  sym["dst"] == F.col("_nb"))
             .select(F.col("_ca").alias("id_a"), F.col("_cb").alias("id_b"))
+            .filter(F.col("id_a") != F.col("id_b"))
         )
         comp_ids = labels.select(F.col("comp").alias("cid")).distinct()
         sub: dict = {}
@@ -1026,6 +1036,7 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
             # bigstar needs ~log2(n)+1 rounds; 25 covers any graph that
             # fits on hardware — reaching this means a logic bug, and
             # returning would reintroduce the silent-wrong mode.
+            sym.unpersist()
             raise RuntimeError(
                 "bigstar escalation did not converge in "
                 f"{max(max_iter, 25)} rounds — this should be "
@@ -1039,6 +1050,7 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
         )
         rounds += sub["rounds"]
         converged, escalated = True, True
+    sym.unpersist()
     if stats is not None:
         stats.update(rounds=rounds, converged=converged,
                      escalated=escalated)

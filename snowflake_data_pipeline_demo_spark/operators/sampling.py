@@ -103,6 +103,14 @@ def group_quota_topk(df: DataFrame, group_col: str = "source",
       estimate itself cannot skew) and dispatch on it against
       ``salt_threshold_rows``.
 
+    Auto's contract: the estimate EXECUTES one extra pass over
+    ``df.select(group_col)`` at call time (the builder becomes eager).
+    Column pruning makes that a single-column scan for table-backed
+    inputs, but when ``df`` is itself an expensive computed pipeline
+    (a UDF projection, an unpersisted join), the upstream compute runs
+    twice — cache ``df`` first, or pass ``mode`` explicitly when the
+    hot-group size is already known (r10 review).
+
     Both forms return identical values (the DuckDB oracle runs the
     naive form; tests/test_properties.py pins multiset equality).
     """
@@ -125,7 +133,9 @@ def group_quota_topk(df: DataFrame, group_col: str = "source",
         # single-task sort dominates the pass and the memory contract
         # starts to bind.
         hot = (
-            df.groupBy(group_col).count()
+            # select(group_col) first: makes the column pruning the
+            # estimate depends on explicit rather than inferred
+            df.select(group_col).groupBy(group_col).count()
             .agg(F.max("count").alias("m")).first()["m"]
         )
         mode = "salted" if (hot or 0) > salt_threshold_rows else "naive"

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..operators import (
     chunking, decontam, dedup, joins, multimodal, sampling, similarity, text,
 )
+from ..caching import lane_cache
 from ..sources import testdata
 from .queries import query
 
@@ -2229,8 +2230,13 @@ def x_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    assigned = similarity.ivf_assign(e, cent, with_score=True).select(
-        "vec_id", "centroid_id", "centroid_cos"
+    # cached around the quota call: auto-dispatch's hot-group
+    # estimate is an extra pass, and the assignment is computed, not
+    # table-backed (group_quota_topk docstring, r10)
+    assigned = lane_cache(
+        similarity.ivf_assign(e, cent, with_score=True).select(
+            "vec_id", "centroid_id", "centroid_cos"
+        )
     )
     return sampling.group_quota_topk(
         assigned, group_col="centroid_id", rank_col="centroid_cos",
@@ -3012,8 +3018,11 @@ def x_cluster_quota_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation run uses."""
     e = testdata.load(spark, sf_dir, "embeddings")
     cent = similarity.kmeans_centroids(e, nlist=8, iters=5, sample=2048)
-    assigned = similarity.ivf_assign_pandas(e, cent, with_score=True).select(
-        "vec_id", "centroid_id", "centroid_cos"
+    # cached around the quota call (see x_cluster_quota)
+    assigned = lane_cache(
+        similarity.ivf_assign_pandas(e, cent, with_score=True).select(
+            "vec_id", "centroid_id", "centroid_cos"
+        )
     )
     return sampling.group_quota_topk(
         assigned, group_col="centroid_id", rank_col="centroid_cos",

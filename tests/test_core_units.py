@@ -363,6 +363,17 @@ class TestRotationSuggest:
         # c, d (r04) hit the limit at r07 and MUST front that window
         assert b["_VERIFY_LAST"] == ["c", "d"]
 
+    def test_slipped_lane_is_still_an_obligation(self):
+        # r10 review: a lane whose deadline already PASSED (green at
+        # cur-3 or older — an earlier cut missed it) must front the
+        # window as due, not hide in the refresh pool where the
+        # overflow guard can't see it
+        names = ["a", "b", "c"]
+        green = {"a": 2, "b": 3, "c": 4}  # cur=5: 'a' slipped, 'b' due
+        b = self._suggest(names, green, {}, cur=5, window=3)
+        assert b["freshness-due"] == ["a", "b"]
+        assert b["refresh picks"] == ["c"]
+
     def test_overflow_is_loud(self):
         import pytest as _pytest
         names = [f"l{i}" for i in range(5)]
