@@ -110,10 +110,16 @@ def main() -> None:
         r = df.agg(F.count("*").alias("n"),
                    F.sum("doc_id").alias("ids"),
                    F.sum("weight").alias("w")).first()
-        return r["n"], r["ids"], round(r["w"], 6)
+        return r["n"], r["ids"], r["w"]
 
     chk_s, chk_p = _chk(enriched), _chk(plain)
-    assert chk_s == chk_p, (chk_s, chk_p)
+    # exact compare on the integer checksums; tolerance on the double
+    # sum — the two arms are different physical plans, so partial-sum
+    # ordering can legitimately differ in the last bits (r10 ADVICE:
+    # a round-to-6dp equality could flake at larger SF even when the
+    # arms are semantically equal)
+    assert chk_s[:2] == chk_p[:2] and abs(chk_s[2] - chk_p[2]) < 1e-6, \
+        (chk_s, chk_p)
     print(f"== salted source-weight join: {chk_s[0]} docs enriched; "
           f"salted and plain arms checksum-equal")
 

@@ -831,7 +831,11 @@ def _bigstar_components(ids: DataFrame, pairs: DataFrame,
         if converged:
             break
     if stats is not None:
-        stats.update(rounds=rounds, converged=converged)
+        # escalated=False keeps the stats shape uniform with the
+        # propagation path (which may escalate INTO bigstar) — callers
+        # can read stats["escalated"] under either algorithm without
+        # .get() guards (r10 ADVICE).
+        stats.update(rounds=rounds, converged=converged, escalated=False)
     out = (
         ids.select(F.col(id_col).alias("nid"))
         .join(e, F.col("nid").cast("long") == F.col("u"), "left")
@@ -891,17 +895,21 @@ def components_from_pairs(ids: DataFrame, pairs: DataFrame,
       this way).
 
     ``stats``: optional dict that receives ``{"rounds": k, "converged":
-    bool}`` when the function returns — both loops already count()
-    every round, so reporting is free. The propagation path adds
-    ``"escalated"`` (bool); an escalated run reports the bigstar
+    bool, "escalated": bool}`` when the function returns — both loops
+    already count() every round, so reporting is free, and the shape is
+    uniform across algorithms (bigstar always reports escalated=False;
+    r10 ADVICE). An escalated propagation run reports the bigstar
     finish's rounds added to the propagation rounds and converged=True.
     """
+    # Validate BOTH knobs before the algorithm dispatch: a typo'd
+    # on_exhausted used to be silently accepted on the bigstar path
+    # (it returned before the check — r10 ADVICE).
+    if on_exhausted not in ("escalate", "raise", "ignore"):
+        raise ValueError(f"unknown on_exhausted: {on_exhausted}")
     if algorithm == "bigstar":
         return _bigstar_components(ids, pairs, id_col, max_iter, stats)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm: {algorithm}")
-    if on_exhausted not in ("escalate", "raise", "ignore"):
-        raise ValueError(f"unknown on_exhausted: {on_exhausted}")
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(

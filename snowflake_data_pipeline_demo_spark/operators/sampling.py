@@ -15,8 +15,12 @@ read only their slice.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def hash_bucket(id_col: Column | str, buckets: int = 100,
@@ -139,6 +143,13 @@ def group_quota_topk(df: DataFrame, group_col: str = "source",
             .agg(F.max("count").alias("m")).first()["m"]
         )
         mode = "salted" if (hot or 0) > salt_threshold_rows else "naive"
+        # The eager pass is otherwise invisible to callers who relied
+        # on builder laziness (r10 ADVICE) — make it observable.
+        _LOG.info(
+            "group_quota_topk auto-dispatch: hottest %s group ~%s rows "
+            "(threshold %s) -> %s window", group_col, hot,
+            salt_threshold_rows, mode,
+        )
     w2 = Window.partitionBy(group_col).orderBy(
         F.desc(rank_col), F.asc(id_col)
     )

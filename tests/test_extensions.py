@@ -453,6 +453,12 @@ def test_propagation_exhaustion_is_loud_or_escalates(spark):
     assert st["escalated"] and st["converged"]
     with pytest.raises(ValueError, match="on_exhausted"):
         dedup.components_from_pairs(ids, pairs, on_exhausted="bogus")
+    # r10 ADVICE: the knob is validated BEFORE the algorithm dispatch,
+    # so a typo is loud on the bigstar path too (it used to be
+    # silently accepted there)
+    with pytest.raises(ValueError, match="on_exhausted"):
+        dedup.components_from_pairs(ids, pairs, algorithm="bigstar",
+                                    on_exhausted="bogus")
 
 
 def test_components_stats_report_rounds_and_convergence(spark):
@@ -480,6 +486,10 @@ def test_components_stats_report_rounds_and_convergence(spark):
     )
     assert {r["component_id"] for r in out.collect()} == {0}
     assert st["converged"] and 0 < st["rounds"] < n
+    # r10 ADVICE: uniform stats shape — bigstar reports escalated too
+    # (always False; only propagation can escalate), so callers index
+    # st["escalated"] under either algorithm without .get() guards
+    assert st["escalated"] is False
 
 
 def test_bigstar_isolated_and_multi_component(spark):
