@@ -50,6 +50,7 @@ class Task:
         self.schedule = schedule
         self.after: list[Callable[[], None]] = []  # T5 child hooks
         self.query: StreamingQuery | None = None
+        self._stopping = False
 
     def add_after(self, hook: Callable[[], None]) -> None:
         """``CREATE TASK child ... AFTER this`` (dp_setup.sql:249-252)."""
@@ -80,12 +81,31 @@ class Task:
     def _record(self, spark: SparkSession, state: str, scheduled, batch_id: int,
                 rows: int, error: str | None) -> None:
         completed = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-        self.task_history.append(
-            spark.createDataFrame(
-                [(self.name, state, scheduled, completed, batch_id, rows, error)],
-                self.task_history.schema,
+        try:
+            self.task_history.append(
+                spark.createDataFrame(
+                    [(self.name, state, scheduled, completed, batch_id,
+                      rows, error)],
+                    self.task_history.schema,
+                )
             )
-        )
+        except Exception:
+            # suspend() stops the query by interrupting the stream
+            # thread; on a fast trigger the interrupt almost always
+            # lands while this append is mid-flight on the foreachBatch
+            # callback (r11 captured trace: Py4JJavaError <-
+            # java.lang.InterruptedException inside
+            # DataFrameWriter.parquet). Raising here would send the
+            # exception back across the tearing-down py4j callback
+            # connection — the protocol-error channel. Dropping the
+            # row is safe EXACTLY when stopping: the batch's epoch is
+            # uncommitted, so a SUCCEEDED/FAILED row re-appends when
+            # the batch replays on resume, and a SKIPPED row describes
+            # an empty tick nobody will miss. Any other failure is
+            # real and must propagate.
+            if self._stopping:
+                return
+            raise
 
     # -- lifecycle ----------------------------------------------------------
     def resume(self) -> StreamingQuery:
@@ -122,8 +142,16 @@ class Task:
     def suspend(self) -> None:
         """ALTER TASK ... SUSPEND (dp_demo.sql:191-193)."""
         if self.query is not None:
-            self.query.stop()
-            self.query = None
+            # flag BEFORE stop(): stop interrupts the stream thread,
+            # which may be mid-_record on the callback connection (see
+            # _record's except) — the flag classifies that failure as
+            # the benign suspension race
+            self._stopping = True
+            try:
+                self.query.stop()
+            finally:
+                self._stopping = False
+                self.query = None
 
 
 class TaskRunner:

@@ -115,3 +115,28 @@ def test_pipe_status_and_dashboard(pipeline):
     assert row["trips_rows"] == pipeline.trips.count()
     assert row["backlog_new_trips"] == 0
     assert row["programs_rows"] == pipeline.programs.count()
+
+
+def test_record_failure_dropped_only_while_stopping(spark):
+    """The suspend-interrupt race pin (r11): a task-history append that
+    fails WHILE the task is stopping is dropped (the uncommitted epoch
+    replays on resume, so the row re-appends), but the same failure on
+    a running task propagates — the guard must never absorb a real
+    write error."""
+    from snowflake_data_pipeline_demo_spark.streaming.history import (
+        TASK_HISTORY_SCHEMA,
+    )
+    from snowflake_data_pipeline_demo_spark.streaming.tasks import Task
+
+    class _Boom:
+        schema = TASK_HISTORY_SCHEMA
+
+        def append(self, df):
+            raise RuntimeError("py4j interrupted write stand-in")
+
+    t = Task("t", stream=None, body=lambda b, i: 0, task_history=_Boom())
+    t._stopping = True
+    t._record(spark, "SKIPPED", None, -1, 0, None)  # dropped, no raise
+    t._stopping = False
+    with pytest.raises(RuntimeError, match="stand-in"):
+        t._record(spark, "SKIPPED", None, -1, 0, None)
