@@ -83,39 +83,45 @@ def group_quota_topk(df: DataFrame, group_col: str = "source",
                      rank_col: str = "n_chars", k: int = 10,
                      id_col: str = "doc_id",
                      salt_buckets: int = 16,
-                     mode: str = "auto",
+                     mode: str = "naive",
                      salt_threshold_rows: int = 32_000_000) -> DataFrame:
     """Per-group quota sampling: keep the top ``k`` rows of every group
     ordered by (``rank_col`` DESC, ``id_col`` ASC) — the domain-cap
     curation gate (a hot domain contributes at most k documents, ranked
     by quality/length). Output: input columns + ``quota_rank`` (1..k).
 
-    ``mode`` picks the physical form (r09 verdict ask #4 — the choice
-    used to live in this docstring for the caller to read):
+    ``mode`` picks the physical form:
 
-    - ``"naive"``: one row_number window over partitionBy(group) —
-      every row of a group lands on ONE reducer's sorter.
-    - ``"salted"``: two-phase — phase 1 ranks within (group,
-      hash(id) % salt_buckets) and keeps k per salt (the group's rows
-      spread over ``salt_buckets`` reducers); phase 2 re-ranks the
-      <= salt_buckets*k survivors per group and keeps k. Correct
-      because a group's global top-k is contained in the union of its
-      per-salt top-ks; phase 2's input is bounded rows-per-group, so
-      its window is skew-proof by construction.
-    - ``"auto"`` (default): estimate the hottest group's row count
-      with one map-side-combinable aggregation (decomposable — the
-      estimate itself cannot skew) and dispatch on it against
-      ``salt_threshold_rows``.
+    - ``"naive"`` (default): one row_number window over
+      partitionBy(group). On Spark >= 3.5 this is NOT the textbook
+      straggler: InferWindowGroupLimit rewrites the rank-filter
+      pattern into WindowGroupLimit(Partial) before the shuffle and
+      (Final) after, so each map partition forwards at most k rows
+      per group and the hot reducer receives <= k * num_map_partitions
+      rows regardless of group size. Measured (r11,
+      scripts/window_spill_run.py, 95%-hot key, 16g heap): flat and
+      spill-free to 1B rows, 10-12x faster than the rewrite-disabled
+      single-task shape at 32-128M rows. The default is LAZY — no
+      estimate pass runs at call time.
+    - ``"salted"``: explicit two-phase — phase 1 ranks within (group,
+      hash(id) % salt_buckets) and keeps k per salt; phase 2 re-ranks
+      the <= salt_buckets*k survivors per group. Correct because a
+      group's global top-k is contained in the union of its per-salt
+      top-ks. The portability arm for engines WITHOUT the group-limit
+      rewrite (Spark < 3.5, or spark.sql.optimizer.
+      windowGroupLimitThreshold=-1), where the naive window really
+      does put the whole hot group on one reducer's sorter.
+    - ``"auto"``: estimate the hottest group's row count with one
+      map-side-combinable aggregation (decomposable — the estimate
+      itself cannot skew) and dispatch on it against
+      ``salt_threshold_rows``. Only meaningful on rewrite-less
+      engines; on this engine the naive arm wins at every measured
+      size, so auto is opt-in, not the default (it also makes the
+      builder EAGER — the estimate executes one extra pass over
+      ``df.select(group_col)`` at call time; cache computed inputs
+      first, r10 review).
 
-    Auto's contract: the estimate EXECUTES one extra pass over
-    ``df.select(group_col)`` at call time (the builder becomes eager).
-    Column pruning makes that a single-column scan for table-backed
-    inputs, but when ``df`` is itself an expensive computed pipeline
-    (a UDF projection, an unpersisted join), the upstream compute runs
-    twice — cache ``df`` first, or pass ``mode`` explicitly when the
-    hot-group size is already known (r10 review).
-
-    Both forms return identical values (the DuckDB oracle runs the
+    All forms return identical values (the DuckDB oracle runs the
     naive form; tests/test_properties.py pins multiset equality).
     """
     from pyspark.sql import Window
@@ -123,19 +129,19 @@ def group_quota_topk(df: DataFrame, group_col: str = "source",
     if mode not in ("auto", "naive", "salted"):
         raise ValueError(f"unknown mode: {mode}")
     if mode == "auto":
-        # Dispatch numbers (scripts/skew_scale_run.py, SCALE.md r09,
-        # measured on local[32]): one core's UnsafeSort runs ~7M
-        # (long,long,long) rows/s, so even a 30M-row hot group sorts in
-        # ~4 s on its one reducer — UNDER the salted form's extra
-        # full-corpus shuffle; the salted window never won locally.
-        # Its real contracts are (a) MEMORY — the naive window must
-        # fit the hot group in one task's sorter (spill turns the
-        # straggler into a disk-bound one) — and (b) CLUSTER WALL —
-        # the hot task's sort is a floor no executor count can lower,
-        # while phase 1 parallelizes with the cluster. 32M rows is
-        # just above the largest measured naive win; past it the
-        # single-task sort dominates the pass and the memory contract
-        # starts to bind.
+        # Threshold provenance, remeasured r11 at the actual bind
+        # point (scripts/window_spill_run.py; r10 verdict ask #4):
+        # with the group-limit rewrite DISABLED (the legacy shape this
+        # dispatch exists for), the single reducer task owning a 16g
+        # heap's whole execution pool sorts a 60.8M-row hot group
+        # without spilling and SPILLS at 121.6M (1.4 GB to disk,
+        # 356 s wall); the wall cost is ~70 s at 30M hot rows under
+        # this round's host conditions. A cluster executor sharing
+        # its pool across several task slots binds proportionally
+        # earlier, so 32M is a conservative memory crossover for the
+        # legacy shape — and on engines WITH the rewrite the naive
+        # arm never loses, so crossing the threshold merely trades a
+        # never-spilling plan for an equivalent two-phase one.
         hot = (
             # select(group_col) first: makes the column pruning the
             # estimate depends on explicit rather than inferred

@@ -2051,11 +2051,13 @@ def x_chunk_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document quota (top-10 by length): the domain-cap
-    curation gate (operators/sampling.py:group_quota_topk, r10
-    auto-dispatch: naive single window below the 32M-row hot-group
-    threshold — this SF — salted two-phase above it, so a 100 TB hot
-    domain never lands on one reducer); values match the naive single
-    window the oracle runs under either arm."""
+    curation gate (operators/sampling.py:group_quota_topk). One
+    logical window, physically two-phased by the engine's
+    InferWindowGroupLimit rewrite (WindowGroupLimit Partial below the
+    exchange, plan-pinned) — a 100 TB hot domain ships at most k rows
+    per map partition, never its whole row set (measured flat to 1B
+    rows, r11: scripts/window_spill_run.py); values match the oracle's
+    naive window."""
     d = testdata.load(spark, sf_dir, "documents")
     return sampling.group_quota_topk(
         d.select("source", "doc_id", "n_chars"),
@@ -2221,22 +2223,19 @@ def x_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-balanced sampling: assign embeddings to their nearest
     centroid (shuffle-free inlined-literal argmax,
     similarity.ivf_assign) then cap each cluster at its 20 most
-    central members via the auto-dispatched quota top-k
-    (sampling.group_quota_topk: naive window at this SF, salted
-    two-phase past the 32M-row hot-group threshold) — the
-    cluster-proportional mixture control a curation run applies
-    before training."""
+    central members via the quota top-k (sampling.group_quota_topk:
+    one logical window, two-phased physically by the engine's
+    group-limit rewrite) — the cluster-proportional mixture control a
+    curation run applies before training."""
     e = testdata.load(spark, sf_dir, "embeddings")
     cent = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    # cached around the quota call: auto-dispatch's hot-group
-    # estimate is an extra pass, and the assignment is computed, not
-    # table-backed (group_quota_topk docstring, r10)
-    assigned = lane_cache(
-        similarity.ivf_assign(e, cent, with_score=True).select(
-            "vec_id", "centroid_id", "centroid_cos"
-        )
+    # no cache: the r11 lazy-naive default consumes the assignment in
+    # exactly one action (the r10 cache guarded auto-dispatch's extra
+    # estimate pass, which no longer runs)
+    assigned = similarity.ivf_assign(e, cent, with_score=True).select(
+        "vec_id", "centroid_id", "centroid_cos"
     )
     return sampling.group_quota_topk(
         assigned, group_col="centroid_id", rank_col="centroid_cos",
@@ -3018,11 +3017,10 @@ def x_cluster_quota_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation run uses."""
     e = testdata.load(spark, sf_dir, "embeddings")
     cent = similarity.kmeans_centroids(e, nlist=8, iters=5, sample=2048)
-    # cached around the quota call (see x_cluster_quota)
-    assigned = lane_cache(
-        similarity.ivf_assign_pandas(e, cent, with_score=True).select(
-            "vec_id", "centroid_id", "centroid_cos"
-        )
+    # no cache: single-action consumer under the lazy-naive quota
+    # default (see x_cluster_quota)
+    assigned = similarity.ivf_assign_pandas(e, cent, with_score=True).select(
+        "vec_id", "centroid_id", "centroid_cos"
     )
     return sampling.group_quota_topk(
         assigned, group_col="centroid_id", rank_col="centroid_cos",

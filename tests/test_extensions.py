@@ -740,12 +740,14 @@ def test_group_quota_matches_naive_window(spark, docs):
 
 
 def test_group_quota_auto_dispatch_switch_point(spark, docs):
-    """r10 (r09 verdict ask #4): mode='auto' picks the physical form
-    from the estimated hottest-group size instead of making callers
-    read the docstring. Below salt_threshold_rows -> the naive single
-    window (one Window node — the measured local winner); above ->
-    the salted two-phase (two Window nodes — the memory/cluster-wall
-    shape). Values identical either way."""
+    """r10 (r09 verdict ask #4), default flipped r11: mode='auto' is
+    the opt-in dispatch for engines without the window group-limit
+    rewrite. Below salt_threshold_rows -> the naive single window (one
+    Window node); above -> the salted two-phase (two Window nodes).
+    The r11 default is the LAZY naive form — on this engine
+    InferWindowGroupLimit already two-phases it physically (pinned in
+    test_plan_shapes), so auto's eager estimate pass buys nothing
+    here. Values identical across all three forms."""
     from snowflake_data_pipeline_demo_spark.operators import sampling
 
     import contextlib
@@ -758,12 +760,18 @@ def test_group_quota_auto_dispatch_switch_point(spark, docs):
         return buf.getvalue()
 
     d = docs.select("source", "doc_id", "n_chars")
-    naive = sampling.group_quota_topk(d, k=7)  # hot group << 32M
-    salted = sampling.group_quota_topk(d, k=7, salt_threshold_rows=0)
+    naive = sampling.group_quota_topk(d, k=7)  # lazy default
+    auto_lo = sampling.group_quota_topk(d, k=7, mode="auto")
+    salted = sampling.group_quota_topk(d, k=7, mode="auto",
+                                       salt_threshold_rows=0)
     assert plan(naive).count("Window (") == 1
+    assert plan(auto_lo).count("Window (") == 1  # hot group << 32M
     assert plan(salted).count("Window (") == 2
     assert sorted(map(tuple, naive.collect())) == sorted(
         map(tuple, salted.collect())
+    )
+    assert sorted(map(tuple, naive.collect())) == sorted(
+        map(tuple, auto_lo.collect())
     )
     with pytest.raises(ValueError, match="unknown mode"):
         sampling.group_quota_topk(d, mode="bogus")

@@ -237,16 +237,20 @@ def test_classifier_serving_stays_in_hash_aggregate(spark):
     assert "SortAggregate" not in p
 
 
-def test_source_quota_auto_dispatch_picks_naive_at_test_scale(spark):
-    # r10: group_quota_topk dispatches on the estimated hottest-group
-    # size (mode="auto"). At sf0.001 every group is far below the 32M
-    # threshold, so the lane must plan the naive single window — the
-    # measured local winner. The salted two-phase shape (two Window
-    # nodes) is pinned by test_extensions.py::
-    # test_group_quota_auto_dispatch_switch_point, which forces the
-    # threshold to 0; a refactor that loses EITHER arm fails one pin.
+def test_source_quota_window_is_group_limited_two_phase(spark):
+    # r11: the quota lane plans ONE logical window, but the engine's
+    # InferWindowGroupLimit must two-phase it physically —
+    # WindowGroupLimit(Partial) below the exchange caps each map
+    # partition at k rows per group, so a 100 TB hot domain ships
+    # <= k rows per upstream partition instead of its whole row set
+    # (measured flat to 1B rows, scripts/window_spill_run.py). An
+    # engine upgrade or conf change that loses the rewrite fails this
+    # pin and re-opens the straggler question; the explicit salted
+    # fallback (two Window nodes) is pinned by test_extensions.py::
+    # test_group_quota_auto_dispatch_switch_point.
     p = _plan(spark, "x_source_quota")
     assert p.count("Window (") == 1
+    assert "WindowGroupLimit" in p and "Partial" in p
 
 
 def test_bpe_pair_counting_stays_in_hash_aggregate(spark):
