@@ -113,7 +113,6 @@ def main() -> None:
           f"95%-hot key, row = 3 longs) ==", flush=True)
     results = []
     n = 32_000_000
-    chks: dict[int, set] = {}
     while n <= 1_024_000_000:
         on = run_arm(spark, app_id, n, rewrite=True)
         off = run_arm(spark, app_id, n, rewrite=False)

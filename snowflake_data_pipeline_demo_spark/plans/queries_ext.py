@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 from ..operators import (
     chunking, decontam, dedup, joins, multimodal, sampling, similarity, text,
 )
-from ..caching import lane_cache
 from ..sources import testdata
 from .queries import query
 

@@ -27,9 +27,25 @@ Scale notes:
 
 from __future__ import annotations
 
+import threading
+from collections import defaultdict
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: Per-table-path append serialization (r11 captured trace): two
+#: concurrent append jobs into the SAME path share the committer's
+#: `<path>/_temporary/0` staging dir, and the first job's commit
+#: CLEANUP recursively deletes it — wiping the second job's in-flight
+#: attempt dir (`chmod: cannot access ..._temporary/attempt_...`,
+#: job aborted). Hit live by the three 1-second task ticks appending
+#: to the shared task_history ledger. In-process writers (the task
+#: runner, the pipe, tests) serialize here; multi-DRIVER concurrent
+#: appends to one path need a committer with per-job staging or a
+#: table format with a real commit protocol — documented non-goal for
+#: the plain-parquet catalog.
+_APPEND_LOCKS: defaultdict[str, threading.Lock] = defaultdict(threading.Lock)
 
 # -- Declared schemas (dp_setup.sql:140-175; SURVEY §1.1) -------------------
 
@@ -183,12 +199,15 @@ class Table:
 
     def append(self, df: DataFrame) -> None:
         """INSERT-append in declared column order (positional, like SQL
-        INSERT ... SELECT, dp_setup.sql:192-203)."""
+        INSERT ... SELECT, dp_setup.sql:192-203). Serialized per table
+        path — concurrent appends share committer staging and one
+        job's cleanup kills the other (see _APPEND_LOCKS)."""
         cols = [f.name for f in self.schema.fields]
         w = df.select(*cols).write.mode("append")
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
-        w.parquet(self.path)
+        with _APPEND_LOCKS[self.path]:
+            w.parquet(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
         cols = [f.name for f in self.schema.fields]

@@ -70,16 +70,32 @@ class Task:
             try:
                 processed = self.body(batch, batch_id)
             except Exception as e:  # noqa: BLE001 - ledger then re-raise
-                self._record(spark, "FAILED", scheduled, batch_id, 0, str(e)[:500])
+                # re-raise ALWAYS (a partial body must never let the
+                # epoch commit), but skip the FAILED ledger row while
+                # suspending: the interrupt that killed the body would
+                # make it a spurious FAILED-for-a-benign-stop entry,
+                # contradicted by the replay's SUCCEEDED row
+                if not self._stopping:
+                    self._record(spark, "FAILED", scheduled, batch_id, 0,
+                                 str(e)[:500])
                 raise
-            self._record(spark, "SUCCEEDED", scheduled, batch_id, processed, None)
+            if not self._record(spark, "SUCCEEDED", scheduled, batch_id,
+                                processed, None):
+                # record dropped mid-suspension: do NOT run AFTER hooks
+                # on a thread whose job group stop() just cancelled —
+                # their Spark actions would raise across the
+                # tearing-down callback connection (r11 review)
+                return
             for hook in self.after:
                 hook()
         finally:
             batch.unpersist()
 
     def _record(self, spark: SparkSession, state: str, scheduled, batch_id: int,
-                rows: int, error: str | None) -> None:
+                rows: int, error: str | None) -> bool:
+        """Append one task_history row. Returns False iff the append
+        failed WHILE the task was being suspended — the one case the
+        failure is dropped instead of raised."""
         completed = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         try:
             self.task_history.append(
@@ -89,6 +105,7 @@ class Task:
                     self.task_history.schema,
                 )
             )
+            return True
         except Exception:
             # suspend() stops the query by interrupting the stream
             # thread; on a fast trigger the interrupt almost always
@@ -98,13 +115,17 @@ class Task:
             # DataFrameWriter.parquet). Raising here would send the
             # exception back across the tearing-down py4j callback
             # connection — the protocol-error channel. Dropping the
-            # row is safe EXACTLY when stopping: the batch's epoch is
-            # uncommitted, so a SUCCEEDED/FAILED row re-appends when
-            # the batch replays on resume, and a SKIPPED row describes
-            # an empty tick nobody will miss. Any other failure is
-            # real and must propagate.
+            # row costs at most ONE monitoring entry for the
+            # interrupted tick: if the epoch never commits (the usual
+            # stop path) the replay re-appends it; if stop() landed
+            # after the sink returned and the epoch does commit, the
+            # tick's DATA is intact (the body's writes are batch-keyed)
+            # and only its history row is lost — task_history is
+            # best-effort across suspension, exactly-once for data is
+            # untouched. Any failure on a RUNNING task is real and
+            # propagates.
             if self._stopping:
-                return
+                return False
             raise
 
     # -- lifecycle ----------------------------------------------------------
@@ -149,9 +170,13 @@ class Task:
             self._stopping = True
             try:
                 self.query.stop()
+                # only a SUCCESSFUL stop clears the handle: if stop()
+                # raised, the query may still be live and show()/a
+                # retry must keep seeing it (r11 review — dropping the
+                # handle in a finally orphaned a running query)
+                self.query = None
             finally:
                 self._stopping = False
-                self.query = None
 
 
 class TaskRunner:

@@ -136,7 +136,35 @@ def test_record_failure_dropped_only_while_stopping(spark):
 
     t = Task("t", stream=None, body=lambda b, i: 0, task_history=_Boom())
     t._stopping = True
-    t._record(spark, "SKIPPED", None, -1, 0, None)  # dropped, no raise
+    # dropped, no raise — and the False return tells _on_batch to skip
+    # AFTER hooks on the dying thread
+    assert t._record(spark, "SKIPPED", None, -1, 0, None) is False
     t._stopping = False
     with pytest.raises(RuntimeError, match="stand-in"):
         t._record(spark, "SKIPPED", None, -1, 0, None)
+
+
+def test_concurrent_appends_to_one_table_are_safe(spark, tmp_path):
+    """The r11 staging-collision pin: concurrent append jobs into one
+    path share the committer's _temporary/0 staging dir, and one
+    commit's cleanup used to delete the other's in-flight attempt dir
+    (captured live from two task ticks appending task_history).
+    Table.append serializes per path; 12 appends from 4 threads must
+    all land."""
+    import concurrent.futures
+
+    from pyspark.sql import types as T
+
+    from snowflake_data_pipeline_demo_spark.sources.catalog import Table
+
+    t = Table(spark, str(tmp_path / "ledger"), T.StructType([
+        T.StructField("k", T.LongType()),
+    ]))
+
+    def one(i):
+        t.append(spark.range(i, i + 1).select(F.col("id").alias("k")))
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(one, range(12)))
+    assert t.read().count() == 12
+    assert {r["k"] for r in t.read().collect()} == set(range(12))

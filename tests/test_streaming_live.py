@@ -64,8 +64,16 @@ def test_live_pipe_and_tasks(spark, tables, tmp_path_factory):
     #    tearing-down callback connection (the py4j protocol-error
     #    channel the r10 judge observed). Absorbed at the source:
     #    Task._record drops the append iff the task is stopping
-    #    (tasks.py — the uncommitted epoch replays on resume, so no
-    #    ledger row is lost).
+    #    (tasks.py), and AFTER hooks are skipped on that path.
+    # 3. The concurrent-append staging collision — the three live
+    #    tasks append to the SHARED task_history table on overlapping
+    #    ticks; concurrent append jobs into one path share the
+    #    committer's `_temporary/0` staging dir and the first commit's
+    #    cleanup deletes the second job's in-flight attempt dir
+    #    (`chmod: cannot access ..._temporary/attempt_...`, captured
+    #    r11 in a green run — the failed batch replayed). Fixed at the
+    #    source: Table.append serializes per table path
+    #    (catalog._APPEND_LOCKS).
     root = str(tmp_path_factory.mktemp("live"))
     p = CitibikePipeline(spark, root)
     docs = trip_docs(tables["lineitem"], tables["supplier"], tables["nation"])
