@@ -884,84 +884,19 @@ from . import queries_ext  # noqa: E402,F401
 #: that window; long-verified scalar one-liners drift past position 50
 #: (their green rows live in CORRECTNESS_r01..r03).
 _VERIFY_FIRST = [
-    # -- r11 rotation cut (policy: fix obligations first, then
+    # -- r12 rotation cut (policy: fix obligations first, then
     # -- never-graded, then freshness-due, then alphabetical refresh
     # -- picks from the oldest remaining cohort — computed by
     # -- `python scripts/rotation_ledger.py --suggest` against
-    # -- CORRECTNESS_r10). Ledger going into r11: zero fails, zero
-    # -- never-graded, 29 at r08 (the freshness limit — the r10
-    # -- _VERIFY_LAST cohort, obligated by the r10 verdict item 1;
-    # -- the other 21 r08 lanes were refresh-picked INTO the r10
-    # -- window and are r10-green now), 50 at r09, 50 at r10.
-    # -- Window = 29 r08-due + 21 refresh picks from the r09 cohort;
-    # -- the 29 remaining r09 entries MUST front the r12 window
-    # -- (see _VERIFY_LAST).
+    # -- CORRECTNESS_r11). Ledger going into r12: zero fails, zero
+    # -- never-graded, 29 at r09 (the freshness limit — the r11
+    # -- _VERIFY_LAST cohort, obligated by the r11 verdict item 1),
+    # -- 50 at r10, 50 at r11. Window = 29 r09-due + 21 refresh picks
+    # -- from the r10 cohort; the 29 remaining r10 entries MUST front
+    # -- the r13 window (see _VERIFY_LAST).
     #
-    # freshness-due (last driver-green r08, due r11) — 29: the r10
+    # freshness-due (last driver-green r09, due r12) — 29: the r11
     # _VERIFY_LAST cohort, verbatim.
-    "s6_stage_select",
-    "s7_metadata_filename",
-    "u1_union_distinct",
-    "x_ann_recall",
-    "x_asof_join",
-    "x_bigram_logprob",
-    "x_bpe_pairs",
-    "x_bpe_train",
-    "x_chunk_dedup_reassemble",
-    "x_chunk_tokens",
-    "x_cluster_quota",
-    "x_contamination_matrix",
-    "x_corpus_report",
-    "x_curation_funnel",
-    "x_decontaminate",
-    "x_dedup_cluster_sizes",
-    "x_dedup_components_bigstar",
-    "x_dedup_incremental",
-    "x_dedup_keep_longest",
-    "x_dedup_minhash_incremental",
-    "x_distinct_tokens_hll",
-    "x_embed_covariance",
-    "x_embed_covariance_prod",
-    "x_lang_id",
-    "x_text_quality",
-    "x_text_stats",
-    "x_token_ids",
-    "x_token_pmi",
-    "x_window_rollup",
-    # refresh picks (r09-green, 21 of 50, alphabetical for a
-    # deterministic audit trail — includes the flagship + secure-view
-    # governance lanes and the core dedup family, refreshing them a
-    # round before their r12 due date): pulls the r12 obligation down
-    # from 50 lanes to the 29 in _VERIFY_LAST.
-    "flagship_secure_report",
-    "secure_view_masked_rows",
-    "x_bloom_cross_run_probe",
-    "x_classifier_calibration",
-    "x_cluster_quota_trained",
-    "x_cms_heavy_hitters",
-    "x_compression_ratio",
-    "x_cross_source_dups",
-    "x_dedup_components",
-    "x_dedup_components_incremental",
-    "x_dedup_embedding_neardup",
-    "x_dedup_exact",
-    "x_dedup_minhash_lsh",
-    "x_dedup_minhash_xxhash",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_pipeline_components",
-    "x_dedup_simhash",
-    "x_dedup_threshold_sweep",
-    "x_doc_truncate",
-    "x_drop_reasons",
-    "x_dsir_importance",
-]
-
-#: r09-green entries NOT refreshed in the r11 window — they hit the
-#: two-round freshness limit at r12, so this exact list MUST front the
-#: r12 cut (rotation ledger: ROTATION.md). All remain oracle-gated
-#: locally every run by tests/test_oracle_parity.py, which
-#: parametrizes the whole registry.
-_VERIFY_LAST = [
     "x_dup_ngram_coverage",
     "x_embed_dedup_incremental",
     "x_embed_quantize",
@@ -991,6 +926,68 @@ _VERIFY_LAST = [
     "x_temperature_mixture",
     "x_text_redact",
     "x_vocab_topk",
+    # refresh picks (r10-green, 21 of 50, alphabetical for a
+    # deterministic audit trail — the core reference-parity families:
+    # aggregates, joins, variant/datetime functions): pulls the r13
+    # obligation down from 50 lanes to the 29 in _VERIFY_LAST.
+    "a2_count_distinct",
+    "a5_groupby_ordinals",
+    "a6_dashboard_subqueries",
+    "a7_distinct_days",
+    "f13_md5",
+    "f4_to_date_auto",
+    "f5_object_construct_roundtrip",
+    "f6_variant_extract",
+    "f7_variant_native",
+    "f_datetime_kit",
+    "j1_star_join_revenue",
+    "j2_role_playing_join",
+    "j4_computed_key_join",
+    "j5_onless_inner_join",
+    "j6_theta_like_join",
+    "j7_merge_insert_only",
+    "o5_top16",
+    "p2_date_range_filter",
+    "p6_in_subquery",
+    "p7_distinct",
+    "p8_iff_projection",
+]
+
+#: r10-green entries NOT refreshed in the r12 window — they hit the
+#: two-round freshness limit at r13, so this exact list MUST front the
+#: r13 cut (rotation ledger: ROTATION.md). All remain oracle-gated
+#: locally every run by tests/test_oracle_parity.py, which
+#: parametrizes the whole registry.
+_VERIFY_LAST = [
+    "x_dsir_resample",
+    "x_embed_dim_stats",
+    "x_embed_pca_project",
+    "x_encoding_quality",
+    "x_histogram_quantiles",
+    "x_langid_confusion",
+    "x_length_filter",
+    "x_line_dedup",
+    "x_multimodal_byte_histogram",
+    "x_multimodal_frame_sample",
+    "x_multimodal_metadata",
+    "x_pack_boundaries",
+    "x_repetition_metrics_prod",
+    "x_sample_stratified",
+    "x_semdedup_prod",
+    "x_sessionize",
+    "x_shard_tokens",
+    "x_sim_cosine_topk",
+    "x_sim_ivf_ann",
+    "x_sim_lsh_ann",
+    "x_sim_lsh_ann_prod",
+    "x_snapshot_diff",
+    "x_split_leakage",
+    "x_stream_corpus_profile",
+    "x_tfidf_topk",
+    "x_unigram_logprob",
+    "x_winnow_clusters",
+    "x_winnow_fingerprints",
+    "x_winnow_overlap",
 ]
 
 #: Window size the driver grades (observed r02..r07: first 50 rows).

@@ -131,6 +131,9 @@ class Task:
     # -- lifecycle ----------------------------------------------------------
     def resume(self) -> StreamingQuery:
         """ALTER TASK ... RESUME (dp_demo.sql:97-99)."""
+        # a failed suspend() leaves _stopping True on purpose (see
+        # suspend); a fresh start must record its ticks again
+        self._stopping = False
         self.query = (
             self.stream.read().writeStream
             .queryName(f"task_{self.name}")
@@ -145,6 +148,7 @@ class Task:
         """One synchronous drain of the stream (availableNow) — the
         test/batch-mode equivalent of waiting a schedule tick."""
         self._fired = False
+        self._stopping = False  # fresh synchronous run, same as resume()
         scheduled = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         q = (
             self.stream.read().writeStream
@@ -168,15 +172,18 @@ class Task:
             # _record's except) — the flag classifies that failure as
             # the benign suspension race
             self._stopping = True
-            try:
-                self.query.stop()
-                # only a SUCCESSFUL stop clears the handle: if stop()
-                # raised, the query may still be live and show()/a
-                # retry must keep seeing it (r11 review — dropping the
-                # handle in a finally orphaned a running query)
-                self.query = None
-            finally:
-                self._stopping = False
+            self.query.stop()
+            # only a SUCCESSFUL stop clears BOTH the handle and the
+            # flag: if stop() raised (e.g. stopTimeout), the query may
+            # still be live and tearing down — show()/a retry must keep
+            # seeing the handle (r11 review), and the stream thread's
+            # interrupted ledger append must keep seeing _stopping so
+            # it doesn't re-raise across the dying py4j callback
+            # connection (r11 ADVICE: a finally-reset reopened that
+            # protocol-error channel on the stop-timeout path). The
+            # flag resets on the next resume().
+            self.query = None
+            self._stopping = False
 
 
 class TaskRunner:

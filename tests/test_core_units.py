@@ -54,6 +54,90 @@ def test_catalog_append_truncate(spark, tmp_path):
     assert t.count() == 0
 
 
+def test_concurrent_append_from_second_process_refused(spark, tmp_path):
+    """A second DRIVER process appending to the same parquet path is
+    detected and refused LOUDLY (r12; upgraded from the r11
+    'documented non-goal' — the silent failure mode is the first
+    commit's cleanup wiping the second job's shared `_temporary/0`
+    staging). A live subprocess acquires the pid lock file exactly the
+    way Table._append_lockfile does (O_CREAT|O_EXCL + pid inside) and
+    holds it; this process's append must raise ConcurrentAppendError
+    naming the holder, not corrupt."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from snowflake_data_pipeline_demo_spark.sources.catalog import (
+        ConcurrentAppendError,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("modelled.programs", PROGRAMS_SCHEMA)
+    df = spark.createDataFrame([(1, "A")], PROGRAMS_SCHEMA)
+    t.append(df)  # uncontended append works and releases the lock
+    lock = os.path.join(t._lock_key, "_append.lock")
+    assert not os.path.exists(lock)
+
+    holder = subprocess.Popen([
+        sys.executable, "-c",
+        "import os, sys, time\n"
+        f"fd = os.open({lock!r}, os.O_CREAT | os.O_EXCL | os.O_WRONLY)\n"
+        "os.write(fd, str(os.getpid()).encode()); os.close(fd)\n"
+        "print('held', flush=True)\n"
+        "time.sleep(60)\n",
+    ], stdout=subprocess.PIPE, text=True)
+    try:
+        assert holder.stdout.readline().strip() == "held"
+        with pytest.raises(ConcurrentAppendError, match=str(holder.pid)):
+            t.append(df)
+    finally:
+        holder.kill()
+        holder.wait()
+    # the refused append must not have clobbered the holder's lock
+    assert os.path.exists(lock)
+    os.remove(lock)
+    t.append(df)  # and the table still works once the writer is gone
+    assert t.count() == 2
+
+
+def test_stale_append_lock_from_dead_process_is_broken(spark, tmp_path):
+    """A lock file left by a CRASHED writer (pid no longer alive) must
+    not wedge the table: the guard breaks it and the append proceeds,
+    removing the lock afterwards."""
+    import os
+    import subprocess
+    import sys
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("modelled.programs", PROGRAMS_SCHEMA)
+    dead = subprocess.Popen([sys.executable, "-c", "pass"])
+    dead.wait()
+    lock = os.path.join(t._lock_key, "_append.lock")
+    with open(lock, "w") as f:
+        f.write(str(dead.pid))
+    t.append(spark.createDataFrame([(1, "A")], PROGRAMS_SCHEMA))
+    assert t.count() == 1
+    assert not os.path.exists(lock)
+
+
+def test_append_lock_key_is_path_normalized(spark, tmp_path):
+    """Trailing-slash / relative spellings of one physical dir must
+    take the SAME in-process lock (r11 ADVICE: distinct raw-string
+    keys silently stopped serializing)."""
+    from snowflake_data_pipeline_demo_spark.sources.catalog import (
+        Table, _append_lock, _normalize_path_key,
+    )
+
+    base = str(tmp_path / "wh" / "t")
+    assert _normalize_path_key(base + "/") == _normalize_path_key(base)
+    assert _normalize_path_key("file://" + base) == _normalize_path_key(base)
+    t1 = Table(spark, base, PROGRAMS_SCHEMA)
+    t2 = Table(spark, base + "/", PROGRAMS_SCHEMA)
+    assert t1._lock_key == t2._lock_key
+    assert _append_lock(t1._lock_key) is _append_lock(t2._lock_key)
+
+
 def test_insert_only_merge_semantics(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh"))
     t = cat.create_table("modelled.programs", PROGRAMS_SCHEMA)

@@ -36,7 +36,9 @@ def test_demo_runs_end_to_end(spark, monkeypatch, capsys, tmp_path):
     assert all(int(g) > 0 for g in m.groups())
     # the streams DRAINED: consumed-by-DML offsets advanced to zero
     # backlog for all three consumers (the T3 contract, live)
-    drained = re.search(r"streams drained: \{[^}]*\}", out).group(0)
+    m = re.search(r"streams drained: \{[^}]*\}", out)
+    assert m, out  # show the captured output, not a bare AttributeError
+    drained = m.group(0)
     backlogs = [int(x) for x in re.findall(r": (\d+)", drained)]
     assert backlogs and all(b == 0 for b in backlogs), drained
     # chained purge ran: the stage is empty again

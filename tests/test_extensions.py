@@ -1479,6 +1479,60 @@ def test_histogram_quantiles_merge_across_runs(spark, tmp_path):
                 q, true, got, ratio)
 
 
+def test_histogram_quantiles_three_run_chain(spark, tmp_path):
+    """A→B→C across TWO persistence boundaries (r11 verdict ask #6):
+    run A persists its histogram state; run B reads A's rows back,
+    adds its own, COMPACTS (the exact sum-per-bucket merge) and
+    persists the combined state; run C reads B's compacted state, adds
+    its own third, and publishes quantiles. Bucket-count merging is
+    exact and associative, so the chained result must be IDENTICAL to
+    a single pass over the full corpus — no tolerance. This is the
+    lifecycle a real ingest runs (daily state roll-ups), which the
+    two-run tests never crossed a second boundary to prove."""
+    from pyspark.sql import functions as F
+
+    from snowflake_data_pipeline_demo_spark.operators import text as T
+
+    gamma = 1.1
+    vals = [0, 0, 1, 3, 7, 12, 25, 60, 140, 333, 900, 2048, 5000,
+            12_345, 40_000] * 30
+    docs = spark.createDataFrame(
+        [(i, v, "s0") for i, v in enumerate(vals)],
+        "doc_id long, n_chars long, source string",
+    )
+    thirds = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    shard = (F.col("doc_id") % 4).cast("long")
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+    # ---- run A: own state, persist, end ----
+    T.length_histogram_shard_sketches(thirds[0], shard, gamma=gamma) \
+        .write.parquet(str(tmp_path / "state_a"))
+
+    # ---- run B: read A, add own, COMPACT, persist (2nd boundary) ----
+    combined_ab = (
+        spark.read.parquet(str(tmp_path / "state_a")).unionByName(
+            T.length_histogram_shard_sketches(thirds[1], shard,
+                                              gamma=gamma))
+        .groupBy("source", "shard", "bucket", "gamma")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    combined_ab.write.parquet(str(tmp_path / "state_ab"))
+
+    # ---- run C: read B's compacted state, add own, publish ----
+    chained = T.histogram_merge_quantiles(
+        spark.read.parquet(str(tmp_path / "state_ab")).unionByName(
+            T.length_histogram_shard_sketches(thirds[2], shard,
+                                              gamma=gamma)),
+        qs=qs, gamma=gamma,
+    ).collect()[0]
+    single_pass = T.histogram_merge_quantiles(
+        T.length_histogram_shard_sketches(docs, shard, gamma=gamma),
+        qs=qs, gamma=gamma,
+    ).collect()[0]
+    assert chained.asDict() == single_pass.asDict(), (chained, single_pass)
+    assert chained["n_values"] == len(vals)
+
+
 def test_histogram_merge_refuses_mismatched_gamma(spark, tmp_path):
     """Persisted bucket ids are meaningless under any other base, and
     nothing else in the state rows could reveal the mismatch — the
@@ -2232,6 +2286,52 @@ def test_covariance_state_merges_across_runs(spark, emb, tmp_path):
     a = {(r["i"], r["j"]): (r["n"], r["cov"]) for r in merged.collect()}
     b = {(r["i"], r["j"]): (r["n"], r["cov"]) for r in single.collect()}
     assert a == b
+
+
+def test_covariance_three_run_chain_and_pca(spark, emb, tmp_path):
+    """A→B→C across TWO persistence boundaries for the second-moment
+    state (r11 verdict ask #6): run A persists its Gram state; run B
+    reads it back, adds its own, COMPACTS via covariance_partial_state
+    (exact per-pair sums) and persists; run C reads B's compacted
+    state, adds the final third, finalizes — and the covariance must
+    equal a single pass EXACTLY (integer n, 4 dp cov contract). The
+    PCA derived from the chained state must then match the single-pass
+    PCA bit-for-bit (pca_components is deterministic: md5 starts,
+    pinned iteration count) — the '→PCA' half of the ask."""
+    import numpy as np
+
+    thirds = [emb.filter(F.col("vec_id") % 3 == k) for k in range(3)]
+
+    # ---- run A: own state, persist, end ----
+    similarity.embedding_covariance_state(thirds[0]).write.parquet(
+        str(tmp_path / "state_a"))
+
+    # ---- run B: read A, add own, COMPACT, persist (2nd boundary) ----
+    similarity.covariance_partial_state(
+        spark.read.parquet(str(tmp_path / "state_a")).unionByName(
+            similarity.embedding_covariance_state(thirds[1]))
+    ).write.parquet(str(tmp_path / "state_ab"))
+
+    # ---- run C: read B's state, add own, finalize ----
+    chained = similarity.covariance_finalize(
+        similarity.covariance_partial_state(
+            spark.read.parquet(str(tmp_path / "state_ab")).unionByName(
+                similarity.embedding_covariance_state(thirds[2]))))
+    single = similarity.embedding_covariance_pandas(emb)
+    a = {(r["i"], r["j"]): (r["n"], r["cov"]) for r in chained.collect()}
+    b = {(r["i"], r["j"]): (r["n"], r["cov"]) for r in single.collect()}
+    assert a == b
+
+    # identical state → identical PCA, deterministically
+    rows_a = [{"i": i, "j": j, "cov": cov} for (i, j), (_, cov) in a.items()]
+    rows_b = [{"i": i, "j": j, "cov": cov} for (i, j), (_, cov) in b.items()]
+    dim = max(r["i"] for r in rows_a) + 1
+    comps_a = similarity.pca_components(rows_a, dim=dim, k=4)
+    comps_b = similarity.pca_components(rows_b, dim=dim, k=4)
+    assert np.array_equal(np.array(comps_a), np.array(comps_b))
+    evals = similarity.pca_eigenvalues(rows_a, comps_a)
+    assert len(evals) == 4 and all(
+        evals[i] >= evals[i + 1] - 1e-12 for i in range(3)), evals
 
 
 def test_pca_eigenvalues_and_whitening(spark):

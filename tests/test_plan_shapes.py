@@ -250,21 +250,21 @@ def test_source_quota_window_is_group_limited_two_phase(spark):
     # test_group_quota_auto_dispatch_switch_point.
     p = _plan(spark, "x_source_quota")
     assert p.count("Window (") == 1
-    # structural, not substring (r11 review): the PARTIAL group-limit
-    # node must sit BELOW the exchange. In the formatted tree the
-    # map-side node prints deeper than Exchange; its numbered detail
-    # block carries the Partial marker.
-    tree = p.splitlines()
-    exch = [i for i, l in enumerate(tree) if "Exchange (" in l]
-    wgl = [i for i, l in enumerate(tree) if "WindowGroupLimit (" in l
-           and l.strip().startswith(("+-", ":-"))]
-    assert exch and wgl, p
-    below = [i for i in wgl if i > exch[0]]
-    assert below, "no WindowGroupLimit below the exchange"
+    # structural, not positional (r12, r11 ADVICE: anchoring on the
+    # FIRST Exchange line mis-selects if the plan ever gains an
+    # earlier scan-side/AQE exchange): the rewrite's signature is
+    # exactly two WindowGroupLimit nodes whose detail blocks carry
+    # Partial (map-side, caps each partition at k rows per group
+    # BEFORE the shuffle) and Final respectively.
     import re as _re
-    node_id = _re.search(r"WindowGroupLimit \((\d+)\)", tree[below[0]]).group(1)
-    detail = p.split(f"({node_id}) WindowGroupLimit", 1)[1]
-    assert "Partial" in detail.split("\n\n", 1)[0], detail[:300]
+    ids = sorted(set(_re.findall(r"WindowGroupLimit \((\d+)\)", p)), key=int)
+    assert len(ids) == 2, p
+    modes = []
+    for nid in ids:
+        detail = p.split(f"({nid}) WindowGroupLimit", 1)[1].split("\n\n", 1)[0]
+        modes.append("Partial" if "Partial" in detail
+                     else "Final" if "Final" in detail else "?")
+    assert sorted(modes) == ["Final", "Partial"], (modes, p)
 
 
 def test_bpe_pair_counting_stays_in_hash_aggregate(spark):
