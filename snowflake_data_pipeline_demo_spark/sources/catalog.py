@@ -176,24 +176,43 @@ class Table:
         jvm = self.spark.sparkContext._jvm
         p = jvm.org.apache.hadoop.fs.Path(self.path)
         fs = p.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
-        # A monitoring read can race a LIVE micro-batch's commit: the
-        # recursive iterator enumerates batch_N/_temporary, the commit
-        # protocol deletes it, and the deferred stat throws
-        # FileNotFoundException from hasNext() (seen r07 once, r08
-        # full-suite once — tests/test_streaming_live.py polls counts
-        # while queries run). The listing race is normal filesystem
-        # behavior (object-store readers face the same), and the
-        # monitoring contract is eventual: retry the whole listing.
+        # A monitoring read can race a LIVE micro-batch's commit. The
+        # old recursive listFiles() was exposed to it twice over: it
+        # enumerates batch_N/_temporary (deleted mid-iteration by the
+        # commit protocol -> FileNotFoundException, seen r07/r08), and
+        # it builds LocatedFileStatus per entry, which EAGERLY loads
+        # permissions — on RawLocalFileSystem that shells out `ls`, so
+        # a vanished staging dir surfaces as RuntimeException("Error
+        # while running command to get file permissions"), which the
+        # old FileNotFoundException-only retry did NOT absorb (r12
+        # live-load capture: a purge AFTER hook read copy_history
+        # mid-pipe-commit and killed its task query). Fixed at the
+        # root: BFS with listStatus, pruning `_`/`.` names BEFORE
+        # descending — the walk never enters _temporary at any depth,
+        # and listStatus's FileStatus loads permissions lazily (never
+        # asked for here). The bounded retry stays, broadened to both
+        # transient signatures, for children that vanish between a
+        # parent's list() and their stat. The listing race is normal
+        # filesystem behavior and the monitoring contract is eventual.
         for attempt in range(3):
             try:
-                it = fs.listFiles(p, True)
-                while it.hasNext():
-                    name = it.next().getPath().getName()
-                    if not name.startswith(("_", ".")):
-                        return True
+                stack = [p]
+                while stack:
+                    for st in fs.listStatus(stack.pop()):
+                        name = st.getPath().getName()
+                        if name.startswith(("_", ".")):
+                            continue
+                        if st.isDirectory():
+                            stack.append(st.getPath())
+                        else:
+                            return True
                 return False
             except Exception as ex:
-                if attempt == 2 or "FileNotFoundException" not in str(ex):
+                transient = (
+                    "FileNotFoundException" in str(ex)
+                    or "file permissions" in str(ex)
+                )
+                if attempt == 2 or not transient:
                     raise
         return False  # unreachable; keeps the type checker honest
 

@@ -149,15 +149,31 @@ class CitibikePipeline:
         if frontier is None:
             return 0
         cutoff = F.current_timestamp() - F.expr(f"INTERVAL {lookback_hours} HOURS")
-        loaded = (
-            self.copy_history.read()
-            .filter(
-                (F.col("error_count") == 0)
-                & (F.col("last_load_time") >= cutoff)
-                & (F.col("batch_id") <= frontier)
-            )
-            .select("file_name").distinct().collect()
-        )
+        # The ledger scan can race a live pipe commit's _temporary
+        # staging on local fs (the same transient channel
+        # Table._has_data absorbs — Spark's own file index stats
+        # children the committer is deleting). Purge is idempotent and
+        # its contract eventual (files not purged this tick purge next
+        # tick), so a bounded retry is the correct absorption — a
+        # propagated transient here killed the whole task query in the
+        # r12 live-load capture.
+        for attempt in range(3):
+            try:
+                loaded = (
+                    self.copy_history.read()
+                    .filter(
+                        (F.col("error_count") == 0)
+                        & (F.col("last_load_time") >= cutoff)
+                        & (F.col("batch_id") <= frontier)
+                    )
+                    .select("file_name").distinct().collect()
+                )
+                break
+            except Exception as ex:  # noqa: BLE001 - transient-only, re-raised
+                s = str(ex)
+                transient = "_temporary" in s or "file permissions" in s
+                if attempt == 2 or not transient:
+                    raise
         staged = {f.path for f in self.stage.list()}
         purged = 0
         for r in loaded:

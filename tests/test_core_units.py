@@ -138,6 +138,62 @@ def test_append_lock_key_is_path_normalized(spark, tmp_path):
     assert _append_lock(t1._lock_key) is _append_lock(t2._lock_key)
 
 
+def test_has_data_ignores_temporary_staging_subtrees(spark, tmp_path):
+    """_has_data must never DESCEND into `_temporary`/hidden subtrees
+    (r12 live-load capture: the old recursive listFiles stats staging
+    children with an eager permission load that shells `ls` on local
+    fs — a committer deleting the dir mid-walk turned that into a
+    RuntimeException the FileNotFoundException-only retry missed,
+    killing a task query). A table whose only files sit under a
+    staging dir is EMPTY; data files at any non-hidden depth count."""
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("modelled.programs", PROGRAMS_SCHEMA)
+    staging = os.path.join(t._lock_key, "_temporary", "0", "_temporary")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-000.parquet"), "w") as f:
+        f.write("in-flight attempt data")
+    assert not t._has_data()  # staging content is invisible
+    nested = os.path.join(t._lock_key, "batch_1")
+    os.makedirs(nested)
+    with open(os.path.join(nested, "part-000.parquet"), "wb") as f:
+        f.write(b"x")
+    assert t._has_data()  # real nested data still found
+
+
+def test_suspend_keeps_stopping_flag_when_stop_fails(spark, tmp_path):
+    """If query.stop() itself raises (e.g. stopTimeout), the query may
+    still be live and tearing down: suspend must RETAIN the handle and
+    LEAVE _stopping raised so the stream thread's interrupted ledger
+    append doesn't re-raise across the dying callback connection (r11
+    ADVICE: a finally-reset reopened that channel). resume() resets
+    the flag for the fresh start."""
+    from snowflake_data_pipeline_demo_spark.streaming.tasks import Task
+
+    t = Task.__new__(Task)
+    t.name = "t"
+    t._stopping = False
+
+    class _StubQuery:
+        def stop(self):
+            raise RuntimeError("stop timed out")
+
+    t.query = _StubQuery()
+    with pytest.raises(RuntimeError, match="stop timed out"):
+        t.suspend()
+    assert t._stopping is True  # still raised while the query tears down
+    assert t.query is not None  # handle retained (r11 review)
+
+    class _OkQuery:
+        def stop(self):
+            pass
+
+    t.query = _OkQuery()
+    t.suspend()
+    assert t._stopping is False and t.query is None  # clean stop resets
+
+
 def test_insert_only_merge_semantics(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh"))
     t = cat.create_table("modelled.programs", PROGRAMS_SCHEMA)

@@ -74,6 +74,21 @@ def test_live_pipe_and_tasks(spark, tables, tmp_path_factory):
     #    r11 in a green run — the failed batch replayed). Fixed at the
     #    source: Table.append serializes per table path
     #    (catalog._APPEND_LOCKS).
+    # 4. The permission-shell variant of (1) INSIDE the engine — the
+    #    purge AFTER hook's copy_history read raced the pipe's live
+    #    commit, and Table._has_data's recursive listFiles built
+    #    LocatedFileStatus entries whose EAGER permission load shells
+    #    `ls` on a staging dir the committer had just deleted →
+    #    RuntimeException("Error while running command to get file
+    #    permissions"), which the FileNotFoundException-only retry
+    #    did not absorb; the task query died and trips stalled at 3/4
+    #    (captured r12, first gate run of scripts/live_load_loop.py,
+    #    1-in-8). Fixed at the root: _has_data now BFS-walks with
+    #    listStatus, pruning `_`/`.` names BEFORE descending (never
+    #    enters _temporary, never loads permissions), with the retry
+    #    broadened to both transient signatures; purge_files wraps its
+    #    ledger collect in the same bounded absorption (purge's
+    #    contract is eventual — a skipped tick purges next tick).
     root = str(tmp_path_factory.mktemp("live"))
     p = CitibikePipeline(spark, root)
     docs = trip_docs(tables["lineitem"], tables["supplier"], tables["nation"])
