@@ -1365,6 +1365,145 @@ def test_hll_sketches_merge_across_runs(spark, tmp_path):
     assert abs(merged - exact) / exact <= 0.0406, (merged, exact)
 
 
+def test_hll_three_run_chain(spark, tmp_path):
+    """A→B→C across TWO persistence boundaries for the HLL member of
+    the cross-run state family (r12, completing the family after the
+    histogram/covariance chains): run A persists its shard sketches;
+    run B reads them back, adds its own, COMPACTS at the state level
+    (hll_union_agg returns merged sketch BYTES, not an estimate) and
+    persists; run C reads B's compacted state, adds the final third,
+    and publishes. HLL union at equal lgConfigK is associative and
+    lossless over the sketch state, so the chained estimate must equal
+    the single-pass estimate exactly."""
+    from pyspark.sql import functions as F
+
+    from snowflake_data_pipeline_demo_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 700} tok{(i * 7) % 700} shared common words", "s0")
+         for i in range(400)],
+        "doc_id long, text string, source string",
+    )
+    thirds = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    shard = (F.col("doc_id") % 4).cast("long")
+
+    T.token_hll_shard_sketches(thirds[0], shard).write.parquet(
+        str(tmp_path / "state_a"))
+    # run B: read A, add own, compact SKETCH BYTES per (group, shard)
+    spark.read.parquet(str(tmp_path / "state_a")).unionByName(
+        T.token_hll_shard_sketches(thirds[1], shard)
+    ).groupBy("source", "shard").agg(
+        F.hll_union_agg("sketch").alias("sketch")
+    ).write.parquet(str(tmp_path / "state_ab"))
+
+    chained = T.hll_merge_estimate(
+        spark.read.parquet(str(tmp_path / "state_ab")).unionByName(
+            T.token_hll_shard_sketches(thirds[2], shard))
+    ).collect()[0]["est_tokens"]
+    single = T.hll_merge_estimate(
+        T.token_hll_shard_sketches(docs, shard)
+    ).collect()[0]["est_tokens"]
+    assert chained == single, (chained, single)
+
+
+def test_cms_three_run_chain(spark, docs, tmp_path):
+    """A→B→C with two persistence boundaries for the CMS member: run B
+    compacts A's counters with its own through cms_merge (exact
+    per-(r, bucket) addition, shard column dropped) and persists; run C
+    merges the compacted state with its own shard sketches. Counter
+    addition is exact and associative — chained == single pass, no
+    tolerance."""
+    thirds = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    shard = (F.col("doc_id") % 4).cast("long")
+
+    text.token_cms_shard_sketches(thirds[0], shard).write.parquet(
+        str(tmp_path / "state_a"))
+    text.cms_merge(
+        spark.read.parquet(str(tmp_path / "state_a")).unionByName(
+            text.token_cms_shard_sketches(thirds[1], shard),
+            allowMissingColumns=True)
+    ).write.parquet(str(tmp_path / "state_ab"))
+
+    chained = text.cms_merge(
+        spark.read.parquet(str(tmp_path / "state_ab")).unionByName(
+            text.token_cms_shard_sketches(thirds[2], shard),
+            allowMissingColumns=True))
+    single = text.cms_merge(
+        text.token_cms_shard_sketches(docs, F.lit(0).cast("long")))
+    a = {(r["r"], r["bucket"]): r["cnt"] for r in chained.collect()}
+    b = {(r["r"], r["bucket"]): r["cnt"] for r in single.collect()}
+    assert a == b
+
+
+def test_bloom_three_run_chain(spark, tmp_path):
+    """A→B→C with two persistence boundaries for the Bloom member:
+    run B compacts A's blocks with its own through bloom_merge
+    (bit_or per block) and persists; run C merges the compacted state
+    with its own blocks. Bit-or is exact and associative — chained ==
+    single build."""
+    df = _bloom_fixture(spark)
+    thirds = [df.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+
+    dedup.bloom_shard_blocks(thirds[0], "fp").write.parquet(
+        str(tmp_path / "state_a"))
+    dedup.bloom_merge(
+        spark.read.parquet(str(tmp_path / "state_a")).unionByName(
+            dedup.bloom_shard_blocks(thirds[1], "fp"),
+            allowMissingColumns=True)
+    ).write.parquet(str(tmp_path / "state_ab"))
+
+    chained = dedup.bloom_merge(
+        spark.read.parquet(str(tmp_path / "state_ab")).unionByName(
+            dedup.bloom_shard_blocks(thirds[2], "fp"),
+            allowMissingColumns=True))
+    single = dedup.bloom_merge(dedup.bloom_shard_blocks(df, "fp"))
+    a = {r["block"]: r["bits"] for r in chained.collect()}
+    b = {r["block"]: r["bits"] for r in single.collect()}
+    assert a == b
+
+
+def test_components_three_run_chain(spark, tmp_path):
+    """A→B→C with two persistence boundaries for the components
+    member: run A computes and PERSISTS an assignment over its docs;
+    run B reads the assignment back, merges its batch (including a
+    bridge collapsing two of A's components), persists; run C merges a
+    third batch whose pairs bridge into B's merged component. The
+    final labels must equal a full recompute over the union graph —
+    the property test holds one boundary; this holds the persisted
+    lifecycle the day-N run-book actually executes."""
+    from snowflake_data_pipeline_demo_spark.operators.dedup import (
+        components_from_pairs, merge_components_incremental,
+    )
+
+    ids = lambda xs: spark.createDataFrame([(i,) for i in xs], "doc_id long")
+    pairs = lambda es: spark.createDataFrame(
+        es or [], "id_a long, id_b long")
+
+    # run A: {1,2} and {3,4} separate, 9 singleton
+    components_from_pairs(
+        ids([1, 2, 3, 4, 9]), pairs([(1, 2), (3, 4)])
+    ).write.parquet(str(tmp_path / "assign_a"))
+
+    # run B: doc 5 bridges A's two components
+    merge_components_incremental(
+        spark.read.parquet(str(tmp_path / "assign_a")),
+        ids([5]), pairs([(2, 5), (4, 5)])
+    ).write.parquet(str(tmp_path / "assign_ab"))
+
+    # run C: doc 6 joins the merged component via 5; doc 7 isolated
+    final = merge_components_incremental(
+        spark.read.parquet(str(tmp_path / "assign_ab")),
+        ids([6, 7]), pairs([(5, 6)]))
+    got = {r["doc_id"]: r["component_id"] for r in final.collect()}
+    full = components_from_pairs(
+        ids([1, 2, 3, 4, 5, 6, 7, 9]),
+        pairs([(1, 2), (3, 4), (2, 5), (4, 5), (5, 6)]))
+    want = {r["doc_id"]: r["component_id"] for r in full.collect()}
+    assert got == want
+    assert got[7] == 7 and got[9] == 9  # isolates stay singleton
+    assert len({got[i] for i in (1, 2, 3, 4, 5, 6)}) == 1
+
+
 @pytest.mark.parametrize("n_shards", [1, 3, 7])
 def test_hll_merge_invariant_under_shard_partitioning(spark, docs, n_shards):
     """HLL union is associative and lossless at equal lgConfigK, so the
