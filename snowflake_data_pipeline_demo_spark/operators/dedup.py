@@ -83,6 +83,23 @@ def exploded_shingles(df: DataFrame, text_col: str = "text",
     Short docs (< k tokens) contribute their whole token string, like
     :func:`shingles`; null text yields a null shingle (null sig
     downstream).
+
+    r12 optimization note — MEASURED AND KEPT AS IS: the obvious
+    guide-§2.3 rewrite (per-row TRANSFORM shingle array + explode, so
+    the minhash min() combines map-side and the one exchange carries
+    (id, 16 longs) instead of every token row) was built, proven
+    row-identical (tests/test_extensions.py::
+    test_exploded_shingles_multiset_matches_window_stitch keeps the
+    semantics pin), and REJECTED on measurement: warm sig build at
+    sf0.1 is a wash (1.59 vs 1.71 s), but at 200k docs on a calm host
+    the array form takes 15.2 s vs the stitch's 2.1-5.1 s — the
+    interpreted higher-order-function cost per token dwarfs the
+    exchange it saves, exactly the crossover the r04 repetition-twin
+    measurement already recorded (text.py:repetition_metrics_agg).
+    The token-row exchange is the cheaper side of the trade on every
+    scale this host can measure; a network-bound cluster may flip it,
+    and the array form lives on in the pinning test should that ever
+    need to be revisited.
     """
     from pyspark.sql import Window
 
@@ -455,10 +472,22 @@ def dup_ngram_coverage(df: DataFrame, text_col: str = "text",
     score 0 over 0 grams.
 
     Scale shape: k-grams come from the codegen posexplode+lead stitch
-    (one window exchange on the doc key); the cross-doc counts are one
-    (gram) hash-agg carrying count_distinct(doc) only — grams, never
-    text, move — and the per-doc reduce is a doc-key agg. Hot grams
-    (ubiquitous boilerplate) are AQE's skew-split case.
+    (one window exchange on the doc key); occurrences then reduce to
+    ONE (doc, gram, occ) row per distinct gram per doc — exchange-free,
+    the stitch's doc partitioning already satisfies the (doc, gram)
+    clustering — and that frame is the materialization boundary both
+    downstream consumers read (r12 optimization: the stitch used to be
+    re-derived per consumer — two Window+Generate subtrees in the plan
+    — and the dup-gram join carried every OCCURRENCE row; now the
+    stitch runs once and the join carries distinct (doc, gram) rows:
+    Window 2 -> 1, Generate 2 -> 1, warm median 1.85 -> 1.43 s at
+    sf0.1 on a calm host,
+    plans/r12/x_dup_ngram_coverage_{before,after}.txt). The cross-doc
+    dup flag is one (gram) hash-agg — grams, never text, move — and
+    the per-doc reduce is a doc-key agg over the same boundary. At
+    warehouse scale the boundary is a staged gram table, like
+    ngram_jaccard_pairs' shingle stage. Hot grams (ubiquitous
+    boilerplate) are AQE's skew-split case.
     """
     from pyspark.sql import Window
 
@@ -479,15 +508,23 @@ def dup_ngram_coverage(df: DataFrame, text_col: str = "text",
         .filter(F.col(lead_names[-1]).isNotNull())
         .select(F.col(id_col), F.concat_ws(" ", "_tok", *lead_names).alias("g"))
     )
-    ndocs = grams.groupBy("g").agg(
-        (F.count_distinct(id_col) > 1).alias("is_dup")
+    # one row per distinct (doc, gram) with its occurrence count; the
+    # stitch's id-partitioning satisfies the (id, g) clustering, so
+    # this agg adds NO exchange — and caching it means the stitch runs
+    # once, not once per consumer
+    per_gid = lane_cache(
+        grams.groupBy(id_col, "g").agg(F.count("*").alias("_occ"))
     )
+    # a gram is duplicated iff >1 distinct doc carries it; per_gid has
+    # exactly one row per (g, doc), so count(*) == count_distinct(doc)
+    ndocs = per_gid.groupBy("g").agg((F.count("*") > 1).alias("is_dup"))
     per_doc = (
-        grams.join(ndocs, "g")
+        per_gid.join(ndocs, "g")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.col("is_dup").cast("long")).alias("n_dup"),
+            F.sum("_occ").alias("n_grams"),
+            F.sum(F.when(F.col("is_dup"), F.col("_occ"))
+                  .otherwise(F.lit(0))).alias("n_dup"),
         )
     )
     return (
@@ -641,8 +678,20 @@ def semdedup(emb: DataFrame, centroids: DataFrame,
             F.lit(True).alias("is_kept"),
         )
     assign_fn = ivf_assign_pandas if assignment_impl == "pandas" else ivf_assign
-    assigned = assign_fn(emb, centroids, id_col, vec_col,
-                         centroid_id_col, with_score=True)
+    # materialization boundary (r12 optimization): the assignment is
+    # consumed THREE times below (both self-join sides + the final
+    # keep-rule projection), and without a boundary each consumer
+    # re-evaluates the nlist-cosine argmax over the whole corpus —
+    # the exact cost the r04 note above calls the bottleneck, paid 3x.
+    # In the real pipeline this is the persisted ASSIGNED index
+    # (streaming/dedup.py); the cache is its in-plan equivalent.
+    # Measured at sf0.1, calm host, warm min-of-4: x_semdedup
+    # 2.61 -> 2.20 s (expr twin), x_semdedup_prod 1.81 -> 1.49 s
+    # (Arrow twin — the batch matmul ran 3x before); plan's three
+    # assignment subtrees -> one InMemoryRelation
+    # (plans/r12/x_semdedup_{before,after}.txt).
+    assigned = lane_cache(assign_fn(emb, centroids, id_col, vec_col,
+                                    centroid_id_col, with_score=True))
     a = assigned.select(
         F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
         F.col(centroid_id_col).alias("_ca"), F.col("centroid_cos").alias("_sa"),
@@ -718,7 +767,14 @@ def incremental_embedding_neardup(new_emb: DataFrame,
     if new_assigned is not None:
         probe = new_assigned.select(id_col, vec_col, "centroid_id")
     else:
-        probe = assign_fn(new_emb, centroids, id_col, vec_col)
+        # materialization boundary (r12 optimization): the probe side
+        # feeds BOTH pair legs (history x batch, batch x batch = three
+        # plan consumers), and without it each leg re-runs the batch
+        # assignment — the dominant per-batch cost at production nlist
+        # (see the docstring). Callers that pre-assign (the streaming
+        # batch fn passes new_assigned, already checkpointed) are
+        # untouched.
+        probe = lane_cache(assign_fn(new_emb, centroids, id_col, vec_col))
     if history_assigned is not None:
         hist = history_assigned.select(id_col, vec_col, "centroid_id")
     else:
@@ -1126,9 +1182,18 @@ def chunk_dedup_reassemble(df: DataFrame, text_col: str = "text",
     """
     from .chunking import chunk_by_tokens
 
-    chunks = chunk_by_tokens(
+    # materialization boundary (r12 optimization): the chunk frame is
+    # consumed THREE times (keeper agg, keeper join probe, per-doc
+    # totals) and the per-row chunking projection would otherwise
+    # re-run per consumer; at warehouse scale this is the staged chunk
+    # table the docstring's two-text-move accounting assumes. Measured
+    # at sf0.1: warm median 1.77 -> 1.75 s — wall-NEUTRAL locally (the
+    # per-row chunking is cheap at this corpus size; the boundary is
+    # kept for the single-derivation shape, where the three consumers
+    # otherwise each re-scan and re-chunk the corpus).
+    chunks = lane_cache(chunk_by_tokens(
         df, text_col, id_col, window=window, stride=window
-    ).withColumn("_fp", F.md5(F.col("chunk_text")))
+    ).withColumn("_fp", F.md5(F.col("chunk_text"))))
     keeper = chunks.groupBy("_fp").agg(
         F.min(F.struct(id_col, "chunk_id")).alias("_first")
     )
@@ -1238,7 +1303,12 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     # remainder would match as regex while reassembly joins the raw
     # string) — split on it and re-open the quote, like Java does.
     quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
-    paras = (
+    # materialization boundary (r12 optimization): like
+    # chunk_dedup_reassemble's chunk frame, the paragraph frame feeds
+    # three consumers (keeper agg, keeper join probe, per-doc totals);
+    # without it the split+fingerprint projection re-runs per consumer.
+    # Measured at sf0.1: warm median 1.57 -> 1.36 s (calm host).
+    paras = lane_cache(
         df.select(
             F.col(id_col),
             F.posexplode(

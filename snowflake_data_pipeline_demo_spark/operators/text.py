@@ -175,13 +175,23 @@ def tfidf_topk(df, text_col: str = "text", id_col: str = "doc_id",
     """Top-``k`` terms per document by TF-IDF (tf * ln(N/df), ties by
     token asc). Output: (id, rank, token, tfidf rounded to 4dp).
 
-    Scale shape: explode tokens once; TF is a (doc, token) hash-agg and
-    DF a (token) hash-agg — both partial-aggregated map-side; the
-    TF⋈DF join shuffles on the token key (hot/stopword tokens are
-    exactly AQE's skew-split case), and the final per-doc top-k is a
-    rank window partitioned by doc. N is a broadcast one-row scalar
-    subframe (no driver action at plan build — the whole operator is
-    one lazy plan). No text moves after the explode projection — only
+    Scale shape: explode tokens once; TF is a (doc, token) hash-agg —
+    partial-aggregated map-side — and DF DERIVES from TF (one row per
+    (doc, token), so ``count(*)`` per token == ``count_distinct(doc)``;
+    integer counts, bit-identical — r12 optimization: the old
+    token-stream DF agg re-ran a corpus-wide partial-DISTINCT whose
+    expanded (token, doc) state the TF frame already is; deriving DF
+    from TF drops that second distinct pass. Wall-neutral at sf0.1
+    (warm median 1.34 -> 1.26 s, inside the lane's spread —
+    plans/r12/x_tfidf_topk_{before,after}.txt; a lane_cache boundary
+    on TF was also measured and stayed neutral, so TF is left lazy and
+    the remaining duplicate scan is the documented price of the one
+    lazy plan). The TF⋈DF join
+    shuffles on the token key (hot/stopword tokens are exactly AQE's
+    skew-split case), and the final per-doc top-k is a rank window
+    partitioned by doc. N is a broadcast one-row scalar subframe (no
+    driver action at plan build — the whole operator is one lazy
+    plan). No text moves after the explode projection — only
     (token, counts) pairs.
     """
     from pyspark.sql import Window
@@ -189,8 +199,8 @@ def tfidf_topk(df, text_col: str = "text", id_col: str = "doc_id",
     n_docs = df.agg(F.count("*").cast("double").alias("_n_docs"))
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    dfreq = tok.groupBy("token").agg(
-        F.count_distinct(id_col).alias("df")
+    dfreq = tf.groupBy("token").agg(
+        F.count("*").alias("df")
     )
     scored = (
         tf.join(dfreq, "token")

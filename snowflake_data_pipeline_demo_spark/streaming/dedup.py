@@ -141,9 +141,18 @@ def semantic_dedup_batch_fn(
             clean_table.overwrite_subdir(clean, sub)
             return
         history = clean_table.read().join(new_ids, id_col, "left_anti")
+        # assign the batch ONCE and checkpoint, exactly like indexed
+        # mode above: the probe feeds three pair-leg consumers inside
+        # the operator, and a per-batch lane_cache there would outlive
+        # the micro-batch (nothing drains _TRACKED between batches —
+        # r12 optimization; the operator only self-caches for plain
+        # batch callers, where the @query drain owns the lifetime).
+        probe = assign_fn(
+            batch_df, centroids, id_col, vec_col, with_score=False
+        ).localCheckpoint()
         flagged = incremental_embedding_neardup(
             batch_df, history, centroids, threshold,
-            id_col, vec_col, assignment_impl,
+            id_col, vec_col, assignment_impl, new_assigned=probe,
         )
         # the decision plan scans clean_table (it IS the history), and
         # the write below overwrites a subdir that scan lists on replay

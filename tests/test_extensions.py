@@ -2626,3 +2626,49 @@ def test_day2_pca_refresh_equals_scratch(spark, emb, tmp_path):
         similarity.embedding_covariance_pandas(emb).collect(), dim, k=4)
     assert np.allclose(np.asarray(refreshed), np.asarray(scratch),
                        atol=1e-4)
+
+
+def test_exploded_shingles_multiset_matches_array_form(spark):
+    """r12 optimization semantics pin: the guide-§2.3 rewrite of
+    exploded_shingles (per-row TRANSFORM shingle array + explode, so
+    the minhash min() combines map-side and the one exchange carries
+    (id, 16 longs) instead of every token row) was built, proven
+    row-identical, and REJECTED on measurement — at 200k docs the
+    interpreted HOF form runs 15.2 s vs the stitch's 2.1-5.1 s (calm
+    host; the r04 repetition-twin crossover again). The stitch stays
+    the implementation; this test keeps the array form as an
+    independent semantic reference so the shingle MULTISET per doc —
+    short-doc whole-string fallback, empty-token docs, the null-text
+    null-shingle row — stays pinned against both shapes."""
+    from snowflake_data_pipeline_demo_spark.operators.text import tokens
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one"), (4, "one two"),
+         (5, "one two three"), (6, "a b c d e f"),
+         (7, "x   y , z"), (8, "Dup dup DUP dup dup")],
+        "doc_id long, text string",
+    )
+
+    def array_form(df, text_col="text", id_col="doc_id", k=3):
+        toks = tokens(text_col)
+        n = F.size(toks)
+        full = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+        short = F.array(
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.concat_ws(" ", toks))
+        )
+        return df.select(
+            F.col(id_col),
+            F.explode(F.when(n >= k, full).otherwise(short)).alias("_sh"),
+        )
+
+    def multiset(frame):
+        return {tuple(r)
+                for r in frame.groupBy("doc_id", "_sh").count().collect()}
+
+    for k in (2, 3, 5):
+        assert multiset(dedup.exploded_shingles(df, k=k)) == \
+            multiset(array_form(df, k=k)), k
