@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .decontam import ngram_contamination
-from .dedup import exact_dedup_clusters
 from .text import gopher_flags
 
 
@@ -44,23 +43,49 @@ def curation_funnel(corpus: DataFrame, eval_docs: DataFrame,
     staged form remains exactly what a restartable warehouse run
     persists (stage tables) — that is a checkpointing choice the
     CALLER makes by materializing between stages; the funnel REPORT
-    itself needs no stage tables."""
-    keepers = exact_dedup_clusters(corpus, text_col, id_col).select(
-        F.col("keep_id").alias(id_col), F.lit(True).alias("_kd")
-    )
-    cont = ngram_contamination(
-        corpus, eval_docs, text_col, id_col, k, min_hits
-    ).select(F.col(id_col), "contaminated")
+    itself needs no stage tables.
+
+    r12 second pass: (a) the keeper verdict no longer re-scans the
+    corpus for a separate fingerprint agg + id-key join — the
+    fingerprint and the quality flag come from ONE projection and the
+    keeper test is ``id == min(id) over (partition by fp)``, the exact
+    same min-id-per-content policy (the null-fp group keeps its one
+    representative exactly as the old groupBy did); (b) the
+    contamination verdict LEFT-joins the positive id set
+    (:func:`~.decontam.contaminated_ids`) instead of inner-joining
+    ngram_contamination's per-doc report, whose zero-fill spine paid a
+    third corpus scan only to say "not contaminated" explicitly
+    (min_hits <= 0, where zero-hit docs count as contaminated, keeps
+    the spine form). Net: Scan 4 -> 2, joins 2 -> 1 + a window that
+    carries (id, 16-byte fp, bool)."""
+    from pyspark.sql import Window
+
+    from .decontam import contaminated_ids
+    from .text import content_fingerprint
+
+    if min_hits <= 0:
+        cont = ngram_contamination(
+            corpus, eval_docs, text_col, id_col, k, min_hits
+        ).select(F.col(id_col), "contaminated")
+    else:
+        cont = contaminated_ids(
+            corpus, eval_docs, text_col, id_col, k, min_hits
+        ).withColumn("contaminated", F.lit(True))
     flags = (
         corpus.select(
             F.col(id_col),
+            content_fingerprint(text_col).alias("_fp"),
             gopher_flags(text_col, min_required)["keep"].alias("_q"),
         )
-        .join(keepers, id_col, "left")
-        .join(cont, id_col)
+        .withColumn(
+            "_kd",
+            F.col(id_col) == F.min(id_col).over(Window.partitionBy("_fp")),
+        )
+        .join(cont, id_col, "left")
         .select(
-            F.coalesce("_kd", F.lit(False)).alias("_kd"),
-            "contaminated", "_q",
+            "_kd",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+            "_q",
         )
     )
     row = flags.agg(
@@ -99,36 +124,49 @@ def drop_reasons(corpus: DataFrame, eval_docs: DataFrame,
 
     Output: (id, drop_reason) — one row per corpus doc.
 
-    Scale shape: each gate is its operator's own plan (fingerprint
-    hash-agg, broadcast eval n-grams, codegen'd quality flags); the
-    verdicts join back on the doc key — three id-scale joins, the text
-    column read once per gate and never shuffled.
+    Scale shape (r12 rewrite): the fingerprint and the quality flag are
+    computed in ONE corpus projection, and the exact-dup verdict is a
+    ``min(id) over (partition by fp)`` window on that frame — the same
+    min-id-per-content keeper policy as :func:`curation_funnel` and
+    ``exact_dedup_clusters`` (the window's min is that operator's agg,
+    re-attached without the separate fingerprint re-scan + content-key
+    join the old staged form paid: Scan 6 -> 3, joins 4 -> 1 + window —
+    plans/r12/x_drop_reasons_*.txt). Null-fp docs (null text) keep the
+    old inner-join-on-fp semantics — excluded from the audit — via an
+    explicit filter. The contamination verdict LEFT-joins the positive
+    id set (:func:`~.decontam.contaminated_ids` — broadcast eval
+    n-grams, no zero-fill spine scan; the spine form returns for
+    min_hits <= 0 where zero-hit docs count as contaminated); text
+    never shuffles — the window carries (id, 16-byte fp, quality bool).
     """
+    from pyspark.sql import Window
+
+    from .decontam import contaminated_ids
     from .text import content_fingerprint
 
-    # same representative policy as the funnel: exact_dedup_clusters'
-    # min-id keeper — reusing it keeps the audit's verdicts from
-    # drifting if the dedup policy ever changes
-    clusters = exact_dedup_clusters(corpus, text_col, id_col).select(
-        F.col("fp").alias("_fp"), "keep_id"
-    )
-    dup = corpus.select(
-        F.col(id_col), content_fingerprint(text_col).alias("_fp")
-    ).join(clusters, "_fp").select(
-        F.col(id_col), (F.col(id_col) != F.col("keep_id")).alias("_is_dup")
-    )
-    cont = ngram_contamination(
-        corpus, eval_docs, text_col, id_col, min_hits=min_hits
-    ).select(F.col(id_col), "contaminated")
-    qual = corpus.select(
+    flags = corpus.select(
         F.col(id_col),
+        content_fingerprint(text_col).alias("_fp"),
         gopher_flags(text_col, min_required=min_required)["keep"].alias("_q"),
+    ).filter(F.col("_fp").isNotNull())
+    # same representative policy as the funnel / exact_dedup_clusters:
+    # the min-id doc of each content cluster is the keeper
+    dup = flags.withColumn(
+        "_is_dup",
+        F.col(id_col) != F.min(id_col).over(Window.partitionBy("_fp")),
     )
+    if min_hits <= 0:
+        cont = ngram_contamination(
+            corpus, eval_docs, text_col, id_col, min_hits=min_hits
+        ).select(F.col(id_col), "contaminated")
+    else:
+        cont = contaminated_ids(
+            corpus, eval_docs, text_col, id_col, min_hits=min_hits
+        ).withColumn("contaminated", F.lit(True))
     return (
-        corpus.select(id_col)
-        .join(dup, id_col)
-        .join(cont, id_col)
-        .join(qual, id_col)
+        dup.join(cont, id_col, "left")
+        .withColumn("contaminated",
+                    F.coalesce("contaminated", F.lit(False)))
         .select(
             id_col,
             F.when(F.col("_is_dup"), F.lit("exact_dup"))

