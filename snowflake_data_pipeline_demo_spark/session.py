@@ -63,6 +63,21 @@ _DEFAULTS = {
 }
 
 
+def _env_extra_conf(env_var: str = "SPARK_GRAFT_EXTRA_CONF") -> dict[str, str]:
+    """Experiment hook (r12): ';'-separated ``key=value`` pairs layered
+    between the defaults and the caller's explicit ``extra_conf`` — lets
+    a bench A/B flip one conf without editing code, e.g.
+    ``SPARK_GRAFT_EXTRA_CONF="spark.sql.join.preferSortMergeJoin=false"``.
+    Malformed fragments (no ``=``, or an empty key) are ignored; values
+    keep embedded ``=`` signs intact."""
+    pairs = (
+        pair.split("=", 1)
+        for pair in os.environ.get(env_var, "").split(";")
+        if "=" in pair
+    )
+    return {k: v for k, v in pairs if k}
+
+
 def get_spark(app_name: str = "snowflake_data_pipeline_demo_spark",
               master: str | None = None,
               **extra_conf: str) -> SparkSession:
@@ -75,7 +90,7 @@ def get_spark(app_name: str = "snowflake_data_pipeline_demo_spark",
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"
     )
-    for k, v in {**_DEFAULTS, **extra_conf}.items():
+    for k, v in {**_DEFAULTS, **_env_extra_conf(), **extra_conf}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -520,3 +520,21 @@ class TestRotationSuggest:
         green = {n: 3 for n in names}  # all due at once
         with _pytest.raises(SystemExit, match="exceed"):
             self._suggest(names, green, {}, cur=5, window=3)
+
+
+def test_env_extra_conf_parses_semicolon_pairs(monkeypatch):
+    """The SPARK_GRAFT_EXTRA_CONF experiment hook (r12): ';'-separated
+    key=value pairs, malformed fragments ignored, embedded '=' kept."""
+    from snowflake_data_pipeline_demo_spark.session import _env_extra_conf
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_EXTRA_CONF",
+        "spark.sql.join.preferSortMergeJoin=false;"
+        "spark.driver.extraJavaOptions=-Da=b=c;garbage;=alsobad;",
+    )
+    assert _env_extra_conf() == {
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.driver.extraJavaOptions": "-Da=b=c",
+    }
+    monkeypatch.delenv("SPARK_GRAFT_EXTRA_CONF")
+    assert _env_extra_conf() == {}
