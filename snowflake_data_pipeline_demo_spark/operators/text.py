@@ -1243,9 +1243,121 @@ def _winnow_code_frame(df, text_col: str, id_col: str, k: int, w: int):
     )
 
 
+def _winnow_numpy_kernel(k: int, w: int):
+    """Per-document numpy replay of the staged JVM winnow chain — the
+    shared core of both Arrow production arms
+    (:func:`winnow_fingerprints_arrow`,
+    :func:`winnow_overlap_pairs` ``engine='arrow'``).
+
+    Returns ``one(t) -> (n_chars, n_kgrams, codes)`` with ``codes`` a
+    sorted-distinct int64 ndarray of ``pos*MOD+hash`` selections
+    (empty for n_kgrams == 0; ``(None, 0, empty)`` for null text, the
+    JVM form's null lanes). Bit-exactness seams are spelled out where
+    a naive Python port diverges from the JVM semantics: Java's
+    ``\\s`` is the ASCII class (Python's is Unicode-aware), Spark
+    ``trim`` strips ' ' only, and codepoints come from UTF-32 so an
+    astral char is ONE element, matching Spark ``split``/``ascii``
+    (the r06-verified codepoint contract)."""
+    import re
+
+    import numpy as np
+
+    mod, base = ROLLING_MOD, ROLLING_BASE
+    # Java \s — NOT python \s, which also matches unicode whitespace
+    java_ws = re.compile("[ \t\n\x0b\f\r]+")
+    sw = np.lib.stride_tricks.sliding_window_view
+    empty = np.empty(0, dtype=np.int64)
+
+    def one(t):
+        if t is None:
+            return None, 0, empty
+        s = java_ws.sub(" ", t.lower()).strip(" ")
+        cp = np.frombuffer(
+            s.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        n = int(cp.size)
+        m = n - k + 1
+        if m < 1:
+            return n, 0, empty
+        h = np.zeros(m, dtype=np.int64)
+        for j in range(k):
+            np.multiply(h, base, out=h)
+            np.add(h, cp[j:j + m], out=h)
+            np.mod(h, mod, out=h)
+        wins = h.reshape(1, m) if m <= w else sw(h, w)
+        mn = wins.min(axis=1)
+        # rightmost occurrence of the window min (1-based pos in h):
+        # first hit in the reversed window = last hit from the left
+        right0 = (wins.shape[1] - 1
+                  - np.argmax(wins[:, ::-1] == mn[:, None], axis=1))
+        pos = np.arange(1, wins.shape[0] + 1, dtype=np.int64) + right0
+        # sorted distinct, like the JVM form's array_sort(array_distinct)
+        return n, m, np.unique(pos * mod + mn)
+
+    return one
+
+
+def winnow_fingerprints_arrow(df, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              k: int = 4, w: int = 3):
+    """PRODUCTION twin of :func:`winnow_fingerprints`: one Arrow-batched
+    pandas UDF runs the whole normalize -> k-gram poly-hash ->
+    rightmost-min chain in numpy per document, replacing the staged
+    JVM higher-order-function chain (interpreted CodegenFallback
+    lambdas, one fold per k-gram and one slice/min/position per window)
+    with k vectorized passes over the codepoint array plus one
+    sliding-window min.
+
+    BIT-EXACT by construction, unlike the float LSH twin
+    (:func:`~..similarity.lsh_signatures_pandas`): every step is int64
+    arithmetic with the same mod-at-each-step order, and the JVM/Python
+    codepoint contract is already pinned (Spark ``ascii()``/``split``
+    and Python ``ord()`` agree on codepoints incl. astral plane —
+    verified r06, tests/test_extensions.py). The one subtle seam is
+    NORMALIZATION: Java's ``\\s`` (regexp_replace) is the ASCII class
+    ``[ \\t\\n\\x0b\\f\\r]`` while Python's ``re`` ``\\s`` is
+    Unicode-aware — this twin spells out the Java class, and Spark
+    ``trim`` strips ' ' only, so ``.strip(' ')`` not ``.strip()``.
+    Pinned bit-identical to the JVM form over unicode whitespace /
+    astral / tie / degenerate corpora by
+    test_winnow_fingerprints_arrow_twin_bit_exact.
+
+    Same output contract: ``(id, n_chars, n_kgrams, n_fps, fps)``,
+    null text -> (null, 0, 0, '') like the JVM form's null lanes.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mod = ROLLING_MOD
+    one = _winnow_numpy_kernel(k, w)
+
+    def row(t):
+        n, m, codes = one(t)
+        if not codes.size:
+            return (n, m, 0, "")
+        ps, hv = np.divmod(codes, mod)
+        return (
+            n, m, int(codes.size),
+            ",".join(map("%d:%d".__mod__, zip(ps.tolist(), hv.tolist()))),
+        )
+
+    @pandas_udf("struct<n_chars: long, n_kgrams: long, n_fps: long, "
+                "fps: string>")
+    def fp(texts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [row(t) for t in texts],
+            columns=["n_chars", "n_kgrams", "n_fps", "fps"],
+        )
+
+    # pass ONLY the text column through the Arrow boundary (guide §4.2)
+    res = df.select(id_col, fp(_col(text_col).cast("string")).alias("_fp"))
+    return res.select(id_col, "_fp.n_chars", "_fp.n_kgrams", "_fp.n_fps",
+                      "_fp.fps")
+
+
 def winnow_overlap_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                          k: int = 8, w: int = 4, min_shared: int = 3,
-                         max_df: int | None = None):
+                         max_df: int | None = None, engine: str = "jvm"):
     """Cross-document overlap report over winnowing fingerprints (the
     MOSS comparison step): explode each doc's DISTINCT selected hash
     values into a (hash -> doc) posting list, self-join on the hash,
@@ -1285,15 +1397,51 @@ def winnow_overlap_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     control, not merely a perf guard: page furniture must not count
     as content overlap. Capped recall on planted copies stayed 1.0 at
     all three scales.
+
+    ``engine='arrow'`` (r12 optimization round) swaps the fingerprint
+    PROJECTION for the numpy kernel
+    (:func:`_winnow_numpy_kernel` via one Arrow-batched UDF emitting
+    each doc's distinct hash-value set directly) — same hash values
+    per doc (pinned by test_winnow_overlap_arrow_engine_matches_jvm;
+    set order differs, immaterial past the explode), same joins and
+    scoring downstream. The JVM form stays the default because it is
+    the oracle-portable arm the x_winnow_overlap lane gates; the
+    arrow arm is the production choice at corpus scale — the
+    interpreted HOF chain is the stage that grows super-linearly
+    (measured 31x at 200k docs on the fingerprint projection,
+    OPTIMIZATION_r12.md).
     """
+    if engine not in ("jvm", "arrow"):
+        raise ValueError(
+            f"winnow_overlap_pairs: unknown engine {engine!r} "
+            "(expected 'jvm' or 'arrow')"
+        )
     mod = F.lit(ROLLING_MOD).cast("long")
-    cf = _winnow_code_frame(df, text_col, id_col, k, w)
-    fp = lane_cache(cf.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform("_codes", lambda cd: F.pmod(cd, mod))
-        ).alias("_hv"),
-    ))
+    if engine == "arrow":
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        one = _winnow_numpy_kernel(k, w)
+        imod = ROLLING_MOD
+
+        @pandas_udf("array<long>")
+        def hv_udf(texts: pd.Series) -> pd.Series:
+            return pd.Series(
+                [np.unique(one(t)[2] % imod).tolist() for t in texts]
+            )
+
+        fp = lane_cache(df.select(
+            F.col(id_col),
+            hv_udf(_col(text_col).cast("string")).alias("_hv"),
+        ))
+    else:
+        cf = _winnow_code_frame(df, text_col, id_col, k, w)
+        fp = lane_cache(cf.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform("_codes", lambda cd: F.pmod(cd, mod))
+            ).alias("_hv"),
+        ))
     ex = fp.select(
         id_col, F.size("_hv").alias("n_fp"), F.explode("_hv").alias("h")
     )

@@ -133,8 +133,12 @@ _FRAME_CASES = {
     "paragraph_dedup": lambda s, d: dedup.paragraph_dedup(d),
     "line_dedup_within_doc": lambda s, d: dedup.line_dedup_within_doc(d),
     "winnow_fingerprints": lambda s, d: T.winnow_fingerprints(d),
+    "winnow_fingerprints_arrow": lambda s, d: T.winnow_fingerprints_arrow(d),
     "winnow_overlap_pairs": lambda s, d: T.winnow_overlap_pairs(
         d, min_shared=1
+    ),
+    "winnow_overlap_pairs_arrow": lambda s, d: T.winnow_overlap_pairs(
+        d, min_shared=1, engine="arrow"
     ),
     # chunking / packing
     "chunk_by_tokens": lambda s, d: chunking.chunk_by_tokens(d),

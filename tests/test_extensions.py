@@ -1865,6 +1865,94 @@ def test_winnow_fingerprints_match_reference_replay(spark):
     assert sh1 & sh2
 
 
+def test_winnow_fingerprints_arrow_twin_bit_exact(spark, docs):
+    """The Arrow/numpy PRODUCTION twin is BIT-IDENTICAL to the JVM
+    higher-order-function form — full rows (n_chars, n_kgrams, n_fps,
+    fps), not just hashes — over (a) the sf0.001 documents corpus and
+    (b) an adversarial frame targeting every seam where a naive Python
+    port diverges from the JVM semantics:
+
+    - Java ``\\s`` is ASCII-only: NBSP/ideographic-space/file-separator
+      (\\u00a0, \\u3000, \\x1c) are CONTENT characters to Spark's
+      regexp_replace but whitespace to Python's unicode ``\\s`` (and to
+      ``str.strip()``) — the twin must keep them;
+    - astral-plane codepoints (one split() element, ord == codepoint);
+    - unicode case-mapping edges (U+0130 -> 'i'+combining dot expands
+      the char count, final sigma, ß, titlecase dž);
+    - rightmost-min ties, periodic hashes, n < k, n < w+k-1 (single
+      short window), empty and NULL text.
+
+    This pin is what lets the twin be benched as the production arm
+    (x_winnow_fingerprints_prod) without a rows-only caveat: unlike the
+    float LSH twin, integer arithmetic makes exactness provable.
+    """
+    from snowflake_data_pipeline_demo_spark.operators import text as T
+
+    rows = [
+        (1, "left context the winnowing guarantee holds right context"),
+        (2, "aaaaaaaaaaaa"),                    # all-tie hashes
+        (3, "abc"),                             # n < k
+        (4, ""),
+        (5, "abcd"),                            # exactly one k-gram
+        (6, "xy zy xy zy xy zy"),               # periodic, repeated hashes
+        (7, "日本語 テキスト 𝄞 music"),          # astral plane
+        (8, "a\u00a0b\u00a0cd\u00a0ef"),   # NBSP is content, not ws
+        (9, "\u00a0 abcdef \u00a0"),        # NBSP at the trim edges
+        (10, "\u3000日本\u3000語のテキスト\u3000"),  # ideographic space
+        (11, "ab\x1ccd \x1c ef\x1cgh"),         # \x1c: python-\s-only ws
+        (12, "İstanbul ΑΣ Straße ǅungla"),      # case-mapping edges
+        (13, "tab\tand\nnewline\x0bvt\x0cff\rcr collapse"),
+        (14, None),
+        (15, "abcde"),                          # m=2 < w: one short window
+    ]
+    adv = spark.createDataFrame(rows, "doc_id long, text string")
+    for frame in (adv, docs):
+        jvm = {r["doc_id"]: tuple(r)
+               for r in T.winnow_fingerprints(frame).collect()}
+        arrow = {r["doc_id"]: tuple(r)
+                 for r in T.winnow_fingerprints_arrow(frame).collect()}
+        assert arrow == jvm
+    # and at the overlap lane's (k=8, w=4) parameterization
+    jvm = {r["doc_id"]: tuple(r)
+           for r in T.winnow_fingerprints(adv, k=8, w=4).collect()}
+    arrow = {r["doc_id"]: tuple(r)
+             for r in T.winnow_fingerprints_arrow(adv, k=8, w=4).collect()}
+    assert arrow == jvm
+
+
+def test_winnow_overlap_arrow_engine_matches_jvm(spark, docs):
+    """winnow_overlap_pairs(engine='arrow') returns EXACTLY the jvm
+    engine's rows — same pairs, same n_shared, same containment — on
+    (a) the plagiarism-shaped fixture the graded lane uses, (b) the
+    sf0.001 corpus (near-cartesian natural overlap — the stress case
+    for the posting explode), and (c) with the max_df kill-switch on,
+    since the df-filter consumes the arrow arm's posting frame twice.
+    Unknown engines fail loudly."""
+    from snowflake_data_pipeline_demo_spark.operators import text as T
+
+    fixture = spark.createDataFrame(
+        [(i, " ".join(f"s{i}tok{j}" for j in range(30))) for i in range(20)]
+        + [(100, "copied span one two three four five six seven eight"),
+           (101, "copied span one two three four five six seven eight"),
+           (102, None), (103, ""), (104, "short")],
+        "doc_id long, text string",
+    )
+    cases = [
+        (fixture, dict(min_shared=1)),
+        (fixture, dict(min_shared=3, max_df=8)),
+        (docs, dict(min_shared=3, max_df=16)),
+    ]
+    for frame, kw in cases:
+        key = ["id_a", "id_b"]
+        jvm = T.winnow_overlap_pairs(frame, **kw).sort(*key).collect()
+        arrow = T.winnow_overlap_pairs(frame, engine="arrow", **kw) \
+                 .sort(*key).collect()
+        assert [tuple(r) for r in arrow] == [tuple(r) for r in jvm], kw
+        assert jvm, kw  # non-vacuous: every case must produce pairs
+    with pytest.raises(ValueError, match="unknown engine"):
+        T.winnow_overlap_pairs(fixture, engine="numpy")
+
+
 def test_winnow_overlap_planted_pairs(spark):
     """Over the deterministic plagiarism fixture: exactly the five
     planted copied-span pairs qualify, containment ~ 1/3 (4 of 12
