@@ -472,8 +472,14 @@ def bigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
     model + scoring probe), so the window's exchange is written once
     and REUSED while the zip's slice/zip/explode allocations re-run
     per consumer — the opposite trade from PMI's single-consumer
-    stitch. Revisit only alongside a materialization boundary on the
-    stream."""
+    stitch. The materialization-boundary follow-up was then ALSO
+    measured and rejected (same-JVM 3-arm A/B, session 4): a
+    lane_cache boundary on the bigram stream loses at BOTH tiers —
+    sf0.1 window 0.98 s vs window+cache 1.26 / zip+cache 1.01 s; 200k
+    docs 3.57 vs 4.67 / 4.33 s — the cache fill (write + InMemoryScan
+    for two consumers) costs more than re-reading the reused exchange.
+    This operator is closed: the naive window form is the measured
+    optimum at every tier reachable locally."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("pos")
