@@ -10,6 +10,20 @@ corpus docs stream through shingling, probe the broadcast set, and only
 aggregation, which combines map-side. If the eval set ever outgrows
 broadcast range, the same plan degrades gracefully to a shuffle
 hash-join on the shingle key; nothing else changes.
+
+Preconditions (r12 ADVICE, made explicit):
+
+- ``id_col`` is assumed UNIQUE per corpus row. The id-keyed forms
+  (:func:`contaminated_ids` counting, :func:`contamination_matrix`'s
+  ``n_contaminated``, :func:`~.curation.curation_funnel`'s left join)
+  count distinct contaminated IDS; under duplicate ids they diverge
+  from per-row counts (and the funnel's left join would fan out).
+- A corpus row with NULL ``id_col`` is never dropped by
+  :func:`decontaminate`'s anti-join form (NULL keys match nothing in a
+  left-anti join), regardless of its text's overlap — whereas the
+  min_hits <= 0 spine form drops it (NULL matches nothing in a
+  left-semi join either). Pinned by the degenerate-inputs sweep;
+  assign real ids upstream if NULL-id rows must be gated on content.
 """
 
 from __future__ import annotations
@@ -98,7 +112,11 @@ def decontaminate(corpus: DataFrame, eval_docs: DataFrame,
     (Scan 3 -> 2; the left-join + left-semi pair collapses to one
     left-anti). Requires min_hits >= 1 (a doc with zero hits must not
     count as contaminated); min_hits <= 0 keeps the spine form, whose
-    `0 >= min_hits` zero-fill verdict drops every row."""
+    `0 >= min_hits` zero-fill verdict drops every row.
+
+    NULL-id seam (module docstring): the anti-join keeps NULL-id rows
+    unconditionally (NULL matches nothing), where the old left-semi
+    report form dropped them; pinned by the degenerate-inputs sweep."""
     if min_hits <= 0:
         clean = ngram_contamination(
             corpus, eval_docs, text_col, id_col, k, min_hits

@@ -15,10 +15,13 @@ to Catalyst so star-join dims go broadcast automatically.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 CURRENT_ACCOUNT_CONF = "engine.current_account"
 
@@ -35,8 +38,17 @@ _DEFAULTS = {
     # heap). G1 measured 30.1s vs ParallelGC 31.8s on the headline bench
     # at 24g; ParallelGC at 64g degenerates (full-GC stalls, 298s total).
     # Keep the JVM-default G1; env hook for experiments.
+    # Locale is pinned to en-US (r12 ADVICE): Spark's non-ASCII lower()/
+    # upper() go through java.lang.String casing under the JVM DEFAULT
+    # locale, so e.g. a tr_TR JVM lowercases 'I' to dotless-i — which
+    # would silently break the bit-exact contract between the JVM
+    # winnow chain and its numpy/Arrow production twin
+    # (operators/text.py), and any other casing-sensitive operator.
+    # Python's str.lower() is locale-independent; pinning the JVM makes
+    # the engine's casing environment-independent too.
     "spark.driver.extraJavaOptions": os.environ.get(
-        "SPARK_GRAFT_JVM_OPTS", "-XX:+UseG1GC"),
+        "SPARK_GRAFT_JVM_OPTS",
+        "-XX:+UseG1GC -Duser.language=en -Duser.country=US"),
     # AQE: coalesce small shuffle partitions, split skewed ones at runtime.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -90,7 +102,15 @@ def get_spark(app_name: str = "snowflake_data_pipeline_demo_spark",
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"
     )
-    for k, v in {**_DEFAULTS, **_env_extra_conf(), **extra_conf}.items():
+    env_conf = _env_extra_conf()
+    if env_conf:
+        # r12 ADVICE: a stray SPARK_GRAFT_EXTRA_CONF (e.g. flipping a
+        # spark.sql.legacy.* / ansi conf) can change operator semantics
+        # with nothing visible in output — make every applied override
+        # loud so A/B runs and accidental leakage are both observable.
+        logger.warning("SPARK_GRAFT_EXTRA_CONF overrides applied: %s",
+                       env_conf)
+    for k, v in {**_DEFAULTS, **env_conf, **extra_conf}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
