@@ -501,9 +501,43 @@ def j7_merge_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def u1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake UNION = UNION DISTINCT (dp_setup.sql:235): Spark union
-    is UNION ALL, so the explicit distinct() is the operator under test."""
+    is UNION ALL, so the explicit distinct() is the operator under test.
+
+    r13 boundary narrowing (guide §2.3 "project before the exchange" /
+    §1.2 "don't compute things you throw away"): this lane consumes
+    only the 8 station fields of the 17-field doc, so the parse
+    boundary materializes a from_json STRUCT pinned to those 8 fields —
+    Jackson skips the other 9 and the cache holds 8 columns, not 17.
+    Parsing once into a struct also side-steps the CSE question the
+    flattened form leans on (17 identical from_json trees merged by
+    runtime subexpression elimination). Field values are identical to
+    the full-schema parse (from_json ignores undeclared JSON fields).
+    Measured (interleaved same-JVM A/B, 4 passes, steal shared):
+    full flatten 3.77/4.23 s (min/med) -> narrowed struct 2.64/3.07 s.
+    The SAME struct form measured a REGRESSION for flagship (its three
+    ext consumers re-pay the field extraction + epoch decode per read:
+    4.73/5.04 -> 5.00/6.19 s), so the flattened 17-column boundary
+    stays for the full-slice lanes — see OPTIMIZATION_r13.md."""
+    from ..functions.variant import extract_variant
+    from ..sources.catalog import TRIP_DOC_SCHEMA
+    from pyspark.sql import types as T
+
+    station_fields = [
+        "start_station_id", "start_station_name", "start_station_latitude",
+        "start_station_longitude", "end_station_id", "end_station_name",
+        "end_station_latitude", "end_station_longitude",
+    ]
+    schema8 = T.StructType([
+        f for f in TRIP_DOC_SCHEMA.fields if f.name in station_fields
+    ])
     t = _t(spark, sf_dir, "lineitem", "supplier", "nation")
-    ext = _extract_boundary(trip_docs(t["lineitem"], t["supplier"], t["nation"]))
+    raw = trip_docs(t["lineitem"], t["supplier"], t["nation"])
+    parsed = _materialize(raw.select(
+        extract_variant("v", schema8).alias("_v")
+    ))
+    ext = parsed.select(*[
+        F.col("_v").getField(n).alias(n) for n in station_fields
+    ])
     return stations_from_raw(ext).select(
         "station_id", "station_name", "station_comment"
     )

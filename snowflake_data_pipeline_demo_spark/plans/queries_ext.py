@@ -3208,11 +3208,24 @@ def x_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b2 = d.filter(F.col("doc_id") % 3 == 2)
 
+    # n_in per batch from ONE corpus aggregation instead of a count()
+    # per batch frame (r13: each per-batch count re-paid the loader's
+    # repartition exchange — 3 corpus passes for 3 integers; guide
+    # §1.2). b1 re-ingests b0's docs under fresh ids, so its n_in is
+    # |mod 1| + |mod 0| — same values, one pass.
+    mod_counts = {
+        int(r["m"]): r["n"]
+        for r in d.groupBy((F.col("doc_id") % 3).alias("m"))
+        .agg(F.count("*").alias("n")).collect()
+    }
+    n_ins = (mod_counts.get(0, 0),
+             mod_counts.get(1, 0) + mod_counts.get(0, 0),
+             mod_counts.get(2, 0))
     rows = []
     index_size = 0
     for i, b in enumerate((b0, b1, b2)):
         fn(b, i)
-        n_in = b.count()
+        n_in = n_ins[i]
         # count only the batch's own subdir (O(batch)); the cumulative
         # index size is the running sum of per-batch novel signatures —
         # never a re-scan of the whole index per batch.

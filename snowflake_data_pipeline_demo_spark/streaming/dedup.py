@@ -135,8 +135,16 @@ def semantic_dedup_batch_fn(
                 history_assigned=hist_assigned, new_assigned=probe,
             )
             dup_ids = flagged.select(id_col).localCheckpoint()
-            clean = batch_df.join(dup_ids, id_col, "left_anti")
-            novel_assigned = probe.join(dup_ids, id_col, "left_anti")
+            # rebalance the payload writes (r13, guide §6): both joins
+            # inherit the batch frame's full compute partitioning, so
+            # each micro-batch wrote one near-empty file per compute
+            # partition; the REBALANCE hint lets AQE size the write to
+            # the advisory partition size — one file for a small
+            # batch, parallel for a large one (see the minhash fn).
+            clean = batch_df.join(dup_ids, id_col, "left_anti") \
+                .hint("rebalance")
+            novel_assigned = probe.join(dup_ids, id_col, "left_anti") \
+                .hint("rebalance")
             assigned_table.overwrite_subdir(novel_assigned, sub)
             clean_table.overwrite_subdir(clean, sub)
             return
@@ -158,7 +166,8 @@ def semantic_dedup_batch_fn(
         # the write below overwrites a subdir that scan lists on replay
         # — checkpoint the id list before writing, like the minhash fn
         dup_ids = flagged.select(id_col).localCheckpoint()
-        clean = batch_df.join(dup_ids, id_col, "left_anti")
+        clean = batch_df.join(dup_ids, id_col, "left_anti") \
+            .hint("rebalance")  # r13 payload-write sizing, see above
         clean_table.overwrite_subdir(clean, sub)
 
     return fn
@@ -670,7 +679,19 @@ def minhash_dedup_batch_fn(
         # checkpointed frames only and write directly — no batch-text
         # materialization at all.
         dup_ids = flagged.select(id_col).localCheckpoint()
-        clean = batch_df.join(dup_ids, id_col, "left_anti")
+        # rebalance before the payload write (r13, guide §6): the
+        # anti-join inherits the batch frame's full compute
+        # partitioning (the loader's core-count repartition locally; a
+        # cluster's scan split count at scale), so every micro-batch
+        # wrote one near-empty file PER COMPUTE PARTITION into the
+        # clean table — 32 ~50 KB files per batch at sf0.1 while the
+        # checkpointed sigs/bands frames (AQE-coalesced) wrote one.
+        # The REBALANCE hint lets AQE size the write to
+        # advisoryPartitionSizeInBytes, so a small batch lands as one
+        # file and a large one still writes in parallel —
+        # scale-adaptive, not a constant. sigs/bands stay as they are
+        # (already advisory-sized via the checkpoint).
+        clean = batch_df.join(dup_ids, id_col, "left_anti").hint("rebalance")
         novel_sigs = new_sigs.join(dup_ids, id_col, "left_anti")
         # write ORDER matters twice over: the gate checks the table
         # written LAST (clean), and the migration guard above relies on
